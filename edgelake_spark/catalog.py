@@ -1,0 +1,84 @@
+"""Table registry: maps EdgeLake's ``dbms.table`` namespace onto Spark
+temp views over partitioned Parquet.
+
+In EdgeLake a "distributed table" is the same schema hosted by N operator
+nodes and a query is the union over hosts (reference
+edge_lake/cmd/member_cmd.py:2867 resolve_destination,
+edge_lake/dbms/unify_results.py:18-24). Here one logical table is one
+(partitioned) dataset; the operator dimension, when needed, is a plain
+column (see ``extend`` handling in the dialect layer).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: tables the driver's testdata ships at every scale factor
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_sf_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every ``<sf_dir>/<name>.parquet`` as a temp view ``name``.
+
+    Reading is lazy; Catalyst prunes columns and pushes filters into the
+    Parquet scan, so registering all tables costs nothing until queried.
+    """
+    registered = []
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_parquet(spark, path).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, converting timestamp[ns] columns (read as int64
+    under spark.sql.legacy.parquet.nanosAsLong) to microsecond
+    timestamps. `div 1000` truncates toward zero — the same ns→us
+    narrowing DuckDB applies, keeping oracle comparisons exact."""
+    df = spark.read.parquet(path)
+    try:
+        arrow_schema = pq.read_schema(path)
+    except Exception:
+        return df
+    for f_ in arrow_schema:
+        if str(f_.type).startswith("timestamp[ns") and f_.name in df.columns:
+            # integer `div` — double division would lose precision on
+            # ~1.7e18 nanosecond values
+            df = df.withColumn(f_.name, F.timestamp_micros(F.expr(f"`{f_.name}` div 1000")))
+    return df
+
+
+def resolve_table(spark: SparkSession, name: str) -> DataFrame:
+    """Resolve ``dbms.table`` or bare ``table`` to a DataFrame.
+
+    EdgeLake scopes tables by logical dbms (edge_lake/dbms/db_info.py:1207);
+    we accept the prefix and fall back to the bare view name, which is how
+    the single-catalog Spark world flattens it.
+    """
+    short = name.split(".")[-1]
+    try:
+        return spark.table(name)
+    except Exception:
+        return spark.table(short)
+
+
+def view_name(name: str) -> str:
+    """The Spark-side view name for an EdgeLake ``dbms.table`` reference."""
+    return name.split(".")[-1]

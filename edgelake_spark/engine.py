@@ -1,0 +1,173 @@
+"""EdgeLakeEngine — the query entry point.
+
+Replaces the reference's whole query lifecycle (parse → per-operator
+fan-out → scratch-table unify → format; edge_lake/cmd/member_cmd.py:5187
+_issue_sql, edge_lake/job/job_instance.py) with: dialect rewrite →
+ONE Spark plan → optional presentation transforms. Catalyst supplies
+predicate pushdown, partial/final aggregation, partition pruning and
+AQE; nothing is hand-scheduled, so the same code path scales from
+local[32] to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import itertools
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from edgelake_spark import catalog
+from edgelake_spark.dialect.casting import TZ_NAMES, apply_castings
+from edgelake_spark.dialect.options import SqlCommand, parse_sql_command
+from edgelake_spark.dialect.rewriter import rewrite_select
+from edgelake_spark.output import format_result
+
+_view_counter = itertools.count()
+
+
+class EdgeLakeEngine:
+    """One engine per (SparkSession, data directory).
+
+    ``now`` pins the rewrite-time clock (the reference resolves now()/
+    date() to fixed literals at rewrite, unify_results.py:876-881) —
+    inject a datetime for deterministic tests/oracles.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        now: datetime | None = None,
+        node_identity: dict | None = None,
+    ):
+        self.spark = spark
+        self.now = now
+        # stand-in identity for the single "operator node" — the
+        # reference prepends these via extend=(@ip, @port, ...)
+        self.node_identity = node_identity or {
+            "ip": "127.0.0.1",
+            "port": 32048,
+            "dbms_name": "",
+        }
+        if sf_dir:
+            catalog.register_sf_tables(spark, sf_dir)
+
+    # ------------------------------------------------------------ public
+
+    def run(self, command: str):
+        """Execute a full ``sql <dbms> [options] "SELECT ..."`` command.
+
+        Returns a DataFrame for format=dataframe (default), else a
+        rendered string (json / json:list / table).
+        """
+        cmd = parse_sql_command(command)
+        df = self._execute(cmd)
+        if cmd.options.get("table"):
+            # repeatable query → named result (reference
+            # member_cmd.py:115-117, system_query.<name>)
+            df.createOrReplaceTempView(f"query_{cmd.options['table']}")
+        if cmd.fmt == "dataframe":
+            return df
+        return format_result(df, cmd.fmt, stat=cmd.options.get("stat", False))
+
+    def query(self, statement: str, **options) -> DataFrame:
+        """Run a dialect SELECT with keyword options; returns DataFrame."""
+        cmd = SqlCommand(dbms=options.pop("dbms", ""), options=options, statement=statement)
+        return self._execute(cmd)
+
+    # ----------------------------------------------------------- internal
+
+    def _execute(self, cmd: SqlCommand) -> DataFrame:
+        leading_cols: list[str] = []
+        resolver = lambda name: catalog.view_name(name)  # noqa: E731
+
+        if cmd.include or cmd.extend:
+            union_view, leading_cols = self._build_union_view(cmd)
+            resolver = lambda name: union_view  # noqa: E731
+
+        rewritten = rewrite_select(
+            cmd.statement,
+            table_resolver=resolver,
+            now=self.now,
+            leading_cols=leading_cols,
+        )
+        df = self.spark.sql(rewritten.sql)
+
+        per_column = cmd.options.get("per_column")
+        if per_column and cmd.options.get("limit"):
+            # per-entity limit: with extended tables the limit applies
+            # per source (reference unify_results.py:1325-1329)
+            order_cols = [c for c in df.columns if c != per_column]
+            w = Window.partitionBy(per_column).orderBy(*order_cols)
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= int(cmd.options["limit"]))
+                .drop("__rn")
+            )
+        elif cmd.options.get("limit"):
+            df = df.limit(int(cmd.options["limit"]))
+
+        df = apply_castings(df, rewritten.castings)
+        df = self._apply_timezone(df, cmd.timezone)
+        return df
+
+    def _build_union_view(self, cmd: SqlCommand) -> tuple[str, list[str]]:
+        """include=(dbms.table,...) → UNION ALL with NULL padding;
+        extend=(@ip, @table_name as t, ...) → identity columns prepended
+        per source (reference member_cmd.py:5330-5470 partition_query,
+        unify_results.py:924-948 process_extended_columns).
+
+        unionByName(allowMissingColumns=True) reproduces the reference's
+        NULL padding of missing columns (get_adjusted_projection,
+        member_cmd.py:5413).
+        """
+        from edgelake_spark.dialect.parser import parse_select
+
+        primary = catalog.view_name(parse_select(cmd.statement).table)
+        tables = [primary] + [catalog.view_name(t) for t in cmd.include]
+
+        extend_specs = []  # (source_kind, alias)
+        for spec in cmd.extend:
+            spec = spec.strip()
+            alias = None
+            if " as " in spec:
+                spec, alias = (s.strip() for s in spec.split(" as ", 1))
+            if spec.startswith("@"):
+                kind = spec[1:]
+            elif spec.startswith("+"):
+                kind = spec[1:]
+            else:
+                kind = spec
+            extend_specs.append((kind, alias or kind.replace(".", "_")))
+
+        parts = []
+        for t in tables:
+            df = self.spark.table(t)
+            id_values = dict(self.node_identity)
+            id_values["table_name"] = t
+            id_values.setdefault("dbms_name", "")
+            for kind, alias in reversed(extend_specs):
+                value = id_values.get(kind, "")
+                df = df.select(F.lit(value).alias(alias), "*")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        view = f"__el_union_{next(_view_counter)}"
+        out.createOrReplaceTempView(view)
+        return view, [alias for _, alias in extend_specs]
+
+    def _apply_timezone(self, df: DataFrame, tz: str) -> DataFrame:
+        """Presentation-layer timezone conversion of result time columns
+        only (reference utils_columns.py:1592-1658 utc_to_timezone)."""
+        tz = (tz or "utc").lower()
+        if tz in ("", "utc"):
+            return df
+        zone = TZ_NAMES.get(tz, tz)
+        for f_ in df.schema.fields:
+            if isinstance(f_.dataType, T.TimestampType):
+                df = df.withColumn(f_.name, F.from_utc_timestamp(F.col(f_.name), zone))
+        return df
