@@ -1,0 +1,161 @@
+"""Text analysis operators: tokenization, language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is a pure SQL expression over built-in functions (JVM-side,
+codegen'd — no UDFs), and every builder has a ``duck_*`` twin emitting
+the DuckDB-equivalent SQL from the same constants for the oracle gate.
+Cross-engine determinism: md5 for hashing, regex classes limited to
+ASCII, arithmetic in identical order.
+"""
+
+from __future__ import annotations
+
+# word characters for tokenization; everything else is a separator
+TOKEN_SEP = "[^a-z0-9]+"
+
+# small deterministic stopword lists for the n-gram/stopword language
+# heuristic (alphabetical language order = deterministic tie-break)
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "sich"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for", "was"],
+    "es": ["el", "la", "los", "las", "es", "que", "de", "en", "un", "una"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"],
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+# ------------------------------------------------------------ tokenize
+
+
+def spark_tokens(col: str) -> str:
+    return f"filter(split(lower({col}), '{TOKEN_SEP}'), x -> x != '')"
+
+
+def duck_tokens(col: str) -> str:
+    return f"list_filter(string_split_regex(lower({col}), '{TOKEN_SEP}'), x -> x != '')"
+
+
+# ----------------------------------------------------------- stopwords
+
+
+def _spark_stop_count(tokens_expr: str, words: list[str]) -> str:
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    return f"size(filter({tokens_expr}, x -> array_contains({arr}, x)))"
+
+
+def _duck_stop_count(tokens_expr: str, words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({tokens_expr}, x -> list_contains({arr}, x)))"
+
+
+def spark_language_id(col: str) -> str:
+    """Predicted language = alphabetically-first language with the
+    maximal stopword hit count (n-gram heuristic)."""
+    toks = spark_tokens(col)
+    scores = {lang: _spark_stop_count(toks, ws) for lang, ws in sorted(STOPWORDS.items())}
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = {greatest} THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return f"CASE {cases} ELSE 'unknown' END"
+
+
+def duck_language_id(col: str) -> str:
+    toks = duck_tokens(col)
+    scores = {lang: _duck_stop_count(toks, ws) for lang, ws in sorted(STOPWORDS.items())}
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = {greatest} THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return f"CASE {cases} ELSE 'unknown' END"
+
+
+# ------------------------------------------------------- quality score
+
+
+def spark_quality_parts(col: str) -> dict[str, str]:
+    """Length / punctuation / stopword ratio components. All doubles are
+    produced by the same operation sequence as the DuckDB twin."""
+    toks = spark_tokens(col)
+    stop = _spark_stop_count(toks, STOPWORDS["en"])
+    return {
+        "n_chars_q": f"CAST(length({col}) AS BIGINT)",
+        "n_tokens": f"CAST(size({toks}) AS BIGINT)",
+        "avg_token_len": (
+            f"CAST(aggregate({toks}, 0L, (a, x) -> a + length(x)) AS DOUBLE)"
+            f" / CAST(greatest(size({toks}), 1) AS DOUBLE)"
+        ),
+        "punct_ratio": (
+            f"CAST(length({col}) - length(regexp_replace({col}, '{PUNCT_CLASS}', '')) AS DOUBLE)"
+            f" / CAST(greatest(length({col}), 1) AS DOUBLE)"
+        ),
+        "stopword_ratio": (
+            f"CAST({stop} AS DOUBLE) / CAST(greatest(size({toks}), 1) AS DOUBLE)"
+        ),
+    }
+
+
+def duck_quality_parts(col: str) -> dict[str, str]:
+    toks = duck_tokens(col)
+    stop = _duck_stop_count(toks, STOPWORDS["en"])
+    return {
+        "n_chars_q": f"CAST(length({col}) AS BIGINT)",
+        "n_tokens": f"CAST(len({toks}) AS BIGINT)",
+        "avg_token_len": (
+            f"CAST(list_sum(list_transform({toks}, x -> length(x))) AS DOUBLE)"
+            f" / CAST(greatest(len({toks}), 1) AS DOUBLE)"
+        ),
+        "punct_ratio": (
+            f"CAST(length({col}) - length(regexp_replace({col}, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)"
+            f" / CAST(greatest(length({col}), 1) AS DOUBLE)"
+        ),
+        "stopword_ratio": (
+            f"CAST({stop} AS DOUBLE) / CAST(greatest(len({toks}), 1) AS DOUBLE)"
+        ),
+    }
+
+
+QUALITY_SCORE = (
+    # one linear formula over the ratio components; identical literal
+    # order both engines → bit-identical doubles
+    "(least({avg_token_len} / 8.0, 1.0) * 0.4"
+    " + least({stopword_ratio} * 4.0, 1.0) * 0.4"
+    " + (1.0 - least({punct_ratio} * 10.0, 1.0)) * 0.2)"
+)
+
+
+def spark_quality_score(col: str) -> str:
+    return QUALITY_SCORE.format(**spark_quality_parts(col))
+
+
+def duck_quality_score(col: str) -> str:
+    return QUALITY_SCORE.format(**duck_quality_parts(col))
+
+
+# ------------------------------------------------------- token counts
+
+
+#: BPE-ish token regex: runs of letters, runs of digits, single other
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def spark_bpe_count(col: str) -> str:
+    return f"CAST(size(regexp_extract_all(lower({col}), '{TOKEN_REGEX}', 0)) AS BIGINT)"
+
+
+def duck_bpe_count(col: str) -> str:
+    return f"CAST(len(regexp_extract_all(lower({col}), '{TOKEN_REGEX}', 0)) AS BIGINT)"
+
+
+# -------------------------------------------------------- fingerprint
+
+
+def spark_fingerprint(col: str) -> str:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized lowercase text."""
+    return f"md5(regexp_replace(trim(lower({col})), '\\\\s+', ' '))"
+
+
+def duck_fingerprint(col: str) -> str:
+    return f"md5(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g'))"

@@ -1,0 +1,588 @@
+"""Query inventory: every operator from SURVEY.md §2 (plus the
+training-data operators) as a (Spark callable, DuckDB oracle SQL) pair.
+
+Cross-engine determinism conventions (so value-hashes match):
+- double SUM/AVG go through DECIMAL(25,6): decimal addition is exact and
+  order-independent, then one cast back to DOUBLE — identical bits on
+  both engines regardless of partition order. (Plain double sums differ
+  in the last bits between ANY two execution orders.)
+- LIMIT/top-k always under a total order with a unique tie-break key.
+- integer aggregates cast to BIGINT (DuckDB sums integers into HUGEINT).
+- hashing is md5 (identical hex in both engines); tokenization uses the
+  shared regexes in functions/text.py.
+
+The EdgeLake-dialect entries run through EdgeLakeEngine with a pinned
+``now`` (2024-02-01), mirroring the reference's rewrite-time literal
+resolution (edge_lake/dbms/unify_results.py:876-881).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from edgelake_spark.catalog import register_sf_tables
+from edgelake_spark.engine import EdgeLakeEngine
+from edgelake_spark.functions import dedup as dd
+from edgelake_spark.functions import similarity as sim
+from edgelake_spark.functions import text as tx
+
+FIXED_NOW = datetime(2024, 2, 1)
+
+#: SUM(double) → exact decimal → double (see module docstring)
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def _el(stmt: str, **opts):
+    def run(spark, sf_dir):
+        eng = EdgeLakeEngine(spark, sf_dir, now=FIXED_NOW)
+        return eng.query(stmt, **opts)
+
+    return run
+
+
+def _sql(sql: str):
+    def run(spark, sf_dir):
+        register_sf_tables(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _q(name: str, spark_fn, duck_sql: str | None):
+    SPARK_QUERIES[name] = spark_fn
+    if duck_sql is not None:
+        ORACLE_SQL[name] = duck_sql
+
+
+# =====================================================================
+# EdgeLake dialect core (SURVEY §2.1/§2.2/§2.4/§2.6)
+# =====================================================================
+
+_q(
+    "el_basic_where",
+    _el(
+        "select event_id, ts, user_id, value from events "
+        "where value > 150.0 and event_type = 'click' order by event_id limit 50"
+    ),
+    "SELECT event_id, ts, user_id, value FROM events "
+    "WHERE value > 150.0 AND event_type = 'click' ORDER BY event_id LIMIT 50",
+)
+
+_q(
+    "el_agg",
+    _el(
+        "select count(*) as n, count(value) as nv, min(value) as mn, max(value) as mx, "
+        "cast(sum(cast(value as decimal(25,6))) as double) as sum_value, "
+        "sum(user_id) as sum_uid from events"
+    ),
+    "SELECT count(*) AS n, count(value) AS nv, min(value) AS mn, max(value) AS mx, "
+    f"{_dsum('value')} AS sum_value, "
+    "CAST(sum(user_id) AS BIGINT) AS sum_uid FROM events",
+)
+
+_q(
+    "el_avg_group",
+    _el(
+        "select event_type, cast(sum(cast(value as decimal(25,6))) as double) / count(value) "
+        "as avg_value, count(*) as n from events group by event_type order by event_type"
+    ),
+    f"SELECT event_type, {_dsum('value')} / count(value) AS avg_value, "
+    "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+)
+
+_q(
+    "el_range_distinct",
+    # range() = abs(max-min) (reference unify_results.py:283-311);
+    # count(distinct ...) two-phase (reference :192-208)
+    _el(
+        "select range(value) as rng, count(distinct event_type) as ndt, "
+        "count(distinct user_id) as ndu from events"
+    ),
+    "SELECT abs(max(value) - min(value)) AS rng, "
+    "count(DISTINCT event_type) AS ndt, count(DISTINCT user_id) AS ndu FROM events",
+)
+
+_q(
+    "el_distinct_col",
+    # distinct(col) → GROUP BY on the column (reference unify_results.py:78-114)
+    _el("select distinct(event_type) as event_type from events order by event_type"),
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+)
+
+_q(
+    "el_group_order_desc",
+    # global desc flag applies to the whole ORDER BY clause
+    # (reference al_parser.py:38,501-504)
+    _el(
+        "select event_type, user_id, count(*) as n, min(ts) as first_ts, "
+        "max(ts) as last_ts from events group by event_type, user_id "
+        "order by event_type, user_id desc"
+    ),
+    "SELECT event_type, user_id, count(*) AS n, min(ts) AS first_ts, "
+    "max(ts) AS last_ts FROM events GROUP BY event_type, user_id "
+    "ORDER BY event_type DESC, user_id DESC",
+)
+
+# =====================================================================
+# time-series dialect (SURVEY §2.5)
+# =====================================================================
+
+_q(
+    "el_increments_hour",
+    # date_trunc(parent) + extract(unit)/n integer division — the
+    # reference's exact bucket shape (unify_results.py:562-583), NOT
+    # epoch-snapped window()
+    _el(
+        "select increments(hour, 2, ts), count(*) as n, min(value) as mn, "
+        "max(value) as mx from events"
+    ),
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS increments_trunc, "
+    "CAST(CAST(extract(hour FROM ts) AS INTEGER) // 2 AS BIGINT) AS increments_extract, "
+    "count(*) AS n, min(value) AS mn, max(value) AS mx "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+)
+
+_q(
+    "el_increments_auto",
+    # auto planner: 30-day range / 200 points = 12960 s → (hour, 4)
+    # (reference unify_results.py:448-462)
+    _el(
+        "select increments(200, ts), count(*) as n from events "
+        "where ts >= '2024-01-01' and ts < '2024-01-31'"
+    ),
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS increments_trunc, "
+    "CAST(CAST(extract(hour FROM ts) AS INTEGER) // 4 AS BIGINT) AS increments_extract, "
+    "count(*) AS n FROM events "
+    "WHERE ts >= '2024-01-01' AND ts < '2024-01-31' GROUP BY 1, 2 ORDER BY 1, 2",
+)
+
+_PERIOD_ANCHOR = "(SELECT MAX(ts) FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')"
+_q(
+    "el_period",
+    # anchor = MAX(ts) ≤ date; rows in (anchor - n*unit, anchor]
+    # (reference unify_results.py:695-838)
+    _el(
+        "select count(*) as n, min(ts) as mn, max(ts) as mx from events "
+        "where period(day, 3, '2024-01-15 00:00:00', ts)"
+    ),
+    f"SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx FROM events "
+    f"WHERE ts > {_PERIOD_ANCHOR} - INTERVAL 3 DAY AND ts <= {_PERIOD_ANCHOR}",
+)
+
+_PERIOD_ANCHOR_F = (
+    "(SELECT MAX(ts) FROM events WHERE ts <= TIMESTAMP '2024-01-20 12:00:00' "
+    "AND event_type = 'error')"
+)
+_q(
+    "el_period_filter",
+    # 5th argument = filter, applied inside the anchor subquery AND the
+    # outer range (reference get_remote_query_period)
+    _el(
+        "select count(*) as n, max(value) as mx from events "
+        "where period(hour, 12, '2024-01-20 12:00:00', ts, and event_type = 'error')"
+    ),
+    f"SELECT count(*) AS n, max(value) AS mx FROM events "
+    f"WHERE ts > {_PERIOD_ANCHOR_F} - INTERVAL 12 HOUR AND ts <= {_PERIOD_ANCHOR_F} "
+    "AND event_type = 'error'",
+)
+
+_q(
+    "el_time_literals",
+    # timestamp('2024-01-10','+5 days','start of day') resolves at
+    # rewrite time (reference utils_columns.py:1488 function_to_time)
+    _el(
+        "select event_id, ts from events "
+        "where ts >= timestamp('2024-01-10', '+5 days', 'start of day') "
+        "and ts < '2024-01-16' order by event_id"
+    ),
+    "SELECT event_id, ts FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00' "
+    "ORDER BY event_id",
+)
+
+# =====================================================================
+# extend / include / per-column limit (SURVEY §2.3/§2.6)
+# =====================================================================
+
+_q(
+    "el_extend_include",
+    # include → UNION ALL; extend → identity cols leading the GROUP BY
+    # (reference member_cmd.py:5330-5470, unify_results.py:924-948)
+    _el(
+        "select event_type, count(*) as n from events group by event_type order by event_type",
+        extend=["@table_name as source_table"],
+        include=["events"],
+    ),
+    "SELECT source_table, event_type, count(*) AS n FROM ("
+    "  SELECT 'events' AS source_table, event_type FROM events"
+    "  UNION ALL SELECT 'events', event_type FROM events"
+    ") GROUP BY source_table, event_type ORDER BY source_table, event_type",
+)
+
+_q(
+    "el_per_column_limit",
+    # limit per column value (reference unify_results.py:1325-1329)
+    _el(
+        "select event_type, event_id, value from events order by event_id",
+        per_column="event_type",
+        limit=3,
+    ),
+    "SELECT event_type, event_id, value FROM ("
+    "  SELECT event_type, event_id, value, "
+    "  row_number() OVER (PARTITION BY event_type ORDER BY event_id, value) AS rn "
+    "  FROM events) WHERE rn <= 3",
+)
+
+_q(
+    "el_casting_str",
+    # ::casting chain, string/int members (presentation layer in the
+    # reference, utils_columns.py:1660; JVM column exprs here)
+    _el(
+        "select event_id, event_type::ljust(4) as et4, event_type::rjust(10) as et10, "
+        "value::int as vi, ts::datetime('%Y-%m-%d') as day_str "
+        "from events where event_id < 100 order by event_id"
+    ),
+    "SELECT event_id, "
+    "CASE WHEN length(event_type) >= 4 THEN event_type[1:4] "
+    "     ELSE rpad(event_type, 4, ' ') END AS et4, "
+    "CASE WHEN length(event_type) > 10 THEN event_type[-10:] "
+    "     ELSE lpad(event_type, 10, ' ') END AS et10, "
+    "CAST(trunc(value) AS BIGINT) AS vi, "
+    "strftime(ts, '%Y-%m-%d') AS day_str "
+    "FROM events WHERE event_id < 100 ORDER BY event_id",
+)
+
+_q(
+    "el_json_props",
+    # JSON attribute pulls — the relational face of the policy/`bring`
+    # layer (reference utils_json.py:533)
+    _el(
+        "select event_type, sum(cast(get_json_object(props, '$.k') as bigint)) as sum_k, "
+        "count(*) as n from events group by event_type order by event_type"
+    ),
+    "SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, "
+    "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+)
+
+# =====================================================================
+# standard SQL superset: joins, windows, scalar subqueries (SURVEY §2.3
+# note — the Spark rebuild supports real joins; TPC-H-ish gate queries)
+# =====================================================================
+
+_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  {dsum_qty} AS sum_qty,
+  {dsum_base} AS sum_base_price,
+  {dsum_disc} AS sum_disc_price,
+  {dsum_charge} AS sum_charge,
+  {dsum_qty} / count(*) AS avg_qty,
+  {dsum_base} / count(*) AS avg_price,
+  {dsum_discount} / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""".format(
+    dsum_qty=_dsum("l_quantity"),
+    dsum_base=_dsum("l_extendedprice"),
+    dsum_disc=_dsum("l_extendedprice * (1 - l_discount)"),
+    dsum_charge=_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+    dsum_discount=_dsum("l_discount"),
+)
+_q("tpch_q1", _sql(_TPCH_Q1), _TPCH_Q1)
+
+_TPCH_Q3 = f"""
+SELECT l_orderkey,
+  {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+_q("tpch_q3", _sql(_TPCH_Q3), _TPCH_Q3)
+
+_TPCH_Q5 = f"""
+SELECT n_name, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+"""
+_q("tpch_q5ish", _sql(_TPCH_Q5), _TPCH_Q5)
+
+_TOPK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 5
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+_q("topk_per_group", _sql(_TOPK), _TOPK)
+
+_SCALAR_SUB = f"""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 3.0 * (SELECT {_dsum('o_totalprice')} / count(*) FROM orders)
+ORDER BY o_orderkey
+"""
+_q("scalar_subquery", _sql(_SCALAR_SUB), _SCALAR_SUB)
+
+_ROWS_COUNT = """
+SELECT table_name, n_rows FROM (
+  SELECT 'events' AS table_name, count(*) AS n_rows FROM events
+  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+  UNION ALL SELECT 'orders', count(*) FROM orders
+  UNION ALL SELECT 'customer', count(*) FROM customer
+) ORDER BY table_name
+"""
+# `get rows count ... group = table` analog (reference member_cmd.py:16740)
+_q("rows_count", _sql(_ROWS_COUNT), _ROWS_COUNT)
+
+# =====================================================================
+# training-data operators: dedup / similarity / text (BASELINE.json
+# north star; beyond the reference's own surface)
+# =====================================================================
+
+_q(
+    "doc_exact_dedup",
+    _sql(
+        f"SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id "
+        f"FROM (SELECT doc_id, {tx.spark_fingerprint('text')} AS fp FROM documents) "
+        f"GROUP BY fp ORDER BY fp"
+    ),
+    f"SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id "
+    f"FROM (SELECT doc_id, {tx.duck_fingerprint('text')} AS fp FROM documents) "
+    f"GROUP BY fp ORDER BY fp",
+)
+
+
+def _band_unions(engine: str, source: str) -> str:
+    band = dd.spark_band_key if engine == "spark" else dd.duck_band_key
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band_id, {band('sig', k)} AS band_key FROM {source}"
+        for k in range(dd.BANDS)
+    )
+
+
+def _run_minhash_bands(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    sig = spark.sql(dd.spark_minhash_sig_sql("documents", "doc_id < 40"))
+    sig.createOrReplaceTempView("__mh_sig_b")
+    return spark.sql(
+        f"SELECT doc_id, CAST(band_id AS BIGINT) AS band_id, band_key "
+        f"FROM ({_band_unions('spark', '__mh_sig_b')}) ORDER BY doc_id, band_id"
+    )
+
+
+_q(
+    "doc_minhash_bands",
+    _run_minhash_bands,
+    f"WITH sig AS ({dd.duck_minhash_sig_sql('documents', 'doc_id < 40')}) "
+    f"SELECT doc_id, CAST(band_id AS BIGINT) AS band_id, band_key "
+    f"FROM ({_band_unions('duck', 'sig')}) ORDER BY doc_id, band_id",
+)
+
+
+_MH_EST_SPARK = (
+    f"CAST(size(filter(sequence(1, {dd.NUM_HASHES}), "
+    f"i -> element_at(a.sig, i) = element_at(b.sig, i))) AS DOUBLE) / {dd.NUM_HASHES}.0"
+)
+_MH_EST_DUCK = (
+    f"CAST(len(list_filter(range(1, {dd.NUM_HASHES + 1}), "
+    f"i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {dd.NUM_HASHES}.0"
+)
+
+_MH_PAIRS_BODY = """
+SELECT id1, id2, est_sim FROM (
+  SELECT c.id1, c.id2, {est} AS est_sim
+  FROM cand c JOIN {sig} a ON a.doc_id = c.id1 JOIN {sig} b ON b.doc_id = c.id2
+) WHERE est_sim >= 0.25
+ORDER BY id1, id2
+"""
+
+
+def _run_minhash_pairs(spark, sf_dir):
+    """LSH near-dup pairs. The signature table is materialized with
+    localCheckpoint(): Spark inlines (re-executes) CTEs per reference and
+    sig is referenced 6× here — checkpointing runs the map-side hashing
+    exactly once AND truncates the (very large) expression lineage, which
+    otherwise gets re-analyzed per reference (~seconds of fixed planner
+    cost). On a real cluster this would be a persisted staging table."""
+    register_sf_tables(spark, sf_dir)
+    sig = spark.sql(dd.spark_minhash_sig_sql("documents")).localCheckpoint()
+    sig.createOrReplaceTempView("__mh_sig")
+    spark.sql(
+        f"SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM "
+        f"({_band_unions('spark', '__mh_sig')}) x JOIN "
+        f"({_band_unions('spark', '__mh_sig')}) y "
+        f"ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id"
+    ).createOrReplaceTempView("cand")
+    return spark.sql(_MH_PAIRS_BODY.format(est=_MH_EST_SPARK, sig="__mh_sig"))
+
+
+_q(
+    "doc_minhash_pairs",
+    _run_minhash_pairs,
+    f"""
+WITH sig AS ({dd.duck_minhash_sig_sql('documents')}),
+bands AS ({_band_unions('duck', 'sig')}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+{_MH_PAIRS_BODY.format(est=_MH_EST_DUCK, sig='sig')}
+""",
+)
+
+_q(
+    "doc_simhash",
+    # explode + groupBy: codegen'd integer aggregation (the nested-HOF
+    # form is interpreted and ~6× slower)
+    _sql(f"SELECT * FROM ({dd.spark_simhash_sql('documents')}) ORDER BY doc_id"),
+    f"SELECT doc_id, {dd.duck_simhash_over('hs64')} AS simhash FROM "
+    f"(SELECT doc_id, {dd.duck_hs64_expr('text')} AS hs64 FROM documents) "
+    f"ORDER BY doc_id",
+)
+
+_NGRAM_PAIRS_BODY = """
+SELECT id1, id2, jac FROM (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, {jac} AS jac
+  FROM {g} a JOIN {g} b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE abs(a.n_chars - b.n_chars) <= 10
+) WHERE jac >= 0.5
+ORDER BY id1, id2
+"""
+
+
+def _run_ngram_pairs(spark, sf_dir):
+    """Blocked exact Jaccard verify. Blocking keys (lang, source,
+    n_chars±10) bound the candidate count; the gram arrays are cached so
+    both join sides reuse one computation."""
+    register_sf_tables(spark, sf_dir)
+    g = spark.sql(
+        f"SELECT doc_id, lang, source, n_chars, "
+        f"{dd.spark_char_ngrams_over('norm')} AS grams FROM "
+        f"(SELECT doc_id, lang, source, n_chars, {dd.spark_normalize('text')} AS norm "
+        f"FROM documents)"
+    ).localCheckpoint()
+    g.createOrReplaceTempView("__ng_g")
+    return spark.sql(
+        _NGRAM_PAIRS_BODY.format(jac=dd.spark_jaccard("a.grams", "b.grams"), g="__ng_g")
+    )
+
+
+_q(
+    "doc_ngram_jaccard",
+    _run_ngram_pairs,
+    f"""
+WITH g AS (SELECT doc_id, lang, source, n_chars, {dd.duck_char_ngrams('text')} AS grams
+           FROM documents)
+{_NGRAM_PAIRS_BODY.format(jac=dd.duck_jaccard('a.grams', 'b.grams'), g='g')}
+""",
+)
+
+_q(
+    "doc_lang_id",
+    _sql(
+        f"SELECT doc_id, lang, {tx.spark_language_id('text')} AS pred_lang "
+        f"FROM documents ORDER BY doc_id"
+    ),
+    f"SELECT doc_id, lang, {tx.duck_language_id('text')} AS pred_lang "
+    f"FROM documents ORDER BY doc_id",
+)
+
+
+def _quality_sql(engine: str) -> str:
+    parts = tx.spark_quality_parts("text") if engine == "spark" else tx.duck_quality_parts("text")
+    score = tx.spark_quality_score("text") if engine == "spark" else tx.duck_quality_score("text")
+    bpe = tx.spark_bpe_count("text") if engine == "spark" else tx.duck_bpe_count("text")
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in parts.items())
+    return (
+        f"SELECT doc_id, {cols}, {bpe} AS n_bpe_tokens, {score} AS quality "
+        f"FROM documents ORDER BY doc_id"
+    )
+
+
+_q("doc_quality", _sql(_quality_sql("spark")), _quality_sql("duck"))
+
+
+def _cosine_topk_sql(engine: str) -> str:
+    cos = (
+        sim.spark_cosine("q.embedding", "c.embedding")
+        if engine == "spark"
+        else sim.duck_cosine("q.embedding", "c.embedding")
+    )
+    return f"""
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim,
+    row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rn
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+) WHERE rn <= 5
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
+_q("emb_cosine_topk", _sql(_cosine_topk_sql("spark")), _cosine_topk_sql("duck"))
+
+
+def _ivf_topk_sql(engine: str) -> str:
+    """IVF: deterministic centroids (vec_id % stride == 0); assign each
+    vector to its nearest centroid; probe NPROBE centroids per query."""
+    def cos(a, b):
+        return sim.spark_cosine(a, b) if engine == "spark" else sim.duck_cosine(a, b)
+
+    stride, nprobe = sim.CENTROID_STRIDE, sim.NPROBE
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % {stride} = 0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos('e.embedding', 'c.cemb')} DESC, c.cid) AS rn
+    FROM embeddings e JOIN centroids c ON true
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {cos('q.embedding', 'c.cemb')} DESC, c.cid) AS rn
+    FROM embeddings q JOIN centroids c ON true WHERE q.vec_id < 5
+  ) WHERE rn <= {nprobe}
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+    {cos('q.embedding', 'e.embedding')} AS cos_sim,
+    row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY {cos('q.embedding', 'e.embedding')} DESC, e.vec_id) AS rn
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id != p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+) WHERE rn <= 5
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
+_q("emb_ivf_topk", _sql(_ivf_topk_sql("spark")), _ivf_topk_sql("duck"))
