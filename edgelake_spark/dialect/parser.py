@@ -90,7 +90,11 @@ def parse_select(sql: str) -> SelectIR:
         raise ParseError(f"not a SELECT statement: {text[:60]}")
     ir = SelectIR()
     body = text[6:].strip()
-    if re.match(r"distinct\b", body, re.IGNORECASE):
+    # `distinct(col)` is the per-column distinct FUNCTION in EdgeLake
+    # (unify_results.py:78-114), only bare `distinct ` is the keyword
+    if re.match(r"distinct\b", body, re.IGNORECASE) and not re.match(
+        r"distinct\s*\(", body, re.IGNORECASE
+    ):
         ir.distinct = True
         body = body[8:].strip()
 

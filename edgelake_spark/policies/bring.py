@@ -1,0 +1,189 @@
+"""PolicyStore: `blockchain get` + `bring` over JSON policy documents.
+
+Reference semantics:
+- a policy is ``{"<type>": {attrs...}}`` (one top-level key = its type)
+- ``blockchain get <type> where k = v and k2 = v2`` filters by type and
+  attribute equality; a value ending in ``*`` is a prefix match
+  (edge_lake/generic/utils_sql.py:2442 is_prefix_search)
+- ``bring[.variant]* [path][path2] "literal" ...`` projects attribute
+  paths out of the matching policies; variants combine results
+  (bit-flag table edge_lake/generic/utils_json.py:41-57; execution
+  :533-720): unique, first, recent/last, count, min, max, sort, json,
+  list, table; ``separator = <s>`` joins multi-policy output.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+_TOKEN_RE = re.compile(r"\[([^\]]*)\]|\"([^\"]*)\"|'([^']*)'")
+
+
+class PolicyStore:
+    def __init__(self, policies: list[dict] | None = None):
+        self.policies: list[dict] = list(policies or [])
+
+    # ------------------------------------------------------------ admin
+
+    def add(self, policy: dict) -> None:
+        self.policies.append(policy)
+
+    @classmethod
+    def from_json_lines(cls, text: str) -> "PolicyStore":
+        return cls([json.loads(line) for line in text.splitlines() if line.strip()])
+
+    # ------------------------------------------------------------ query
+
+    def blockchain_get(
+        self, policy_type: str = "*", where: dict | None = None, bring: str | None = None
+    ):
+        """Filter policies by type + attribute conditions, optionally
+        applying a bring projection. Returns list[dict] without bring,
+        else the bring result (string / list / int)."""
+        matches = []
+        for p in self.policies:
+            if policy_type != "*":
+                if policy_type not in p:
+                    continue
+                body = p[policy_type]
+            else:
+                body = p[next(iter(p))] if len(p) == 1 else p
+            if where and not self._match(body, where):
+                continue
+            matches.append(p)
+        if bring is None:
+            return matches
+        return self.run_bring(matches, bring, policy_type)
+
+    @staticmethod
+    def _match(body: dict, where: dict) -> bool:
+        for k, v in where.items():
+            actual = body.get(k)
+            if isinstance(v, str) and v.endswith("*"):
+                if not (isinstance(actual, str) and actual.startswith(v[:-1])):
+                    return False
+            elif actual != v:
+                return False
+        return True
+
+    # ------------------------------------------------------------ bring
+
+    def run_bring(self, policies: list[dict], instruction: str, policy_type: str = "*"):
+        """Evaluate a bring instruction against matching policies."""
+        instruction = instruction.strip()
+        m = re.match(r"bring((?:\.\w+)*)\s*(.*)", instruction, re.DOTALL)
+        if not m:
+            raise ValueError(f"not a bring instruction: {instruction}")
+        variants = {v for v in m.group(1).lower().split(".") if v}
+        spec = m.group(2).strip()
+
+        # separator condition at the tail: `separator = \n` style
+        separator = ""
+        sep_m = re.search(r"separator\s*=\s*(\S+)\s*$", spec)
+        if sep_m:
+            separator = {"\\n": "\n", "\\t": "\t"}.get(sep_m.group(1), sep_m.group(1).strip('"'))
+            spec = spec[: sep_m.start()].strip()
+
+        # bring paths address the FULL policy including its type key
+        # (reference: json_data entries are whole policies, e.g.
+        # `bring [table][name]` — utils_json.py:533 pull_info)
+        if "count" in variants and not spec:
+            return len(policies)
+        if "json" in variants and not spec:
+            return list(policies)
+        if ("first" in variants or "recent" in variants or "last" in variants) and not spec:
+            if not policies:
+                return []
+            return [policies[0]] if ("first" in variants or "recent" in variants) else [policies[-1]]
+
+        # project each policy through the pull spec (paths + literals)
+        projected: list[str] = []
+        for policy in policies:
+            value_str, ok = self._project(policy, spec)
+            if ok:
+                projected.append(value_str)
+
+        if "unique" in variants:
+            seen, uniq = set(), []
+            for v in projected:
+                if v not in seen:
+                    seen.add(v)
+                    uniq.append(v)
+            projected = uniq
+        if "sort" in variants:
+            projected = sorted(projected)
+        if "count" in variants:
+            return len(projected)
+        if "min" in variants:
+            return min(projected, key=_numkey) if projected else None
+        if "max" in variants:
+            return max(projected, key=_numkey) if projected else None
+        if "first" in variants:
+            return projected[0] if projected else None
+        if "recent" in variants or "last" in variants:
+            return projected[-1] if projected else None
+        if "list" in variants:
+            return projected
+        if "table" in variants:
+            return [v.split("\t") for v in projected]
+        return separator.join(projected) if separator else "".join(projected)
+
+    @staticmethod
+    def _project(body: dict, spec: str) -> tuple[str, bool]:
+        """One policy body through the pull spec: bracket-path runs pull
+        values, quoted strings are literals. '[a][b]' drills nested
+        dicts; a '[]' segment iterates a list (values joined)."""
+        out: list[str] = []
+        found_any = False
+        i = 0
+        while i < len(spec):
+            ch = spec[i]
+            if ch == "[":
+                # consume a full bracket run [a][b][]...
+                run = []
+                while i < len(spec) and spec[i] == "[":
+                    j = spec.index("]", i)
+                    run.append(spec[i + 1 : j])
+                    i = j + 1
+                val = _pull(body, run)
+                if val is not None:
+                    found_any = True
+                    out.append(val)
+            elif ch in "\"'":
+                j = spec.index(ch, i + 1)
+                out.append(spec[i + 1 : j])
+                i = j + 1
+            else:
+                i += 1
+        return "".join(out), found_any
+
+
+def _pull(obj, path: list[str]) -> str | None:
+    cur = obj
+    for idx, seg in enumerate(path):
+        if seg == "":
+            if not isinstance(cur, list):
+                return None
+            rest = path[idx + 1 :]
+            vals = [_pull(item, rest) if rest else _to_str(item) for item in cur]
+            vals = [v for v in vals if v is not None]
+            return " ".join(vals) if vals else None
+        if isinstance(cur, dict) and seg in cur:
+            cur = cur[seg]
+        else:
+            return None
+    return _to_str(cur)
+
+
+def _to_str(v) -> str:
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"))
+    return str(v)
+
+
+def _numkey(s: str):
+    try:
+        return (0, float(s))
+    except ValueError:
+        return (1, s)

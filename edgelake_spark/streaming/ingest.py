@@ -1,0 +1,105 @@
+"""Streaming ingest: micro-batched appends with time/volume thresholds,
+conditions, monitor wiring, and aggregation-ingest downsampling.
+
+Reference flow (edge_lake/generic/streaming_data.py): rows arrive via
+REST PUT / MQTT / Kafka, buffer per (dbms, table), flush every
+``max_time`` seconds (default 60) or ``max_volume`` bytes (default
+10 KB), then land in the operator's table. ``write_immediate`` bypasses
+buffering. Aggregation-ingest (:410-478, stubbed in the OSS build)
+downsamples the stream into ``agg_<dbms>.agg_<table>``.
+
+Spark mapping: a file/kafka streaming source micro-batched by
+``trigger(processingTime=...)`` IS the time threshold; source options
+(maxFilesPerTrigger / maxOffsetsPerTrigger) are the volume threshold.
+Each batch passes through streaming conditions and the data monitor in
+``foreachBatch``, then appends to the partitioned table. At cluster
+scale the same topology runs with a Kafka source and a Delta sink —
+nothing in this module assumes local mode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from edgelake_spark.streaming.conditions import StreamingCondition, apply_conditions
+from edgelake_spark.streaming.monitor import DataMonitor
+
+DEFAULT_MAX_TIME_SEC = 60  # reference streaming_data.py:28
+DEFAULT_MAX_VOLUME_BYTES = 10_000  # reference streaming_data.py:29
+
+
+@dataclass
+class StreamIngest:
+    """One table's ingest pipeline: source stream → conditions → monitor
+    → partitioned append."""
+
+    spark: SparkSession
+    source_dir: str
+    target_dir: str
+    schema: T.StructType
+    fmt: str = "json"
+    max_time_sec: int = DEFAULT_MAX_TIME_SEC
+    max_files_per_trigger: int = 16  # the volume threshold, in source units
+    conditions: list[StreamingCondition] = field(default_factory=list)
+    monitor: DataMonitor | None = None
+    write_immediate: bool = False  # reference: bypass buffering
+
+    def _handle_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        kept = apply_conditions(batch_df, self.conditions)
+        if self.monitor is not None:
+            self.monitor.process_batch(kept)
+        (
+            kept.withColumn("insert_timestamp", F.current_timestamp())
+            .write.mode("append")
+            .parquet(self.target_dir)
+        )
+
+    def start(self, query_name: str = "edgelake_ingest"):
+        reader = (
+            self.spark.readStream.format(self.fmt)
+            .schema(self.schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .load(self.source_dir)
+        )
+        trigger_sec = 0 if self.write_immediate else self.max_time_sec
+        writer = reader.writeStream.queryName(query_name).foreachBatch(self._handle_batch)
+        if trigger_sec:
+            writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
+        return writer.start()
+
+
+def aggregation_ingest(
+    stream_df: DataFrame,
+    time_col: str,
+    value_col: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Downsample a stream into per-window {min,max,sum,count,avg} — the
+    agg_<table> pipeline the OSS reference stubs out
+    (streaming_data.py:410-478, version.py:92-104). Event-time windows
+    with a watermark bound state; attach .writeStream to land it."""
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"))
+        .agg(
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.sum(value_col).alias("sum_value"),
+            F.count(value_col).alias("count_value"),
+            F.avg(value_col).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("interval_start"),
+            F.col("w.end").alias("interval_end"),
+            "min_value",
+            "max_value",
+            "sum_value",
+            "count_value",
+            "avg_value",
+        )
+    )

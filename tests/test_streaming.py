@@ -1,0 +1,142 @@
+"""Streaming semantics: conditions, data monitor ring, aggregation
+ingest, end-to-end micro-batched file ingest."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from edgelake_spark.streaming import (
+    DataMonitor,
+    StreamIngest,
+    StreamingCondition,
+    aggregation_ingest,
+    apply_conditions,
+)
+
+
+def test_condition_parse():
+    c = StreamingCondition.parse("if [value] > 10 then ignore entry")
+    assert (c.column, c.op, c.value, c.is_ignore) == ("value", ">", "10", True)
+    c2 = StreamingCondition.parse("if [status] == 'err' then send alert", limit=2)
+    assert c2.action == "send alert" and c2.limit == 2 and not c2.is_ignore
+
+
+def test_apply_conditions(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "ok"), (2, 15.0, "ok"), (3, 25.0, "err")], "id long, value double, status string"
+    )
+    ignore = StreamingCondition.parse("if [value] > 10 then ignore entry")
+    fired = []
+    alert = StreamingCondition.parse("if [status] == err then alert", limit=1)
+    out = apply_conditions(df, [ignore, alert], on_action=lambda c, n: fired.append(n))
+    assert [r.id for r in out.orderBy("id").collect()] == [1]
+    assert fired == [1]
+    # limit exhausted → no second firing
+    apply_conditions(df, [alert], on_action=lambda c, n: fired.append(n))
+    assert fired == [1]
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_data_monitor_ring_and_alerts():
+    clock = FakeClock()
+    mon = DataMonitor(value_column="v", intervals=3, interval_seconds=60, clock=clock)
+    mon.set_alert("min", "<", 2.0)
+    mon.add_values([5.0, 10.0])
+    mon.add_values([1.0])  # same interval; triggers min<2 alert
+    clock.t += 61  # next interval
+    mon.add_values([7.0])
+    snap = mon.snapshot()
+    assert len(snap) == 2
+    assert snap[0] == {"interval": 0, "min": 1.0, "max": 10.0, "sum": 16.0, "count": 3, "avg": 16.0 / 3}
+    assert snap[1]["min"] == 7.0 and snap[1]["interval"] == 1
+    assert len(mon.alert_log) >= 1
+    # ring wraps: after 3 more intervals the oldest is overwritten
+    for _ in range(3):
+        clock.t += 61
+        mon.add_values([2.0])
+    assert len(mon.snapshot()) == 3
+
+
+def test_data_monitor_from_batch(spark):
+    mon = DataMonitor(value_column="value", intervals=4, interval_seconds=3600)
+    df = spark.createDataFrame([(1.0,), (9.0,), (4.0,)], "value double")
+    mon.process_batch(df)
+    snap = mon.snapshot()
+    assert snap[0]["min"] == 1.0 and snap[0]["max"] == 9.0 and snap[0]["count"] == 3
+
+
+def test_aggregation_ingest_batch_semantics(spark, tmp_path):
+    # run the agg pipeline on a bounded stream via memory sink
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("value", T.DoubleType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:10.000", "value": 1.0},
+        {"ts": "2024-01-01T00:00:50.000", "value": 3.0},
+        {"ts": "2024-01-01T00:01:20.000", "value": 5.0},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    agg = aggregation_ingest(stream, "ts", "value", window="1 minute")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("agg_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.interval_start.isoformat(): (r.min_value, r.max_value, r.count_value)
+            for r in spark.sql("select * from agg_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got["2024-01-01T00:00:00"] == (1.0, 3.0, 2)
+    assert got["2024-01-01T00:01:00"] == (5.0, 5.0, 1)
+
+
+def test_stream_ingest_end_to_end(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("device", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    rows = [{"device": "d1", "value": 5.0}, {"device": "d2", "value": 50.0}]
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    mon = DataMonitor(value_column="value", intervals=2, interval_seconds=3600)
+    ingest = StreamIngest(
+        spark=spark,
+        source_dir=str(src),
+        target_dir=str(dst),
+        schema=schema,
+        conditions=[StreamingCondition.parse("if [value] > 10 then ignore entry")],
+        monitor=mon,
+        write_immediate=True,
+    )
+    q = ingest.start("test_ingest")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = spark.read.parquet(str(dst))
+    rows_out = landed.collect()
+    assert len(rows_out) == 1 and rows_out[0].device == "d1"
+    assert "insert_timestamp" in landed.columns
+    assert mon.snapshot()[0]["count"] == 1  # monitor sees post-condition rows
