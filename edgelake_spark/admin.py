@@ -1,0 +1,140 @@
+"""Admin/metadata command surface: create view, get rows count,
+get partitions, info table columns, suggest create.
+
+Reference: edge_lake/cmd/member_cmd.py — `create view` :21065-21079
+(column renaming via `using`, NULL padding via `not used`),
+`get rows count [where ... group = table]` :16740, `get partitions`
+(db_info.py:747-854), `info table ... columns` :21000, `suggest create`
+:21193 (via suggest_create_table.py).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from edgelake_spark.dialect.parser import split_top_level
+from edgelake_spark.ingest.infer import infer_schema
+from edgelake_spark.ingest.partitions import PARTITION_COL
+
+_SQL_TYPE_RE = re.compile(
+    r"\b(serial|timestamp|varchar|char\s*\(\d+\)|int|integer|bigint|float|double|"
+    r"decimal(?:\s*\(\d+(?:,\d+)?\))?|bool|boolean|date|time|uuid|cidr)\b(.*)$",
+    re.IGNORECASE,
+)
+
+_TYPE_TO_SPARK = {
+    "serial": "bigint",
+    "int": "int",
+    "integer": "int",
+    "bigint": "bigint",
+    "float": "double",
+    "double": "double",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "varchar": "string",
+    "uuid": "string",
+    "cidr": "string",
+    "time": "string",
+    "timestamp": "timestamp",
+    "date": "date",
+}
+
+
+def _spark_type(sql_type: str) -> str:
+    t = sql_type.strip().lower()
+    if t.startswith("char"):
+        return "string"
+    if t.startswith("decimal"):
+        return t
+    return _TYPE_TO_SPARK.get(t, "string")
+
+
+def parse_view_columns(spec: str) -> list[dict]:
+    """Parse the create-view column list. Each item is one of
+    ``col TYPE``, ``col using source TYPE``, ``col not used``
+    (reference member_cmd.py:21068 example)."""
+    out = []
+    for item in split_top_level(spec):
+        item = item.strip()
+        if not item:
+            continue
+        m = re.match(r"(\S+)\s+not\s+used$", item, re.IGNORECASE)
+        if m:
+            out.append({"name": m.group(1), "source": None, "type": "varchar"})
+            continue
+        m = re.match(r"(\S+)\s+using\s+(\S+)\s*(.*)$", item, re.IGNORECASE)
+        if m:
+            out.append(
+                {
+                    "name": m.group(1),
+                    "source": m.group(2),
+                    "type": m.group(3).strip() or "varchar",
+                }
+            )
+            continue
+        m = re.match(r"(\S+)\s*(.*)$", item)
+        name = m.group(1)
+        out.append({"name": name, "source": name, "type": m.group(2).strip() or "varchar"})
+    return out
+
+
+def create_view_sql(columns: list[dict], source_table: str) -> str:
+    """Spark SQL for the unifying view: renames via `using`, NULLs for
+    `not used` — how EdgeLake presents one schema over heterogeneous
+    tables (db_info.py:1432, unify_results.py:1050-1063)."""
+    items = []
+    for col in columns:
+        target = _spark_type(col["type"])
+        if col["source"] is None:
+            items.append(f"CAST(NULL AS {target}) AS {col['name']}")
+        else:
+            items.append(f"CAST({col['source']} AS {target}) AS {col['name']}")
+    return f"SELECT {', '.join(items)} FROM {source_table}"
+
+
+def rows_count(spark: SparkSession, tables: list[str]) -> DataFrame:
+    """`get rows count ... group = table` — one row per table."""
+    parts = [
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in tables
+    ]
+    return spark.sql(" UNION ALL ".join(parts) + " ORDER BY table_name")
+
+
+def get_partitions(path: str) -> list[str]:
+    """`get partitions` for a partitioned dataset — the bucket values
+    (the reference lists par_ tables, db_info.py:747-854)."""
+    return sorted(
+        d.name.split("=", 1)[1]
+        for d in Path(path).glob(f"{PARTITION_COL}=*")
+        if d.is_dir()
+    )
+
+
+def info_table_columns(spark: SparkSession, table: str) -> DataFrame:
+    """`info table <t> columns` — column name/type listing."""
+    df = spark.table(table)
+    rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    return spark.createDataFrame(rows, "column_name string, column_type string")
+
+
+def suggest_create(table_name: str, rows: list[dict], with_system_columns: bool = True) -> str:
+    """`suggest create` — CREATE TABLE DDL inferred from JSON rows,
+    system columns first (reference suggest_create_table.py:255
+    create_table_sql)."""
+    schema = infer_schema(rows)
+    lines = []
+    if with_system_columns:
+        lines += [
+            "\trow_id SERIAL PRIMARY KEY,",
+            "\tinsert_timestamp TIMESTAMP NOT NULL DEFAULT NOW(),",
+            "\ttsd_name CHAR(3),",
+            "\ttsd_id INT,",
+        ]
+    for col, el_type in schema.items():
+        suffix = " NOT NULL DEFAULT NOW()" if el_type in ("TIMESTAMP", "DATE", "TIME") else ""
+        lines.append(f"\t{col} {el_type}{suffix},")
+    body = "\n".join(lines).rstrip(",")
+    return f"CREATE TABLE IF NOT EXISTS {table_name}(\n{body}\n);"

@@ -1,0 +1,90 @@
+"""REST façade: the reference's HTTP surface on the Spark engine.
+
+- GET / with header ``command: sql <dbms> [options] "SELECT ..."`` →
+  run the query, return JSON (reference http_server.py:931-1010 +
+  native_api.exec_sql_stmt).
+- PUT / with headers ``dbms``/``table``/``mode=streaming|file`` and a
+  JSON body of rows → ingest: rows are type-inferred, gain system
+  columns, and append to the engine's table (reference
+  http_server.py:1844-1930 → streaming_data.add_data).
+
+A thin driver-side door into the cluster — query execution and ingest
+stay distributed; only command parsing and result rendering live here.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from edgelake_spark.engine import EdgeLakeEngine
+from edgelake_spark.ingest.infer import rows_to_dataframe
+
+
+class EdgeLakeRestServer:
+    def __init__(self, engine: EdgeLakeEngine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.ingested: dict[str, int] = {}
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def do_GET(self) -> None:
+                command = self.headers.get("command")
+                if not command:
+                    self._reply(400, {"error": "missing 'command' header"})
+                    return
+                try:
+                    if "format =" not in command and "format=" not in command:
+                        command = command.replace('"select', 'format = json "select', 1)
+                    result = outer.engine.run(command)
+                    body = result if isinstance(result, str) else result.toJSON().collect()
+                    self._reply(200, body, raw=isinstance(result, str))
+                except Exception as exc:  # surface engine errors as 400s
+                    self._reply(400, {"error": str(exc)[:500]})
+
+            def do_PUT(self) -> None:
+                dbms = self.headers.get("dbms", "")
+                table = self.headers.get("table", "")
+                if not table:
+                    self._reply(400, {"error": "missing 'table' header"})
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"[]")
+                rows = payload if isinstance(payload, list) else [payload]
+                df = rows_to_dataframe(outer.engine.spark, rows)
+                name = f"{dbms}.{table}" if dbms else table
+                view = f"__ingest_{table}"
+                if outer.engine.spark.catalog.tableExists(view):
+                    df = outer.engine.spark.table(view).unionByName(
+                        df, allowMissingColumns=True
+                    )
+                df.createOrReplaceTempView(view)
+                outer.engine.views[name] = view
+                outer.engine.views[table] = view
+                outer.ingested[name] = outer.ingested.get(name, 0) + len(rows)
+                self._reply(200, {"ingested": len(rows), "table": name})
+
+            def _reply(self, code: int, body, raw: bool = False) -> None:
+                data = (body if raw else json.dumps(body)).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_port
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "EdgeLakeRestServer":
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

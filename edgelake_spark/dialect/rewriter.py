@@ -364,7 +364,9 @@ def rewrite_select(
     # unify_results.py:1240-1286)
     leading = list(leading_cols or [])
     final_group = incr_group + [g for g in group_keys if g not in incr_group]
-    if final_group and leading:
+    if leading and (final_group or has_agg):
+        # extended cols group implicitly even when the user query has no
+        # GROUP BY — per-source aggregation is the point of extend
         final_group = leading + final_group
     if leading:
         select_items = leading + select_items

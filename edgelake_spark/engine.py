@@ -52,17 +52,30 @@ class EdgeLakeEngine:
             "port": 32048,
             "dbms_name": "",
         }
+        #: qualified name → Spark view name, for `create view` mappings
+        self.views: dict[str, str] = {}
         if sf_dir:
             catalog.register_sf_tables(spark, sf_dir)
+
+    def _resolve(self, name: str) -> str:
+        if name in self.views:
+            return self.views[name]
+        short = catalog.view_name(name)
+        return self.views.get(short, short)
 
     # ------------------------------------------------------------ public
 
     def run(self, command: str):
-        """Execute a full ``sql <dbms> [options] "SELECT ..."`` command.
+        """Execute an EdgeLake command: ``sql <dbms> [options]
+        "SELECT ..."`` or an admin command (`create view`,
+        `get rows count`, `info table ... columns`).
 
         Returns a DataFrame for format=dataframe (default), else a
         rendered string (json / json:list / table).
         """
+        admin_result = self._try_admin(command)
+        if admin_result is not None:
+            return admin_result
         cmd = parse_sql_command(command)
         df = self._execute(cmd)
         if cmd.options.get("table"):
@@ -78,11 +91,51 @@ class EdgeLakeEngine:
         cmd = SqlCommand(dbms=options.pop("dbms", ""), options=options, statement=statement)
         return self._execute(cmd)
 
+    # ------------------------------------------------------------ admin
+
+    def _try_admin(self, command: str):
+        """Dispatch admin commands; None if `command` is a sql command.
+        (Reference command tree: member_cmd.py:21051-21090, 16740.)"""
+        import re as _re
+
+        from edgelake_spark import admin
+
+        text = command.strip()
+        m = _re.match(r"create\s+view\s+(\S+)\s*\((.*)\)\s*$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            qualified, spec = m.group(1), m.group(2)
+            source = catalog.view_name(qualified)
+            columns = admin.parse_view_columns(spec)
+            view_name = f"__el_view_{len(self.views)}"
+            self.spark.sql(admin.create_view_sql(columns, source)).createOrReplaceTempView(
+                view_name
+            )
+            self.views[qualified] = view_name
+            return self.spark.table(view_name)
+        m = _re.match(r"get\s+rows\s+count(\s+where\s+(.*))?$", text, _re.IGNORECASE)
+        if m:
+            tables = None
+            if m.group(2):
+                tm = _re.search(r"table\s*=\s*(\S+)", m.group(2))
+                if tm:
+                    tables = [self._resolve(tm.group(1))]
+            if tables is None:
+                tables = [t for t in catalog.TESTDATA_TABLES if self.spark.catalog.tableExists(t)]
+            from edgelake_spark.admin import rows_count
+
+            return rows_count(self.spark, tables)
+        m = _re.match(r"info\s+table\s+(\S+)\s+(\S+)\s+columns$", text, _re.IGNORECASE)
+        if m:
+            from edgelake_spark.admin import info_table_columns
+
+            return info_table_columns(self.spark, self._resolve(m.group(2)))
+        return None
+
     # ----------------------------------------------------------- internal
 
     def _execute(self, cmd: SqlCommand) -> DataFrame:
         leading_cols: list[str] = []
-        resolver = lambda name: catalog.view_name(name)  # noqa: E731
+        resolver = self._resolve
 
         if cmd.include or cmd.extend:
             union_view, leading_cols = self._build_union_view(cmd)
@@ -126,8 +179,8 @@ class EdgeLakeEngine:
         """
         from edgelake_spark.dialect.parser import parse_select
 
-        primary = catalog.view_name(parse_select(cmd.statement).table)
-        tables = [primary] + [catalog.view_name(t) for t in cmd.include]
+        primary = self._resolve(parse_select(cmd.statement).table)
+        tables = [primary] + [self._resolve(t) for t in cmd.include]
 
         extend_specs = []  # (source_kind, alias)
         for spec in cmd.extend:

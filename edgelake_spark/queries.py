@@ -586,3 +586,153 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 
 
 _q("emb_ivf_topk", _sql(_ivf_topk_sql("spark")), _ivf_topk_sql("duck"))
+
+# =====================================================================
+# round-1 widening: mixed-schema include, views, sessionization,
+# pivot-style, partition-pruning scans, embedding near-dup, castings
+# =====================================================================
+
+_q(
+    "el_include_mixed_schema",
+    # include across DIFFERENT schemas: missing columns NULL-padded
+    # (reference get_adjusted_projection, member_cmd.py:5413); extend
+    # cols group implicitly
+    _el(
+        "select count(*) as n, count(value) as n_events, "
+        "count(o_totalprice) as n_orders from events",
+        extend=["@table_name as source_table"],
+        include=["orders"],
+    ),
+    "SELECT source_table, count(*) AS n, count(value) AS n_events, "
+    "count(o_totalprice) AS n_orders FROM ("
+    "  SELECT 'events' AS source_table, value, CAST(NULL AS DOUBLE) AS o_totalprice FROM events"
+    "  UNION ALL SELECT 'orders', CAST(NULL AS DOUBLE), o_totalprice FROM orders"
+    ") GROUP BY source_table ORDER BY source_table",
+)
+
+
+def _run_view_query(spark, sf_dir):
+    """create view (rename via `using`, NULL via `not used`) + query it
+    (reference member_cmd.py:21065-21079)."""
+    eng = EdgeLakeEngine(spark, sf_dir, now=FIXED_NOW)
+    eng.run(
+        "create view vdb.events ("
+        " device using event_type varchar,"
+        " reading using value float,"
+        " webid not used,"
+        " ts timestamp )"
+    )
+    return eng.query(
+        "select device, count(*) as n, min(reading) as mn, count(webid) as n_webid "
+        "from vdb.events group by device order by device"
+    )
+
+
+_q(
+    "el_view_query",
+    _run_view_query,
+    "SELECT event_type AS device, count(*) AS n, min(value) AS mn, "
+    "CAST(0 AS BIGINT) AS n_webid FROM events GROUP BY event_type ORDER BY device",
+)
+
+_q(
+    "el_increments_grouped",
+    # increments + user GROUP BY key: bucket keys lead, then user keys
+    _el(
+        "select increments(day, 1, ts), event_type, count(*) as n, "
+        "max(value) as mx from events group by event_type"
+    ),
+    "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS increments_trunc, "
+    "CAST(CAST(extract(day FROM ts) AS INTEGER) // 1 AS BIGINT) AS increments_extract, "
+    "event_type, count(*) AS n, max(value) AS mx FROM events "
+    "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+)
+
+_q(
+    "el_casting_replace",
+    # ::replace swaps the FIRST occurrence (reference cast_by_replace
+    # uses str.replace(a, b, 1)); ::str and chained ::rstrip
+    _el(
+        "select event_id, event_type::replace(ck by xx) as et, "
+        "user_id::str::rjust(4) as uid from events where event_id < 50 order by event_id"
+    ),
+    "SELECT event_id, regexp_replace(event_type, 'ck', 'xx') AS et, "
+    "CASE WHEN length(CAST(user_id AS VARCHAR)) > 4 THEN (CAST(user_id AS VARCHAR))[-4:] "
+    "ELSE lpad(CAST(user_id AS VARCHAR), 4, ' ') END AS uid "
+    "FROM events WHERE event_id < 50 ORDER BY event_id",
+)
+
+_SESSIONIZE = """
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end
+FROM (
+  SELECT user_id, ts, event_id,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+      CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+           THEN 1 ELSE 0 END AS is_new
+    FROM (
+      SELECT user_id, ts, event_id,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+  )
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+# sessionization: gap>30min lag/cumsum — standard-SQL superset operator
+_q("events_sessionize", _sql(_SESSIONIZE), _SESSIONIZE)
+
+_PIVOT = """
+SELECT user_id,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+  count(*) AS n
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+_q("events_pivot", _sql(_PIVOT), _PIVOT)
+
+_PRUNING = f"""
+SELECT l_returnflag, {_dsum('l_extendedprice')} AS sum_price, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+# time-range scan: the filter reaches the parquet scan as PushedFilters
+# (asserted in tests/test_plans.py) — the partition-pruning contract
+_q("lineitem_time_scan", _sql(_PRUNING), _PRUNING)
+
+_UNION_DISTINCT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+# set op (UNION dedup) — beyond the reference's include-only surface
+_q("events_union_distinct", _sql(_UNION_DISTINCT), _UNION_DISTINCT)
+
+
+def _near_dup_sql(engine: str) -> str:
+    cos = (
+        sim.spark_cosine("a.embedding", "b.embedding")
+        if engine == "spark"
+        else sim.duck_cosine("a.embedding", "b.embedding")
+    )
+    return f"""
+SELECT id1, id2, cos_sim FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, {cos} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND b.vec_id - a.vec_id BETWEEN 1 AND 50
+) WHERE cos_sim >= 0.2
+ORDER BY id1, id2
+"""
+
+
+# embedding-cosine near-dup, blocked by (label, id-window) — the exact
+# verifier shape; at scale the block key comes from LSH/IVF buckets
+_q("emb_near_dup", _sql(_near_dup_sql("spark")), _near_dup_sql("duck"))

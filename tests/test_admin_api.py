@@ -1,0 +1,144 @@
+"""Admin commands (views, rows count, info table, suggest create) and
+the REST/Grafana façades."""
+
+import json
+import urllib.request
+
+import pytest
+
+from edgelake_spark.admin import suggest_create
+from edgelake_spark.api import grafana_to_sql
+from edgelake_spark.engine import EdgeLakeEngine
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from datetime import datetime
+
+    return EdgeLakeEngine(spark, SF_DIR, now=datetime(2024, 2, 1))
+
+
+def test_create_view_rename_and_not_used(engine):
+    # a view unifies schemas over the SAME-named table (here: events)
+    engine.run(
+        "create view viewdb.events ("
+        "  device using event_type varchar,"
+        "  reading using value float,"
+        "  webid not used,"
+        "  ts timestamp )"
+    )
+    df = engine.run('sql viewdb "select device, reading, webid, ts from viewdb.events order by ts limit 3"')
+    rows = df.collect()
+    assert df.columns == ["device", "reading", "webid", "ts"]
+    assert rows[0].webid is None
+    assert isinstance(rows[0].reading, float)
+    assert rows[0].device in ("click", "view", "signup", "purchase", "error")
+
+
+def test_get_rows_count(engine):
+    df = engine.run("get rows count where dbms = d and table = events")
+    rows = df.collect()
+    assert rows[0].table_name == "events" and rows[0].n_rows == 1000
+    all_counts = {r.table_name: r.n_rows for r in engine.run("get rows count").collect()}
+    assert all_counts["region"] == 5 and all_counts["lineitem"] == 6000
+
+
+def test_info_table_columns(engine):
+    cols = {r.column_name: r.column_type for r in engine.run("info table d events columns").collect()}
+    assert cols["ts"] == "timestamp" and cols["value"] == "double"
+
+
+def test_suggest_create_ddl():
+    ddl = suggest_create(
+        "lsl.ping_sensor",
+        [
+            {"timestamp": "2024-01-01T10:00:00.0Z", "device_name": "adva", "value": 1.5},
+            {"timestamp": "2024-01-01T10:00:10.0Z", "device_name": "adva", "value": 2},
+        ],
+    )
+    assert "row_id SERIAL PRIMARY KEY" in ddl
+    assert "timestamp TIMESTAMP NOT NULL DEFAULT NOW()" in ddl
+    assert "device_name CHAR(4)" in ddl
+    assert "value DECIMAL" in ddl  # DECIMAL ∨ INT → DECIMAL per the lattice
+
+
+def test_grafana_increments_sql():
+    sql = grafana_to_sql(
+        {
+            "table": "ping_sensor",
+            "time_column": "ts",
+            "value_column": "value",
+            "request_type": "increments",
+            "interval_unit": "minute",
+            "interval_time": 5,
+            "functions": ["min", "max", "avg"],
+            "start": "2024-01-01 00:00:00",
+            "end": "2024-01-02 00:00:00",
+        }
+    )
+    assert sql == (
+        "select increments(minute, 5, ts), max(ts) as last_ts, min(value) as min_value, "
+        "max(value) as max_value, avg(value) as avg_value from ping_sensor "
+        "where ts >= '2024-01-01 00:00:00' and ts < '2024-01-02 00:00:00'"
+    )
+
+
+def test_grafana_period_and_validation(engine):
+    sql = grafana_to_sql(
+        {
+            "table": "events",
+            "time_column": "ts",
+            "value_column": "value",
+            "request_type": "period",
+            "interval_unit": "hour",
+            "interval_time": 6,
+            "end": "2024-01-15 00:00:00",
+        }
+    )
+    assert "period(hour, 6, '2024-01-15 00:00:00', ts)" in sql
+    # the emitted SQL actually runs through the engine
+    assert engine.run(f'sql d "{sql}"').count() > 0
+    with pytest.raises(ValueError):
+        grafana_to_sql({"table": "t", "functions": ["median"]})
+
+
+def test_rest_server_query_and_ingest(engine):
+    from edgelake_spark.api import EdgeLakeRestServer
+
+    server = EdgeLakeRestServer(engine).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}/"
+        req = urllib.request.Request(
+            base,
+            headers={
+                "command": 'sql d format = json:list "select event_id from events order by event_id limit 2"',
+                "User-Agent": "AnyLog/1.23",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            body = json.loads(resp.read())
+        assert body == [{"event_id": 0}, {"event_id": 1}]
+
+        rows = [
+            {"timestamp": "2024-01-01T00:00:00.0Z", "value": 1.5},
+            {"timestamp": "2024-01-01T00:01:00.0Z", "value": 2.5},
+        ]
+        put = urllib.request.Request(
+            base,
+            data=json.dumps(rows).encode(),
+            method="PUT",
+            headers={"dbms": "iot", "table": "readings", "mode": "streaming"},
+        )
+        with urllib.request.urlopen(put) as resp:
+            assert json.loads(resp.read())["ingested"] == 2
+        df = engine.run('sql iot "select count(*) as n from iot.readings"')
+        assert df.collect()[0].n == 2
+
+        # probe: bad command → 400 with an error body, server stays up
+        bad = urllib.request.Request(base, headers={"command": 'sql d "select * from missing_t"'})
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad)
+        assert exc_info.value.code == 400
+    finally:
+        server.stop()
