@@ -18,12 +18,16 @@ BENCH_QUERIES = [
     "el_increments_hour",
     "el_period",
     "el_json_props",
-    # joins / windows
+    "el_include_mixed_schema",
+    # joins / windows / scans
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
     "topk_per_group",
     "scalar_subquery",
+    "lineitem_time_scan",
+    "events_sessionize",
+    "events_pivot",
     # training-data ops
     "doc_exact_dedup",
     "doc_minhash_pairs",
@@ -32,6 +36,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "emb_cosine_topk",
     "emb_ivf_topk",
+    "emb_near_dup",
 ]
 
 
@@ -44,9 +49,15 @@ def main() -> None:
 
     spark = get_spark(app_name="edgelake-bench", cpus=cpus)
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the plans, not first-touch JIT
-    SPARK_QUERIES["rows_count"](spark, sf_dir).collect()
+    # warm the JVM, parquet footers, and the codegen paths (HOF
+    # pipelines + window/cosine exprs) so per-query numbers measure the
+    # plans, not first-touch JIT/janino compilation
+    warm_dir = "/root/testdata/sf0.001"
+    for warm in ("rows_count", "doc_quality", "emb_cosine_topk", "doc_simhash"):
+        try:
+            SPARK_QUERIES[warm](spark, warm_dir).collect()
+        except Exception as exc:
+            print(f"# warmup {warm} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -133,7 +133,39 @@ class EdgeLakeEngine:
 
     # ----------------------------------------------------------- internal
 
+    _LEADING_RE = None  # compiled lazily
+
+    def _substitute_leading_queries(self, statement: str) -> str:
+        """``{<select ...> (<col>)}`` in WHERE: run the inner query
+        first, substitute its scalar result as a literal — the
+        reference's exact design (utils_sql.py:900-933
+        get_leading_queries, job/leading_query.py), which also keeps
+        plans cacheable because the outer query sees a constant."""
+        import re as _re
+
+        if EdgeLakeEngine._LEADING_RE is None:
+            EdgeLakeEngine._LEADING_RE = _re.compile(
+                r"\{\s*(select\b[^{}]*?)\((\w+)\)\s*\}", _re.IGNORECASE | _re.DOTALL
+            )
+
+        def _run(m: _re.Match) -> str:
+            inner, _column = m.group(1).strip(), m.group(2)
+            row = self.query(inner).collect()
+            if not row or row[0][0] is None:
+                return "NULL"
+            value = row[0][0]
+            if isinstance(value, (int, float)):
+                return str(value)
+            return f"'{value}'"
+
+        return EdgeLakeEngine._LEADING_RE.sub(_run, statement)
+
     def _execute(self, cmd: SqlCommand) -> DataFrame:
+        if "{" in cmd.statement:
+            cmd.statement = self._substitute_leading_queries(cmd.statement)
+        dml = self._try_dml(cmd.statement)
+        if dml is not None:
+            return dml
         leading_cols: list[str] = []
         resolver = self._resolve
 
@@ -166,6 +198,75 @@ class EdgeLakeEngine:
         df = apply_castings(df, rewritten.castings)
         df = self._apply_timezone(df, cmd.timezone)
         return df
+
+    # -------------------------------------------------------------- DML
+
+    def _managed_snapshot(self, table: str) -> str:
+        """Copy-on-first-write: DML targets an engine-managed view; the
+        first write snapshots the underlying table (the reference's DML
+        runs on the operator's local DB — member_cmd.py:159-165
+        sql_commands accepts insert/update/delete)."""
+        resolved = self._resolve(table)
+        managed = f"__dml_{catalog.view_name(table)}"
+        if resolved != managed:
+            if self.spark.catalog.tableExists(resolved):
+                self.spark.table(resolved).createOrReplaceTempView(managed)
+            self.views[table] = managed
+            self.views[catalog.view_name(table)] = managed
+        return managed
+
+    def _try_dml(self, statement: str):
+        import re as _re
+
+        text = statement.strip().rstrip(";")
+        m = _re.match(
+            r"insert\s+into\s+(\S+)\s*\(([^)]*)\)\s*values\s*\((.*)\)\s*$",
+            text,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from edgelake_spark.dialect.parser import split_top_level
+
+            table, cols, values = m.group(1), m.group(2), m.group(3)
+            view = self._managed_snapshot(table)
+            col_names = [c.strip() for c in cols.split(",")]
+            exprs = ", ".join(
+                f"{v.strip()} AS {c}" for c, v in zip(col_names, split_top_level(values))
+            )
+            row = self.spark.sql(f"SELECT {exprs}")
+            if self.spark.catalog.tableExists(view):
+                row = self.spark.table(view).unionByName(row, allowMissingColumns=True)
+            row.createOrReplaceTempView(view)
+            return self.spark.table(view)
+        m = _re.match(r"delete\s+from\s+(\S+)(?:\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            table, cond = m.group(1), m.group(2)
+            view = self._managed_snapshot(table)
+            df = self.spark.table(view)
+            kept = df.filter(f"NOT ({cond})") if cond else df.limit(0)
+            kept.createOrReplaceTempView(view)
+            return self.spark.table(view)
+        m = _re.match(
+            r"update\s+(\S+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            from edgelake_spark.dialect.parser import split_top_level
+
+            table, sets, cond = m.group(1), m.group(2), m.group(3)
+            view = self._managed_snapshot(table)
+            df = self.spark.table(view)
+            for assignment in split_top_level(sets):
+                col, _, expr = assignment.partition("=")
+                col, expr = col.strip(), expr.strip()
+                if cond:
+                    df = df.withColumn(
+                        col, F.when(F.expr(cond), F.expr(expr)).otherwise(F.col(col))
+                    )
+                else:
+                    df = df.withColumn(col, F.expr(expr))
+            df.createOrReplaceTempView(view)
+            return self.spark.table(view)
+        return None
 
     def _build_union_view(self, cmd: SqlCommand) -> tuple[str, list[str]]:
         """include=(dbms.table,...) → UNION ALL with NULL padding;

@@ -34,3 +34,49 @@ def duck_cosine(a: str, b: str) -> str:
     na = f"sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in {a}]))"
     nb = f"sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in {b}]))"
     return f"({dot} / ({na} * {nb}))"
+
+
+# --- staged variant: cast + norm computed ONCE per vector -------------
+#
+# Spark's higher-order functions are interpreted; recomputing the
+# double-cast and the norm inside every candidate pair multiplies the
+# per-pair cost ~5×. Staging (demb, norm) as columns first keeps the
+# exact same IEEE operation sequence (so oracle parity holds) while the
+# per-pair work drops to one zip_with+aggregate. At cluster scale this
+# is also the right layout: norms live with the vectors, computed once
+# at ingest.
+
+
+def spark_norm_stage_sql(table: str, extra_cols: str = "label") -> str:
+    demb = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    return (
+        f"SELECT vec_id, {extra_cols}, {demb} AS demb, "
+        f"sqrt(aggregate({demb}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS norm "
+        f"FROM {table}"
+    )
+
+
+def duck_norm_stage_sql(table: str, extra_cols: str = "label") -> str:
+    demb = "[x::DOUBLE for x in embedding]"
+    return (
+        f"SELECT vec_id, {extra_cols}, {demb} AS demb, "
+        f"sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS norm "
+        f"FROM {table}"
+    )
+
+
+def spark_cosine_staged(a: str, b: str) -> str:
+    """Cosine over two pre-staged (demb, norm) rows, e.g. a='a', b='b'."""
+    dot = (
+        f"aggregate(zip_with({a}.demb, {b}.demb, (x, y) -> x * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return f"({dot} / ({a}.norm * {b}.norm))"
+
+
+def duck_cosine_staged(a: str, b: str) -> str:
+    dot = (
+        f"list_sum([({a}.demb)[i] * ({b}.demb)[i] "
+        f"for i in range(1, len({a}.demb) + 1)])"
+    )
+    return f"({dot} / ({a}.norm * {b}.norm))"

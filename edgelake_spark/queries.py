@@ -41,12 +41,29 @@ def _el(stmt: str, **opts):
     return run
 
 
-def _sql(sql: str):
+def _sql(sql: str, rep: tuple[str, ...] = ()):
+    """Plain-SQL runner. ``rep`` lists tables to re-expose as
+    ``<name>_rep`` views repartitioned across the cluster first: the
+    testdata parquet files are single-row-group, so Spark gives them ONE
+    input split — any CPU-heavy per-row pipeline (hashing, shingling,
+    cosine) would run on one core. An explicit repartition before heavy
+    map work is the same move you'd make at scale after a skewed or
+    small-file scan; the shuffle moves KBs and buys full parallelism."""
+
     def run(spark, sf_dir):
         register_sf_tables(spark, sf_dir)
+        for t in rep:
+            _rep_view(spark, t)
         return spark.sql(sql)
 
     return run
+
+
+def _rep_view(spark, table: str) -> str:
+    n = spark.sparkContext.defaultParallelism
+    view = f"{table}_rep"
+    spark.table(table).repartition(n).createOrReplaceTempView(view)
+    return view
 
 
 SPARK_QUERIES = {}
@@ -364,8 +381,9 @@ _q(
     "doc_exact_dedup",
     _sql(
         f"SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id "
-        f"FROM (SELECT doc_id, {tx.spark_fingerprint('text')} AS fp FROM documents) "
-        f"GROUP BY fp ORDER BY fp"
+        f"FROM (SELECT doc_id, {tx.spark_fingerprint('text')} AS fp FROM documents_rep) "
+        f"GROUP BY fp ORDER BY fp",
+        rep=("documents",),
     ),
     f"SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id "
     f"FROM (SELECT doc_id, {tx.duck_fingerprint('text')} AS fp FROM documents) "
@@ -426,7 +444,8 @@ def _run_minhash_pairs(spark, sf_dir):
     otherwise gets re-analyzed per reference (~seconds of fixed planner
     cost). On a real cluster this would be a persisted staging table."""
     register_sf_tables(spark, sf_dir)
-    sig = spark.sql(dd.spark_minhash_sig_sql("documents")).localCheckpoint()
+    _rep_view(spark, "documents")
+    sig = spark.sql(dd.spark_minhash_sig_sql("documents_rep")).localCheckpoint()
     sig.createOrReplaceTempView("__mh_sig")
     spark.sql(
         f"SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM "
@@ -456,7 +475,10 @@ _q(
     "doc_simhash",
     # explode + groupBy: codegen'd integer aggregation (the nested-HOF
     # form is interpreted and ~6× slower)
-    _sql(f"SELECT * FROM ({dd.spark_simhash_sql('documents')}) ORDER BY doc_id"),
+    _sql(
+        f"SELECT * FROM ({dd.spark_simhash_sql('documents_rep')}) ORDER BY doc_id",
+        rep=("documents",),
+    ),
     f"SELECT doc_id, {dd.duck_simhash_over('hs64')} AS simhash FROM "
     f"(SELECT doc_id, {dd.duck_hs64_expr('text')} AS hs64 FROM documents) "
     f"ORDER BY doc_id",
@@ -478,11 +500,12 @@ def _run_ngram_pairs(spark, sf_dir):
     n_chars±10) bound the candidate count; the gram arrays are cached so
     both join sides reuse one computation."""
     register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
     g = spark.sql(
         f"SELECT doc_id, lang, source, n_chars, "
         f"{dd.spark_char_ngrams_over('norm')} AS grams FROM "
         f"(SELECT doc_id, lang, source, n_chars, {dd.spark_normalize('text')} AS norm "
-        f"FROM documents)"
+        f"FROM documents_rep)"
     ).localCheckpoint()
     g.createOrReplaceTempView("__ng_g")
     return spark.sql(
@@ -504,7 +527,8 @@ _q(
     "doc_lang_id",
     _sql(
         f"SELECT doc_id, lang, {tx.spark_language_id('text')} AS pred_lang "
-        f"FROM documents ORDER BY doc_id"
+        f"FROM documents_rep ORDER BY doc_id",
+        rep=("documents",),
     ),
     f"SELECT doc_id, lang, {tx.duck_language_id('text')} AS pred_lang "
     f"FROM documents ORDER BY doc_id",
@@ -522,70 +546,107 @@ def _quality_sql(engine: str) -> str:
     )
 
 
-_q("doc_quality", _sql(_quality_sql("spark")), _quality_sql("duck"))
+_q(
+    "doc_quality",
+    _sql(_quality_sql("spark").replace("FROM documents", "FROM documents_rep"), rep=("documents",)),
+    _quality_sql("duck"),
+)
 
 
-def _cosine_topk_sql(engine: str) -> str:
-    cos = (
-        sim.spark_cosine("q.embedding", "c.embedding")
-        if engine == "spark"
-        else sim.duck_cosine("q.embedding", "c.embedding")
-    )
-    return f"""
+_COS_TOPK_BODY = """
 SELECT query_id, neighbor_id, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim,
     row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rn
-  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+  FROM {n} q JOIN {n} c ON q.vec_id < 5 AND c.vec_id != q.vec_id
 ) WHERE rn <= 5
 ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
 
-_q("emb_cosine_topk", _sql(_cosine_topk_sql("spark")), _cosine_topk_sql("duck"))
+def _emb_norm_view(spark) -> str:
+    """Stage (double-cast embedding, norm) once — cosine per pair then
+    costs one zip_with+aggregate instead of five interpreted passes."""
+    view = "__emb_n"
+    spark.sql(
+        sim.spark_norm_stage_sql("embeddings_rep")
+    ).localCheckpoint().createOrReplaceTempView(view)
+    return view
 
 
-def _ivf_topk_sql(engine: str) -> str:
+def _run_cosine_topk(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    n = _emb_norm_view(spark)
+    return spark.sql(_COS_TOPK_BODY.format(cos=sim.spark_cosine_staged("q", "c"), n=n))
+
+
+_q(
+    "emb_cosine_topk",
+    _run_cosine_topk,
+    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}) "
+    + _COS_TOPK_BODY.format(cos=sim.duck_cosine_staged("q", "c"), n="n"),
+)
+
+
+def _ivf_body(engine: str, n: str) -> str:
     """IVF: deterministic centroids (vec_id % stride == 0); assign each
-    vector to its nearest centroid; probe NPROBE centroids per query."""
+    vector to its nearest centroid; probe NPROBE centroids per query.
+    All cosines run over the staged (demb, norm) table ``n``."""
     def cos(a, b):
-        return sim.spark_cosine(a, b) if engine == "spark" else sim.duck_cosine(a, b)
+        return (
+            sim.spark_cosine_staged(a, b)
+            if engine == "spark"
+            else sim.duck_cosine_staged(a, b)
+        )
 
     stride, nprobe = sim.CENTROID_STRIDE, sim.NPROBE
+    # emitted WITHOUT a leading WITH so callers can prepend their own CTEs
     return f"""
-WITH centroids AS (
-  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % {stride} = 0
+centroids AS (
+  SELECT vec_id AS cid, demb, norm FROM {n} WHERE vec_id % {stride} = 0
 ),
 assign AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY {cos('e.embedding', 'c.cemb')} DESC, c.cid) AS rn
-    FROM embeddings e JOIN centroids c ON true
+                         ORDER BY {cos('e', 'c')} DESC, c.cid) AS rn
+    FROM {n} e JOIN centroids c ON true
   ) WHERE rn = 1
 ),
 probes AS (
   SELECT query_id, cid FROM (
     SELECT q.vec_id AS query_id, c.cid,
       row_number() OVER (PARTITION BY q.vec_id
-                         ORDER BY {cos('q.embedding', 'c.cemb')} DESC, c.cid) AS rn
-    FROM embeddings q JOIN centroids c ON true WHERE q.vec_id < 5
+                         ORDER BY {cos('q', 'c')} DESC, c.cid) AS rn
+    FROM {n} q JOIN centroids c ON true WHERE q.vec_id < 5
   ) WHERE rn <= {nprobe}
 )
 SELECT query_id, neighbor_id, cos_sim FROM (
   SELECT p.query_id, e.vec_id AS neighbor_id,
-    {cos('q.embedding', 'e.embedding')} AS cos_sim,
+    {cos('q', 'e')} AS cos_sim,
     row_number() OVER (PARTITION BY p.query_id
-                       ORDER BY {cos('q.embedding', 'e.embedding')} DESC, e.vec_id) AS rn
+                       ORDER BY {cos('q', 'e')} DESC, e.vec_id) AS rn
   FROM probes p
   JOIN assign a ON a.cid = p.cid
-  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id != p.query_id
-  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN {n} e ON e.vec_id = a.vec_id AND e.vec_id != p.query_id
+  JOIN {n} q ON q.vec_id = p.query_id
 ) WHERE rn <= 5
 ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
 
-_q("emb_ivf_topk", _sql(_ivf_topk_sql("spark")), _ivf_topk_sql("duck"))
+def _run_ivf_topk(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    n = _emb_norm_view(spark)
+    return spark.sql("WITH " + _ivf_body("spark", n))
+
+
+_q(
+    "emb_ivf_topk",
+    _run_ivf_topk,
+    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}),\n" + _ivf_body("duck", "n"),
+)
 
 # =====================================================================
 # round-1 widening: mixed-schema include, views, sessionization,
@@ -717,22 +778,28 @@ ORDER BY user_id
 _q("events_union_distinct", _sql(_UNION_DISTINCT), _UNION_DISTINCT)
 
 
-def _near_dup_sql(engine: str) -> str:
-    cos = (
-        sim.spark_cosine("a.embedding", "b.embedding")
-        if engine == "spark"
-        else sim.duck_cosine("a.embedding", "b.embedding")
-    )
-    return f"""
+_NEAR_DUP_BODY = """
 SELECT id1, id2, cos_sim FROM (
   SELECT a.vec_id AS id1, b.vec_id AS id2, {cos} AS cos_sim
-  FROM embeddings a JOIN embeddings b
+  FROM {n} a JOIN {n} b
     ON a.label = b.label AND b.vec_id - a.vec_id BETWEEN 1 AND 50
 ) WHERE cos_sim >= 0.2
 ORDER BY id1, id2
 """
 
 
+def _run_near_dup(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    n = _emb_norm_view(spark)
+    return spark.sql(_NEAR_DUP_BODY.format(cos=sim.spark_cosine_staged("a", "b"), n=n))
+
+
 # embedding-cosine near-dup, blocked by (label, id-window) — the exact
 # verifier shape; at scale the block key comes from LSH/IVF buckets
-_q("emb_near_dup", _sql(_near_dup_sql("spark")), _near_dup_sql("duck"))
+_q(
+    "emb_near_dup",
+    _run_near_dup,
+    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}) "
+    + _NEAR_DUP_BODY.format(cos=sim.duck_cosine_staged("a", "b"), n="n"),
+)
