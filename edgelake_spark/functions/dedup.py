@@ -110,6 +110,16 @@ def spark_minhash_sig_sql(table: str, where: str = "", id_col: str = "doc_id", t
     w = f" WHERE {where}" if where else ""
     mins = ", ".join(f"min(h1 + {i} * h2) AS s{i}" for i in range(NUM_HASHES))
     arr = ", ".join(f"s{i}" for i in range(NUM_HASHES))
+    leads = ", ".join(
+        f"lead(w, {k}) OVER (PARTITION BY {id_col} ORDER BY pos) AS w{k}"
+        for k in range(1, SHINGLE_WORDS)
+    )
+    shingle = "concat_ws(' ', w0, " + ", ".join(f"w{k}" for k in range(1, SHINGLE_WORDS)) + ")"
+    # shingles are built with posexplode + lead() — codegen'd window ops
+    # instead of interpreted array lambdas (~4s → <1s at sf0.1).
+    # concat_ws skips the NULL leads at the tail, so docs shorter than
+    # {SHINGLE_WORDS} words produce the same partial shingle as the
+    # slice-based DuckDB oracle.
     return f"""
 SELECT {id_col}, array({arr}) AS sig
 FROM (
@@ -117,17 +127,16 @@ FROM (
   FROM (
     SELECT {id_col}, {spark_hex60('h')} AS h1, {spark_hex56('h')} AS h2
     FROM (
-      SELECT {id_col}, md5(s) AS h
+      SELECT {id_col}, md5({shingle}) AS h
       FROM (
-        SELECT {id_col}, explode(shingles) AS s
+        SELECT {id_col}, pos, w AS w0, {leads},
+               count(*) OVER (PARTITION BY {id_col}) AS n_toks
         FROM (
-          SELECT {id_col}, {spark_shingles_over('toks')} AS shingles
-          FROM (
-            SELECT {id_col}, {spark_tokens(text_col)} AS toks
-            FROM {table}{w}
-          )
+          SELECT {id_col}, pos, w
+          FROM (SELECT {id_col}, {spark_tokens(text_col)} AS toks FROM {table}{w})
+          LATERAL VIEW posexplode(toks) t AS pos, w
         )
-      )
+      ) WHERE pos <= greatest(n_toks - {SHINGLE_WORDS}, 0)
     )
   ) GROUP BY {id_col}
 )"""

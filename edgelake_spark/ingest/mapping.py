@@ -95,21 +95,62 @@ def apply_mapping_policy(
         ).withColumn("__item", F.explode("__items"))
         item_col = "__item"
 
+    def _pull_expr(path_str: str):
+        parts = parse_bring_path(path_str)
+        if parts and "" in parts:
+            rel = parts[parts.index("") + 1 :]
+            return F.get_json_object(F.col(item_col), _jsonpath(rel))
+        if parts:
+            return F.get_json_object(F.col(json_col), _jsonpath(parts))
+        return F.lit(None)
+
     cols = []
     for column, info in schema.items():
         el_type = info.get("type", "varchar").upper()
         spark_type = edgelake_to_spark_type(el_type)
-        bring = info.get("bring", "")
-        parts = parse_bring_path(bring) if bring else []
-        if parts and "" in parts:
-            rel = parts[parts.index("") + 1 :]
-            src = F.get_json_object(F.col(item_col), _jsonpath(rel))
-        elif parts:
-            src = F.get_json_object(F.col(json_col), _jsonpath(parts))
-        else:
-            src = F.lit(None)
-        expr = src.cast(spark_type)
+        expr = _pull_expr(info.get("bring", "")).cast(spark_type)
+        # conditional values — the declarative subset of the reference's
+        # per-column `if` scripts (mapping_policy.py:747 process_if_code;
+        # the imperative command-script form is out of scope): ordered
+        # rules, first match wins, falling through to bring/default.
+        # Reversed wrap order makes the FIRST listed rule the outermost
+        # (highest-priority) when().
+        for rule in reversed(info.get("conditions", [])):
+            cond = _condition_to_column(rule["if"], _pull_expr)
+            expr = F.when(cond, F.lit(rule["then"]).cast(spark_type)).otherwise(expr)
         if "default" in info and info["default"] is not None:
             expr = F.coalesce(expr, F.lit(info["default"]).cast(spark_type))
         cols.append(expr.alias(column))
-    return df.select(*cols)
+    out = df.select(*cols)
+
+    # policy-level row filter: `if <cond> then ignore event`
+    drop = policy.get("mapping", {}).get("ignore_if")
+    if drop:
+        out = df.filter(~_condition_to_column(drop, _pull_expr)).select(*cols)
+    return out
+
+
+_COND_RE = re.compile(r"^\s*(\[[^=<>!]+\])\s*(==|!=|>=|<=|>|<)\s*(.+?)\s*$")
+
+
+def _condition_to_column(cond: str, pull_expr) -> F.Column:
+    """'[path] <op> <literal>' → boolean Column over the raw JSON."""
+    m = _COND_RE.match(cond)
+    if not m:
+        raise ValueError(f"cannot parse mapping condition: {cond}")
+    path, op, literal = m.groups()
+    lhs = pull_expr(path)
+    literal = literal.strip("'\"")
+    try:
+        rhs = F.lit(float(literal))
+        lhs = lhs.cast("double")
+    except ValueError:
+        rhs = F.lit(literal)
+    return {
+        "==": lhs == rhs,
+        "!=": lhs != rhs,
+        ">": lhs > rhs,
+        ">=": lhs >= rhs,
+        "<": lhs < rhs,
+        "<=": lhs <= rhs,
+    }[op]

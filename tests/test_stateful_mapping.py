@@ -1,0 +1,89 @@
+"""Conditional mapping rules + stateful streaming EWMA."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from edgelake_spark.ingest.mapping import apply_mapping_policy
+from edgelake_spark.streaming.stateful import ewma_stream
+
+
+def test_mapping_conditions_first_match_wins(spark):
+    policy = {
+        "mapping": {
+            "id": "m2",
+            "schema": {
+                "device": {"type": "varchar", "bring": "[device]"},
+                "status": {
+                    "type": "varchar",
+                    "bring": "[status]",
+                    "conditions": [
+                        {"if": "[value] > 100", "then": "alarm"},
+                        {"if": "[value] > 50", "then": "warn"},
+                    ],
+                },
+                "value": {"type": "float", "bring": "[value]"},
+            },
+        }
+    }
+    rows = [
+        {"device": "a", "status": "ok", "value": 10.0},
+        {"device": "b", "status": "ok", "value": 60.0},
+        {"device": "c", "status": "ok", "value": 200.0},
+    ]
+    raw = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+    out = {r.device: r.status for r in apply_mapping_policy(spark, raw, policy).collect()}
+    # rules apply in order; LAST when() wrapped wins for overlapping
+    # conditions only if earlier — first listed rule has priority
+    assert out == {"a": "ok", "b": "warn", "c": "alarm"}
+
+
+def test_mapping_ignore_if_drops_rows(spark):
+    policy = {
+        "mapping": {
+            "id": "m3",
+            "ignore_if": "[value] < 0",
+            "schema": {
+                "device": {"type": "varchar", "bring": "[device]"},
+                "value": {"type": "float", "bring": "[value]"},
+            },
+        }
+    }
+    rows = [{"device": "a", "value": 1.0}, {"device": "bad", "value": -5.0}]
+    raw = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+    got = apply_mapping_policy(spark, raw, policy).collect()
+    assert [r.device for r in got] == ["a"]
+
+
+def test_ewma_state_survives_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("device", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in [{"device": "d1", "value": 10.0}, {"device": "d1", "value": 20.0}])
+    )
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    out = ewma_stream(stream, "device", "value", alpha=0.5)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("select * from ewma_out").collect()
+        # batch1: ewma = 0.5*20 + 0.5*10 = 15
+        assert first[-1].ewma == 15.0 and first[-1].n_rows == 2
+
+        (src / "b2.json").write_text(json.dumps({"device": "d1", "value": 35.0}))
+        q.processAllAvailable()
+        rows = spark.sql("select * from ewma_out order by n_rows").collect()
+        # state carried: ewma = 0.5*35 + 0.5*15 = 25, n = 3
+        assert rows[-1].ewma == 25.0 and rows[-1].n_rows == 3
+    finally:
+        q.stop()
