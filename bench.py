@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     # training-data ops
     "doc_exact_dedup",
     "doc_minhash_pairs",
+    "doc_dedup_clusters",
     "doc_simhash",
     "doc_ngram_jaccard",
     "doc_quality",
@@ -59,6 +60,8 @@ def main() -> None:
         except Exception as exc:
             print(f"# warmup {warm} failed: {exc}", file=sys.stderr)
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = SPARK_QUERIES[name]
@@ -66,6 +69,10 @@ def main() -> None:
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        # drop cached/checkpointed intermediates between queries so one
+        # query's leftovers don't GC-thrash the next one's JVM
+        spark.catalog.clearCache()
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -54,6 +54,8 @@ class EdgeLakeEngine:
         }
         #: qualified name → Spark view name, for `create view` mappings
         self.views: dict[str, str] = {}
+        #: table name → partitioned dataset path (attach_partitioned)
+        self.partitioned_paths: dict[str, str] = {}
         if sf_dir:
             catalog.register_sf_tables(spark, sf_dir)
 
@@ -82,6 +84,22 @@ class EdgeLakeEngine:
             # repeatable query → named result (reference
             # member_cmd.py:115-117, system_query.<name>)
             df.createOrReplaceTempView(f"query_{cmd.options['table']}")
+        dest = cmd.options.get("dest", "")
+        if dest.startswith("file:"):
+            # dest = file:<path> — reference routes formatted output to a
+            # file (dest_values member_cmd.py:142-148; OutputManager).
+            # Distributed write for parquet/json paths, driver-rendered
+            # text otherwise.
+            path = dest[5:]
+            if path.endswith(".parquet"):
+                df.write.mode("overwrite").parquet(path)
+            elif path.endswith(".json"):
+                df.write.mode("overwrite").json(path)
+            else:
+                fmt = cmd.fmt if cmd.fmt != "dataframe" else "json"
+                with open(path, "w") as fh:
+                    fh.write(format_result(df, fmt, stat=cmd.options.get("stat", False)))
+            return df
         if cmd.fmt == "dataframe":
             return df
         return format_result(df, cmd.fmt, stat=cmd.options.get("stat", False))
@@ -129,7 +147,46 @@ class EdgeLakeEngine:
             from edgelake_spark.admin import info_table_columns
 
             return info_table_columns(self.spark, self._resolve(m.group(2)))
+        m = _re.match(r"get\s+partitions(\s+where\s+(.*))?$", text, _re.IGNORECASE)
+        if m:
+            from edgelake_spark.admin import get_partitions
+
+            table = None
+            if m.group(2):
+                tm = _re.search(r"table\s*=\s*(\S+)", m.group(2))
+                if tm:
+                    table = tm.group(1)
+            rows = []
+            for name, path in sorted(self.partitioned_paths.items()):
+                if table and catalog.view_name(name) != catalog.view_name(table):
+                    continue
+                for bucket in get_partitions(path):
+                    rows.append((name, bucket))
+            return self.spark.createDataFrame(
+                rows or [], "table_name string, partition string"
+            )
+        m = _re.match(
+            r"drop\s+partition\s+where\s+table\s*=\s*(\S+)\s+and\s+date\s*<\s*'?([\w-]+)'?$",
+            text,
+            _re.IGNORECASE,
+        )
+        if m:
+            from edgelake_spark.admin import get_partitions
+            from edgelake_spark.ingest.partitions import drop_partitions_before
+
+            table, cutoff = m.group(1), m.group(2)
+            path = self.partitioned_paths[table]
+            dropped = drop_partitions_before(self.spark, path, cutoff)
+            return self.spark.createDataFrame(
+                [(b,) for b in dropped] or [], "dropped_partition string"
+            )
         return None
+
+    def attach_partitioned(self, name: str, path: str) -> None:
+        """Register a time-partitioned dataset (written via
+        ingest.partitions.write_partitioned) under a table name."""
+        self.partitioned_paths[name] = path
+        self.spark.read.parquet(path).createOrReplaceTempView(catalog.view_name(name))
 
     # ----------------------------------------------------------- internal
 

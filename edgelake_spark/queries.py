@@ -803,3 +803,126 @@ _q(
     f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}) "
     + _NEAR_DUP_BODY.format(cos=sim.duck_cosine_staged("a", "b"), n="n"),
 )
+
+# =====================================================================
+# dedup clusters: connected components over LSH candidate pairs
+# =====================================================================
+
+
+def _run_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH pairs → undirected edges →
+    connected components. Each round does min-label propagation over
+    edges PLUS pointer jumping (label := label[label]), which halves
+    component diameter per round → O(log n) rounds on any graph (the
+    large-graph CC idiom). Convergence is checked every other round so
+    scheduling overhead stays bounded. The fixpoint (min doc_id
+    reachable) is engine-independent; a DuckDB recursive-CTE oracle
+    verifies it exactly. component_id = the dedup keep-candidate."""
+    from pyspark.sql import functions as F
+
+    # checkpoint the pairs FIRST — they are referenced twice below and
+    # would otherwise run the whole LSH pipeline once per reference
+    pairs = _run_minhash_pairs(spark, sf_dir).select("id1", "id2").localCheckpoint()
+    edges = (
+        pairs.union(pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Hybrid CC: the edge set is the LSH OUTPUT — already reduced from
+    # O(n²) to candidate pairs. Below a threshold the asymptotically
+    # "right" distributed loop is all scheduling overhead (measured 49s
+    # for a 27k-edge graph vs <1s driver-side), so small graphs run
+    # union-find on the driver; big ones fall through to distributed
+    # min-label + pointer-jumping rounds.
+    n_edges = edges.count()
+    if n_edges <= 5_000_000:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edges.collect():
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {x: find(x) for x in parent}
+        # component id = min doc_id in the component (find() roots are
+        # already minima because unions always point max → min)
+        rows = sorted(comp.items())
+        return spark.createDataFrame(rows, "doc_id long, component_id long")
+
+    labels = (
+        edges.select(F.col("id1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for round_no in range(1, 13):
+        nmin = (
+            edges.join(labels, edges.id2 == labels.doc_id)
+            .groupBy(edges.id1.alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = labels.join(nmin, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: follow label -> label-of-label
+        parents = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parents, stepped.label == parents.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        if round_no % 2 == 0 or round_no >= 6:
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                break
+        else:
+            labels = jumped
+    return labels.select("doc_id", F.col("label").alias("component_id")).orderBy("doc_id")
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id1, id2 FROM (
+    {ORACLE_SQL['doc_minhash_pairs']}
+  )
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component_id
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+_q("doc_dedup_clusters", _run_dedup_clusters, _DEDUP_CLUSTERS_ORACLE)

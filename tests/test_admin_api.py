@@ -142,3 +142,29 @@ def test_rest_server_query_and_ingest(engine):
         assert exc_info.value.code == 400
     finally:
         server.stop()
+
+
+def test_dest_file_and_partition_commands(engine, tmp_path):
+    from pyspark.sql import functions as F
+
+    from edgelake_spark.ingest.partitions import write_partitioned
+
+    # dest = file:<path>.json → distributed json write
+    out = tmp_path / "out.json"
+    engine.run(f'sql d dest = file:{out} "select event_id from events order by event_id limit 3"')
+    back = engine.spark.read.json(str(out))
+    assert back.count() == 3
+
+    # partitioned dataset lifecycle: attach → get partitions → drop
+    df = engine.spark.table("events").withColumn("ts", F.col("ts"))
+    ppath = str(tmp_path / "events_part")
+    write_partitioned(df, ppath, "ts", unit="day", count=7)
+    engine.attach_partitioned("d.events_part", ppath)
+    parts = engine.run("get partitions where table = events_part").collect()
+    assert len(parts) >= 4 and parts[0].table_name == "d.events_part"
+    dropped = engine.run(
+        "drop partition where table = d.events_part and date < '2024-01-15'"
+    ).collect()
+    assert len(dropped) >= 1
+    remaining = engine.run("get partitions where table = events_part").collect()
+    assert len(remaining) == len(parts) - len(dropped)
