@@ -32,12 +32,42 @@ TESTDATA_TABLES = (
 )
 
 
+#: runtime-settable SQL confs the engine depends on. The driver harness
+#: supplies its OWN SparkSession (not our session.get_spark), so every
+#: entry point must re-assert these at runtime — round 1's 0/40 gate came
+#: from assuming builder-time configs survive into a foreign session.
+_REQUIRED_CONFS = {
+    # testdata ships timestamp[ns]; Spark has no ns type, so read as
+    # int64 and load_parquet converts to microsecond timestamps
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # oracle value-hashes compare UTC-naive timestamps; a non-UTC
+    # session would silently shift every rendered timestamp
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow batch transfer for the Pandas-UDF slow path
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Assert the engine's required SQL confs on any session at runtime.
+
+    All three are runtime-settable; try/except guards Spark versions
+    where a key is absent."""
+    for key, value in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            pass
+
+
 def register_sf_tables(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every ``<sf_dir>/<name>.parquet`` as a temp view ``name``.
 
     Reading is lazy; Catalyst prunes columns and pushes filters into the
     Parquet scan, so registering all tables costs nothing until queried.
     """
+    ensure_session_confs(spark)
     registered = []
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -52,6 +82,7 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     under spark.sql.legacy.parquet.nanosAsLong) to microsecond
     timestamps. `div 1000` truncates toward zero — the same ns→us
     narrowing DuckDB applies, keeping oracle comparisons exact."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(path)
     try:
         arrow_schema = pq.read_schema(path)

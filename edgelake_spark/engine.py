@@ -44,6 +44,9 @@ class EdgeLakeEngine:
         node_identity: dict | None = None,
     ):
         self.spark = spark
+        # harden against driver-supplied sessions missing our configs
+        # (UTC tz, nanos-as-long, Arrow) — see catalog._REQUIRED_CONFS
+        catalog.ensure_session_confs(spark)
         self.now = now
         # stand-in identity for the single "operator node" — the
         # reference prepends these via extend=(@ip, @port, ...)
