@@ -38,11 +38,18 @@ class EdgeLakeRestServer:
                     self._reply(400, {"error": "missing 'command' header"})
                     return
                 try:
-                    if "format =" not in command and "format=" not in command:
-                        command = command.replace('"select', 'format = json "select', 1)
                     result = outer.engine.run(command)
-                    body = result if isinstance(result, str) else result.toJSON().collect()
-                    self._reply(200, body, raw=isinstance(result, str))
+                    if isinstance(result, str):
+                        self._reply(200, result, raw=True)
+                    else:
+                        # no format option in the command (any case /
+                        # quoting) → the engine returned a DataFrame;
+                        # render with the reference's REST default
+                        # (format = json) instead of string-splicing
+                        # the command text
+                        from edgelake_spark.output import format_result
+
+                        self._reply(200, format_result(result, "json"), raw=True)
                 except Exception as exc:  # surface engine errors as 400s
                     self._reply(400, {"error": str(exc)[:500]})
 

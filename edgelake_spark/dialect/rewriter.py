@@ -112,6 +112,16 @@ def _split_castings(expr: str) -> tuple[str, list[str]]:
     return parts[0].strip(), [p.strip() for p in parts[1:]]
 
 
+def _claim_name(name: str, used: set[str]) -> str:
+    """Explicit aliases and bare column names must be unique in the
+    projection — the reference rejects duplicate output names
+    (unify_results.py:1107-1112)."""
+    if name in used:
+        raise RewriteError(f"duplicate column name in projection: {name}")
+    used.add(name)
+    return name
+
+
 def _auto_name(expr: str, used: set[str]) -> str:
     if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr):
         base = expr
@@ -178,12 +188,35 @@ def _rewrite_period(where: str, table: str) -> str:
         where = where[: m.start()] + cond + where[i:]
 
 
+def _sub_outside_quotes(pattern: str, repl: str, text: str, flags: int = 0) -> str:
+    """re.sub applied only to segments outside single/double quotes, so
+    predicate normalization never corrupts string literals."""
+    out, buf, quote = [], [], None
+    rx = re.compile(pattern, flags)
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                out.append("".join(buf))
+                buf = []
+                quote = None
+        elif ch in ("'", '"'):
+            out.append(rx.sub(repl, "".join(buf)))
+            buf = [ch]
+            quote = ch
+        else:
+            buf.append(ch)
+    out.append("".join(buf) if quote else rx.sub(repl, "".join(buf)))
+    return "".join(out)
+
+
 def _normalize_where(where: str) -> str:
     """EdgeLake predicate spellings → standard SQL
-    (operator set: reference utils_columns.py:217-232)."""
-    where = re.sub(r"==", "=", where)
-    where = re.sub(r"\bis\s+true\b", "= true", where, flags=re.IGNORECASE)
-    where = re.sub(r"\bis\s+false\b", "= false", where, flags=re.IGNORECASE)
+    (operator set: reference utils_columns.py:217-232). Quote-aware so
+    ``note = 'a==b'`` keeps its literal intact."""
+    where = _sub_outside_quotes(r"==", "=", where)
+    where = _sub_outside_quotes(r"\bis\s+true\b", "= true", where, re.IGNORECASE)
+    where = _sub_outside_quotes(r"\bis\s+false\b", "= false", where, re.IGNORECASE)
     return where
 
 
@@ -320,8 +353,11 @@ def rewrite_select(
         m = re.match(r"^range\s*\(\s*([^)]+?)\s*\)$", expr, re.IGNORECASE)
         if m:
             col = m.group(1)
-            name = alias or _auto_name(f"range_{col}", used_names)
-            used_names.add(name)
+            name = (
+                _claim_name(alias, used_names)
+                if alias
+                else _auto_name(f"range_{col}", used_names)
+            )
             select_items.append(f"abs(max({col}) - min({col})) AS {name}")
             out_cols.append(name)
             has_agg = True
@@ -334,8 +370,7 @@ def rewrite_select(
         m = re.match(r"^distinct\s*\(\s*([^)]+?)\s*\)$", expr, re.IGNORECASE)
         if m:
             col = m.group(1)
-            name = alias or col
-            used_names.add(name)
+            name = _claim_name(alias or col, used_names)
             select_items.append(f"{col} AS {name}" if name != col else col)
             group_keys.append(col)
             out_cols.append(name)
@@ -350,7 +385,14 @@ def rewrite_select(
         if expr == "*":
             select_items.append("*")
             continue
-        name = alias or _auto_name(expr, used_names)
+        if alias:
+            name = _claim_name(alias, used_names)
+        elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr):
+            # bare column repeated → duplicate output name, rejected like
+            # the reference; computed exprs still get auto-dedup names
+            name = _claim_name(expr, used_names)
+        else:
+            name = _auto_name(expr, used_names)
         select_items.append(expr if (not alias and expr == name) else f"{expr} AS {name}")
         out_cols.append(name)
         if cast_chain:
@@ -390,8 +432,14 @@ def rewrite_select(
         order_items.append(o + direction)
     if incr_group:
         # increments ordering: user keys first, then trunc+extract
-        # (reference unify_results.py:528-536)
-        order_items.extend(incr_group)
+        # (reference unify_results.py:528-536). Append the remaining
+        # group keys too so rows sharing a bucket have a total,
+        # deterministic order (the oracle orders by every key).
+        already = set(order_items) | set(ir.order_by)
+        order_items.extend(k for k in incr_group if k not in already)
+        order_items.extend(
+            g for g in final_group if g not in incr_group and g not in already
+        )
     if order_items:
         parts.append("ORDER BY " + ", ".join(order_items))
     if ir.limit:

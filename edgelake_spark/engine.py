@@ -180,6 +180,11 @@ class EdgeLakeEngine:
             table, cutoff = m.group(1), m.group(2)
             path = self.partitioned_paths[table]
             dropped = drop_partitions_before(self.spark, path, cutoff)
+            # the temp view's cached file index still lists the deleted
+            # files — refresh and re-register or the next query on the
+            # table dies with FileNotFoundException
+            self.spark.catalog.refreshByPath(path)
+            self.attach_partitioned(table, path)
             return self.spark.createDataFrame(
                 [(b,) for b in dropped] or [], "dropped_partition string"
             )
@@ -303,7 +308,9 @@ class EdgeLakeEngine:
             table, cond = m.group(1), m.group(2)
             view = self._managed_snapshot(table)
             df = self.spark.table(view)
-            kept = df.filter(f"NOT ({cond})") if cond else df.limit(0)
+            # keep rows where cond is false OR NULL — SQL DELETE only
+            # removes rows where the predicate is true
+            kept = df.filter(f"NOT coalesce(({cond}), false)") if cond else df.limit(0)
             kept.createOrReplaceTempView(view)
             return self.spark.table(view)
         m = _re.match(
@@ -315,15 +322,23 @@ class EdgeLakeEngine:
             table, sets, cond = m.group(1), m.group(2), m.group(3)
             view = self._managed_snapshot(table)
             df = self.spark.table(view)
+            # SQL UPDATE evaluates every RHS against the pre-update row:
+            # build all assignments first, apply in ONE select, so
+            # `set a = b, b = a` swaps instead of cascading
+            assignments = {}
             for assignment in split_top_level(sets):
                 col, _, expr = assignment.partition("=")
-                col, expr = col.strip(), expr.strip()
-                if cond:
-                    df = df.withColumn(
-                        col, F.when(F.expr(cond), F.expr(expr)).otherwise(F.col(col))
-                    )
+                assignments[col.strip()] = expr.strip()
+            projected = []
+            for name in df.columns:
+                if name in assignments:
+                    e = F.expr(assignments[name])
+                    if cond:
+                        e = F.when(F.expr(cond), e).otherwise(F.col(name))
+                    projected.append(e.alias(name))
                 else:
-                    df = df.withColumn(col, F.expr(expr))
+                    projected.append(F.col(name))
+            df = df.select(*projected)
             df.createOrReplaceTempView(view)
             return self.spark.table(view)
         return None

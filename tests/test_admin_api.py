@@ -168,3 +168,9 @@ def test_dest_file_and_partition_commands(engine, tmp_path):
     assert len(dropped) >= 1
     remaining = engine.run("get partitions where table = events_part").collect()
     assert len(remaining) == len(parts) - len(dropped)
+    # querying the table after the drop must work (view refreshed, no
+    # stale file-index FileNotFoundException) and see only kept rows
+    n = engine.run('sql d "select count(*) as n from events_part"').collect()[0].n
+    assert 0 < n < 1000
+    mn = engine.run('sql d "select min(ts) as m from events_part"').collect()[0].m
+    assert str(mn) >= "2024-01-15"

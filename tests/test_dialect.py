@@ -172,3 +172,35 @@ class TestOptions:
     def test_bad_format_rejected(self):
         with pytest.raises(OptionError):
             parse_sql_command('sql d format = nope "select a from t"')
+
+
+class TestRound2Fixes:
+    def test_eqeq_inside_string_literal_preserved(self):
+        res = rewrite_select("select a from t where note = 'a==b' and x == 1", now=NOW)
+        assert "'a==b'" in res.sql
+        assert "x = 1" in res.sql
+
+    def test_is_true_inside_literal_preserved(self):
+        res = rewrite_select(
+            "select a from t where note = 'this is true' and ok is true", now=NOW
+        )
+        assert "'this is true'" in res.sql
+        assert "ok = true" in res.sql
+
+    def test_duplicate_alias_rejected(self):
+        with pytest.raises(RewriteError, match="duplicate"):
+            rewrite_select("select min(v) as m, max(v) as m from t", now=NOW)
+
+    def test_duplicate_bare_column_rejected(self):
+        with pytest.raises(RewriteError, match="duplicate"):
+            rewrite_select("select a, a from t", now=NOW)
+
+    def test_increments_grouped_total_order(self):
+        res = rewrite_select(
+            "select increments(day, 1, ts), event_type, count(*) as n "
+            "from t group by event_type",
+            now=NOW,
+        )
+        assert (
+            "ORDER BY increments_trunc, increments_extract, event_type" in res.sql
+        )

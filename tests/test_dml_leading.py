@@ -54,3 +54,21 @@ def test_update_and_delete(engine):
     engine.run('sql d "delete from t2 where k = 2"')
     rows = [r.k for r in engine.run('sql d "select k from t2"').collect()]
     assert rows == [1]
+
+
+def test_delete_keeps_null_predicate_rows(engine):
+    """DELETE removes only rows where the predicate is TRUE; rows where
+    it evaluates NULL must survive (r1 verdict item 2)."""
+    engine.run('sql d "insert into t3 (k, v) values (1, 10.0)"')
+    engine.run('sql d "insert into t3 (k, v) values (2, NULL)"')
+    engine.run('sql d "delete from t3 where v > 5.0"')
+    rows = [r.k for r in engine.run('sql d "select k from t3 order by k"').collect()]
+    assert rows == [2]  # NULL-v row kept, v=10 row deleted
+
+
+def test_update_swap_uses_pre_update_row(engine):
+    """`set a = b, b = a` must swap — every RHS reads the original row."""
+    engine.run('sql d "insert into t4 (a, b) values (1, 2)"')
+    engine.run('sql d "update t4 set a = b, b = a"')
+    row = engine.run('sql d "select a, b from t4"').collect()[0]
+    assert (row.a, row.b) == (2, 1)
