@@ -14,6 +14,7 @@ import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from edgelake_spark.dialect.parser import split_top_level
 from edgelake_spark.ingest.infer import infer_schema
@@ -138,3 +139,78 @@ def suggest_create(table_name: str, rows: list[dict], with_system_columns: bool 
         lines.append(f"\t{col} {el_type}{suffix},")
     body = "\n".join(lines).rstrip(",")
     return f"CREATE TABLE IF NOT EXISTS {table_name}(\n{body}\n);"
+
+
+def get_data_nodes(
+    spark: SparkSession,
+    store,
+    company: str = "*",
+    dbms: str = "*",
+    table: str = "*",
+) -> DataFrame:
+    """`get data nodes` — which operator node hosts which table, from
+    cluster + operator policies in the ledger (reference
+    member_cmd.py:16226-16359 get_data_nodes over
+    metadata.get_operators_by_company; the title row :16264).
+
+    One row per (table, operator) pair. In the Spark world an "operator
+    node" maps to an executor-hosted dataset partition, but the
+    metadata answer — who serves the data — comes from the same ledger
+    policies the reference uses.
+    """
+    clusters = {}
+    for p in store.blockchain_get("cluster"):
+        body = p["cluster"]
+        clusters[str(body.get("id", body.get("name", "")))] = body
+    rows = []
+    for p in store.blockchain_get("operator"):
+        body = p["operator"]
+        cluster_id = str(body.get("cluster", ""))
+        cluster = clusters.get(cluster_id, {})
+        tables = cluster.get("table", [])
+        if isinstance(tables, dict):
+            tables = [tables]
+        for t in tables or [{}]:
+            row = (
+                cluster.get("company", body.get("company", "")),
+                t.get("dbms", ""),
+                t.get("name", ""),
+                cluster_id,
+                body.get("name", ""),
+                str(body.get("member", "")),
+                f"{body.get('ip', '')}:{body.get('port', '')}",
+                f"{body.get('local_ip', body.get('ip', ''))}:{body.get('port', '')}",
+                bool(body.get("main", True)),
+            )
+            rows.append(row)
+    df = spark.createDataFrame(
+        rows or [],
+        "company string, dbms string, table string, cluster_id string, "
+        "node_name string, member_id string, external_ip_port string, "
+        "local_ip_port string, main boolean",
+    )
+    for col, val in (("company", company), ("dbms", dbms), ("table", table)):
+        if val != "*":
+            df = df.filter(F.col(col) == val)
+    return df
+
+
+def get_virtual_tables(
+    spark: SparkSession,
+    store,
+    company: str = "*",
+    dbms: str = "*",
+    table: str = "*",
+    with_info: bool = False,
+) -> DataFrame:
+    """`get virtual tables [info]` — the distinct (company, dbms, table)
+    set served by the network, with cluster id + copy count under
+    ``info`` (reference member_cmd.py:16361-16460)."""
+    nodes = get_data_nodes(spark, store, company, dbms, table)
+    if not with_info:
+        return nodes.select("company", "dbms", "table").distinct().orderBy("company", "dbms", "table")
+    return (
+        nodes.groupBy("company", "dbms", "table", "cluster_id")
+        .agg(F.count("*").alias("copies"))
+        .orderBy("company", "dbms", "table")
+    )

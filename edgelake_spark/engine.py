@@ -59,6 +59,13 @@ class EdgeLakeEngine:
         self.views: dict[str, str] = {}
         #: table name → partitioned dataset path (attach_partitioned)
         self.partitioned_paths: dict[str, str] = {}
+        #: topic name → parsed `run kafka consumer` config
+        self.broker_consumers: dict[str, dict] = {}
+        #: the node's policy ledger (reference: blockchain file/master)
+        from edgelake_spark.policies import PolicyStore
+
+        self.policy_store = PolicyStore()
+        self._last_pass_through = False
         if sf_dir:
             catalog.register_sf_tables(spark, sf_dir)
 
@@ -82,12 +89,45 @@ class EdgeLakeEngine:
         if admin_result is not None:
             return admin_result
         cmd = parse_sql_command(command)
+        self._last_pass_through = False
         df = self._execute(cmd)
         if cmd.options.get("table"):
             # repeatable query → named result (reference
             # member_cmd.py:115-117, system_query.<name>)
             df.createOrReplaceTempView(f"query_{cmd.options['table']}")
         dest = cmd.options.get("dest", "")
+        if cmd.fmt == "test" or cmd.options.get("test"):
+            # TEST format: Header/Output/Stat sections; with source=
+            # compare against the golden file and return the verdict
+            # (reference member_cmd.py:124-127, output_data.py:209-262)
+            import json as _json
+
+            from edgelake_spark.output import analyze_test_output, format_test_output
+
+            rendered = format_test_output(
+                df,
+                "table",
+                title=cmd.options.get("title", ""),
+                command=cmd.statement,
+                dbms=cmd.dbms,
+                now=self.now,
+            )
+            if dest.startswith("file:"):
+                with open(dest[5:], "w") as fh:
+                    fh.write(rendered)
+            src = cmd.options.get("source")
+            if src:
+                with open(src) as fh:
+                    trusted = fh.read()
+                return _json.dumps(analyze_test_output(trusted, rendered))
+            return rendered
+        if dest.startswith("kafka@"):
+            # dest = kafka@ip:port — publish result rows as JSON messages
+            # (reference dest_values member_cmd.py:142-148)
+            from edgelake_spark.streaming.broker import write_query_to_broker
+
+            write_query_to_broker(df, dest)
+            return df
         if dest.startswith("file:"):
             # dest = file:<path> — reference routes formatted output to a
             # file (dest_values member_cmd.py:142-148; OutputManager).
@@ -100,12 +140,26 @@ class EdgeLakeEngine:
                 df.write.mode("overwrite").json(path)
             else:
                 fmt = cmd.fmt if cmd.fmt != "dataframe" else "json"
+                stat = cmd.options.get("stat", False)
                 with open(path, "w") as fh:
-                    fh.write(format_result(df, fmt, stat=cmd.options.get("stat", False)))
+                    if self._last_pass_through and not stat and fmt != "table":
+                        # stream chunks straight to the file — constant
+                        # driver memory for arbitrarily wide scans
+                        from edgelake_spark.output import stream_result
+
+                        for chunk in stream_result(df, fmt):
+                            fh.write(chunk)
+                    else:
+                        fh.write(format_result(df, fmt, stat=stat))
             return df
         if cmd.fmt == "dataframe":
             return df
-        return format_result(df, cmd.fmt, stat=cmd.options.get("stat", False))
+        return format_result(
+            df,
+            cmd.fmt,
+            stat=cmd.options.get("stat", False),
+            pass_through=self._last_pass_through,
+        )
 
     def query(self, statement: str, **options) -> DataFrame:
         """Run a dialect SELECT with keyword options; returns DataFrame."""
@@ -168,6 +222,43 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 rows or [], "table_name string, partition string"
             )
+        m = _re.match(r"blockchain\s+(insert|get|load|save)\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            return self._blockchain_cmd(m.group(1).lower(), m.group(2).strip())
+        m = _re.match(
+            r"get\s+data\s+nodes(\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            from edgelake_spark.admin import get_data_nodes
+
+            return get_data_nodes(self.spark, self.policy_store, **self._meta_filters(m.group(2)))
+        m = _re.match(
+            r"get\s+virtual\s+tables(\s+info)?(\s+where\s+(.*))?$",
+            text,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from edgelake_spark.admin import get_virtual_tables
+
+            return get_virtual_tables(
+                self.spark,
+                self.policy_store,
+                with_info=bool(m.group(1)),
+                **self._meta_filters(m.group(3)),
+            )
+        m = _re.match(r"run\s+kafka\s+consumer\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # registers the consumer config; BrokerConsumer.start runs
+            # the stream (reference member_cmd.py:21481 launches the
+            # polling thread — Structured Streaming's query is ours)
+            from edgelake_spark.streaming.broker import parse_kafka_consumer_command
+
+            cfg = parse_kafka_consumer_command(text)
+            self.broker_consumers[cfg["topic"].name] = cfg
+            return self.spark.createDataFrame(
+                [(cfg["topic"].name, f"{cfg['ip']}:{cfg['port']}", cfg["reset"])],
+                "topic string, bootstrap string, reset string",
+            )
         m = _re.match(
             r"drop\s+partition\s+where\s+table\s*=\s*(\S+)\s+and\s+date\s*<\s*'?([\w-]+)'?$",
             text,
@@ -189,6 +280,53 @@ class EdgeLakeEngine:
                 [(b,) for b in dropped] or [], "dropped_partition string"
             )
         return None
+
+    @staticmethod
+    def _meta_filters(where: str | None) -> dict:
+        """company/dbms/table equality filters of the metadata commands."""
+        import re as _re
+
+        out = {}
+        for k, v in _re.findall(r"\b(company|dbms|table)\s*=\s*(\S+)", where or ""):
+            out[k] = v
+        return out
+
+    def _blockchain_cmd(self, verb: str, rest: str):
+        """`blockchain insert/get/load/save` over the node's ledger
+        (reference member_cmd.py:1614 blockchain_get; durable file
+        ledger semantics via PolicyStore.save/load)."""
+        import json as _json
+        import re as _re
+
+        if verb == "insert":
+            m = _re.search(r"policy\s*=\s*(\{.*\})\s*$", rest, _re.DOTALL)
+            payload = m.group(1) if m else rest
+            self.policy_store.add(_json.loads(payload))
+            return self.spark.createDataFrame([(len(self.policy_store.policies),)], "policies int")
+        if verb == "load":
+            from edgelake_spark.policies import PolicyStore
+
+            self.policy_store = PolicyStore.load(rest)
+            return self.spark.createDataFrame([(len(self.policy_store.policies),)], "policies int")
+        if verb == "save":
+            n = self.policy_store.save(rest)
+            return self.spark.createDataFrame([(n,)], "policies int")
+        # get: blockchain get <type> [where k = v and ...] [bring ...]
+        m = _re.match(r"(\S+)(?:\s+where\s+(.*?))?(?:\s+(bring\b.*))?$", rest, _re.DOTALL)
+        ptype, where_s, bring = m.group(1), m.group(2), m.group(3)
+        where = None
+        if where_s:
+            where = {
+                k: v.strip("'\"")
+                for k, v in _re.findall(r"(\w+)\s*=\s*(\"[^\"]*\"|'[^']*'|\S+)", where_s)
+            }
+        result = self.policy_store.blockchain_get(ptype, where, bring)
+        if bring:
+            return self.spark.createDataFrame([(str(result),)], "result string")
+        return self.spark.createDataFrame(
+            [( _json.dumps(p, separators=(",", ":")),) for p in result] or [],
+            "policy string",
+        )
 
     def attach_partitioned(self, name: str, path: str) -> None:
         """Register a time-partitioned dataset (written via
@@ -243,6 +381,13 @@ class EdgeLakeEngine:
             table_resolver=resolver,
             now=self.now,
             leading_cols=leading_cols,
+        )
+        # pass-through (no agg/group/order/distinct): the formatter may
+        # stream rows via toLocalIterator instead of collecting —
+        # reference fast path job_instance.py:562-575. Users can force
+        # it off per query with pass_through = false.
+        self._last_pass_through = rewritten.pass_through and cmd.options.get(
+            "pass_through", True
         )
         df = self.spark.sql(rewritten.sql)
 

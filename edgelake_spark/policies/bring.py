@@ -20,6 +20,32 @@ import re
 _TOKEN_RE = re.compile(r"\[([^\]]*)\]|\"([^\"]*)\"|'([^']*)'")
 
 
+def stamp_policy(policy: dict) -> dict:
+    """Add ``id`` (md5 of the single-key body, excluding date/ledger)
+    and ``date`` (UTC now) if absent — reference
+    edge_lake/members/policies.py:786-860 add_json_id_date."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    if not isinstance(policy, dict) or len(policy) != 1:
+        return policy
+    key = next(iter(policy))
+    body = policy[key]
+    if not isinstance(body, dict):
+        return policy
+    if "id" in body and "date" in body:
+        return policy
+    hashable = {k: v for k, v in body.items() if k not in ("date", "ledger")}
+    if "id" not in body:
+        digest = hashlib.md5(
+            (key + ":" + json.dumps(hashable, sort_keys=True, separators=(",", ":"))).encode()
+        ).hexdigest()
+        body["id"] = digest
+    if "date" not in body:
+        body["date"] = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    return policy
+
+
 class PolicyStore:
     def __init__(self, policies: list[dict] | None = None):
         self.policies: list[dict] = list(policies or [])
@@ -27,11 +53,51 @@ class PolicyStore:
     # ------------------------------------------------------------ admin
 
     def add(self, policy: dict) -> None:
-        self.policies.append(policy)
+        """Insert a policy, stamping ``id``/``date`` like the
+        reference's ledger insert (edge_lake/members/policies.py:786
+        add_json_id_date: id = md5 of the content minus date/ledger,
+        date = current UTC)."""
+        self.policies.append(stamp_policy(policy))
 
     @classmethod
     def from_json_lines(cls, text: str) -> "PolicyStore":
         return cls([json.loads(line) for line in text.splitlines() if line.strip()])
+
+    # ------------------------------------------------------ persistence
+
+    def save(self, path: str) -> int:
+        """Persist the ledger as JSON-lines — the reference's durable
+        blockchain file (member_cmd.py:1614 blockchain_get reads a
+        file/master ledger). Returns the policy count."""
+        with open(path, "w") as fh:
+            for p in self.policies:
+                fh.write(json.dumps(p, separators=(",", ":")) + "\n")
+        return len(self.policies)
+
+    @classmethod
+    def load(cls, path: str) -> "PolicyStore":
+        with open(path) as fh:
+            return cls.from_json_lines(fh.read())
+
+    def to_dataframe(self, spark):
+        """The ledger as a Spark DataFrame (policy_type, policy_id,
+        policy_date, policy) — registerable as a `policies` view so SQL
+        and bring queries share one source of truth."""
+        rows = []
+        for p in self.policies:
+            ptype = next(iter(p)) if len(p) == 1 else "*"
+            body = p.get(ptype, p) if ptype != "*" else p
+            rows.append(
+                (
+                    ptype,
+                    str(body.get("id", "")),
+                    str(body.get("date", "")),
+                    json.dumps(p, separators=(",", ":")),
+                )
+            )
+        return spark.createDataFrame(
+            rows or [], "policy_type string, policy_id string, policy_date string, policy string"
+        )
 
     # ------------------------------------------------------------ query
 

@@ -75,3 +75,43 @@ def test_nested_list_iteration_path():
         [{"reading": {"readings": [{"v": 1}, {"v": 2}, {"v": 3}]}}]
     )
     assert s.blockchain_get("reading", None, "bring [reading][readings][][v]") == "1 2 3"
+
+
+class TestLedgerPersistence:
+    def test_stamp_on_add(self):
+        from edgelake_spark.policies.bring import PolicyStore
+
+        store = PolicyStore()
+        store.add({"sensor": {"name": "s1", "company": "acme"}})
+        body = store.policies[0]["sensor"]
+        assert len(body["id"]) == 32 and body["date"]
+        # identical content → identical id (content-addressed, date excluded)
+        store.add({"sensor": {"name": "s1", "company": "acme"}})
+        assert store.policies[1]["sensor"]["id"] == body["id"]
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from edgelake_spark.policies.bring import PolicyStore
+
+        store = PolicyStore()
+        store.add({"operator": {"name": "op1", "ip": "10.0.0.1"}})
+        store.add({"operator": {"name": "op2", "ip": "10.0.0.2"}})
+        store.add({"cluster": {"name": "c1"}})
+        path = tmp_path / "ledger.jsonl"
+        assert store.save(str(path)) == 3
+        back = PolicyStore.load(str(path))
+        assert back.blockchain_get("operator", bring='bring [operator][name] separator = ","') == "op1,op2"
+        # ids survive the round trip
+        assert back.policies[0]["operator"]["id"] == store.policies[0]["operator"]["id"]
+
+    def test_to_dataframe(self, spark, tmp_path):
+        from edgelake_spark.policies.bring import PolicyStore
+
+        store = PolicyStore()
+        store.add({"operator": {"name": "op1"}})
+        store.add({"cluster": {"name": "c1"}})
+        df = store.to_dataframe(spark)
+        df.createOrReplaceTempView("policies")
+        rows = spark.sql(
+            "select policy_type, count(*) as n from policies group by policy_type order by policy_type"
+        ).collect()
+        assert [(r.policy_type, r.n) for r in rows] == [("cluster", 1), ("operator", 1)]

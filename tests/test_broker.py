@@ -1,0 +1,121 @@
+"""Kafka/broker consumer + dest=kafka sink, driven through the text
+file-source double (same single `value` string column contract as a
+Kafka source — see streaming/broker.py docstring)."""
+
+import json
+
+from edgelake_spark.streaming.broker import (
+    BrokerConsumer,
+    kafka_wire_format,
+    parse_kafka_consumer_command,
+    parse_topic_spec,
+    write_query_to_broker,
+)
+from edgelake_spark.streaming.conditions import StreamingCondition
+from edgelake_spark.streaming.monitor import DataMonitor
+
+
+def test_parse_topic_spec():
+    tm = parse_topic_spec(
+        'name = sensor and dbms = lsl_demo and table = ping_sensor and '
+        'column.timestamp.timestamp = "bring [timestamp]" and '
+        'column.value.int = "bring [value]"'
+    )
+    assert tm.name == "sensor" and tm.dbms == "lsl_demo" and tm.table == "ping_sensor"
+    assert tm.columns == {
+        "timestamp": ("timestamp", "[timestamp]"),
+        "value": ("int", "[value]"),
+    }
+
+
+def test_parse_kafka_consumer_command():
+    cfg = parse_kafka_consumer_command(
+        "run kafka consumer where ip = 198.74.50.131 and port = 9092 and "
+        "reset = earliest and topic = (name = sensor and dbms = d and "
+        'table = t and column.value.int = "bring [value]")'
+    )
+    assert cfg["ip"] == "198.74.50.131"
+    assert cfg["port"] == 9092 and cfg["reset"] == "earliest"
+    assert cfg["topic"].name == "sensor"
+
+
+def test_engine_registers_consumer(spark):
+    from edgelake_spark.engine import EdgeLakeEngine
+
+    eng = EdgeLakeEngine(spark)
+    df = eng.run(
+        "run kafka consumer where ip = 10.0.0.5 and port = 9092 and topic = "
+        '(name = t1 and dbms = d and table = x and column.v.int = "bring [v]")'
+    )
+    assert df.collect()[0].bootstrap == "10.0.0.5:9092"
+    assert "t1" in eng.broker_consumers
+
+
+def test_broker_consumer_end_to_end(spark, tmp_path):
+    """Simulated topic messages → bring mapping → conditions → monitor →
+    partitioned append, via the text-source double."""
+    src = tmp_path / "topic"
+    src.mkdir()
+    msgs = [
+        {"timestamp": "2024-01-01 00:00:00", "value": 5, "note": "ok"},
+        {"timestamp": "2024-01-01 00:01:00", "value": 50, "note": "hot"},
+        {"timestamp": "2024-01-01 00:02:00", "value": 7, "note": "ok"},
+    ]
+    (src / "m1.txt").write_text("\n".join(json.dumps(m) for m in msgs))
+
+    tm = parse_topic_spec(
+        'name = sensor and dbms = d and table = readings and '
+        'column.ts.timestamp = "bring [timestamp]" and '
+        'column.value.int = "bring [value]"'
+    )
+    mon = DataMonitor(value_column="value", intervals=2, interval_seconds=3600)
+    consumer = BrokerConsumer(
+        spark=spark,
+        topic=tm,
+        source="text",
+        source_dir=str(src),
+        conditions=[StreamingCondition.parse("if [value] > 10 then ignore entry")],
+        monitor=mon,
+    )
+    out = tmp_path / "landed"
+    q = consumer.start(str(out), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = spark.read.parquet(str(out))
+    rows = sorted((r.ts.isoformat(), r.value) for r in landed.collect())
+    # value=50 dropped by the condition; types are real timestamp/int
+    assert rows == [("2024-01-01T00:00:00", 5), ("2024-01-01T00:02:00", 7)]
+    assert dict(landed.dtypes)["value"] == "int"
+    assert mon.snapshot()[0]["count"] == 2
+
+
+def test_kafka_wire_format_and_file_sink(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    wire = kafka_wire_format(df)
+    assert wire.columns == ["value"]
+    dest_dir = tmp_path / "kafka_out"
+    msg = write_query_to_broker(df, f"kafka@file:{dest_dir}")
+    assert "published" in msg
+    back = [json.loads(r.value) for r in spark.read.text(str(dest_dir)).collect()]
+    assert sorted(back, key=lambda d: d["k"]) == [{"k": 1, "s": "a"}, {"k": 2, "s": "b"}]
+
+
+def test_engine_dest_kafka_file(spark, tmp_path):
+    from datetime import datetime
+
+    from edgelake_spark.engine import EdgeLakeEngine
+    from tests.conftest import SF_DIR
+
+    eng = EdgeLakeEngine(spark, SF_DIR, now=datetime(2024, 2, 1))
+    dest_dir = tmp_path / "q_out"
+    eng.run(
+        f'sql d dest = kafka@file:{dest_dir} '
+        '"select event_id from events order by event_id limit 3"'
+    )
+    vals = sorted(
+        json.loads(r.value)["event_id"]
+        for r in eng.spark.read.text(str(dest_dir)).collect()
+    )
+    assert vals == [0, 1, 2]

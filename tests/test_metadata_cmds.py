@@ -1,0 +1,52 @@
+"""blockchain commands + get data nodes / get virtual tables over the
+policy ledger."""
+
+import json
+
+import pytest
+
+from edgelake_spark.engine import EdgeLakeEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = EdgeLakeEngine(spark)
+    eng.run('blockchain insert {"cluster": {"id": "c1", "company": "acme", "table": [{"dbms": "iot", "name": "sensors"}, {"dbms": "iot", "name": "pumps"}]}}')
+    eng.run('blockchain insert {"operator": {"name": "op1", "cluster": "c1", "ip": "10.0.0.1", "port": 32148, "member": 12}}')
+    eng.run('blockchain insert {"operator": {"name": "op2", "cluster": "c1", "ip": "10.0.0.2", "port": 32148, "member": 14}}')
+    return eng
+
+
+def test_blockchain_get_and_bring(engine):
+    rows = engine.run("blockchain get operator").collect()
+    assert len(rows) == 2
+    got = engine.run('blockchain get operator where name = op1 bring [operator][ip]').collect()
+    assert got[0].result == "10.0.0.1"
+
+
+def test_blockchain_save_load_roundtrip(engine, tmp_path):
+    path = tmp_path / "ledger.jsonl"
+    n = engine.run(f"blockchain save {path}").collect()[0].policies
+    assert n == 3
+    eng2 = EdgeLakeEngine(engine.spark)
+    assert eng2.run(f"blockchain load {path}").collect()[0].policies == 3
+    assert len(eng2.run("blockchain get cluster").collect()) == 1
+
+
+def test_get_data_nodes(engine):
+    df = engine.run("get data nodes")
+    rows = df.collect()
+    # 2 operators × 2 tables in the cluster
+    assert len(rows) == 4
+    assert {r.node_name for r in rows} == {"op1", "op2"}
+    assert {r.table for r in rows} == {"sensors", "pumps"}
+    assert rows[0].company == "acme"
+    one = engine.run("get data nodes where table = sensors").collect()
+    assert len(one) == 2 and all(r.table == "sensors" for r in one)
+
+
+def test_get_virtual_tables(engine):
+    rows = engine.run("get virtual tables").collect()
+    assert [(r.dbms, r.table) for r in rows] == [("iot", "pumps"), ("iot", "sensors")]
+    info = engine.run("get virtual tables info").collect()
+    assert all(r.copies == 2 for r in info)  # two operators per cluster
