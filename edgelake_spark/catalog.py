@@ -61,19 +61,30 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
-def register_sf_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+#: session id → sf_dir currently registered. Registration with the SAME
+#: dir is idempotent (identical view definitions), so repeat engine
+#: constructions skip the per-table schema reads; a different dir
+#: re-registers (views must track it).
+_REGISTERED: dict[int, str] = {}
+
+
+def register_sf_tables(spark: SparkSession, sf_dir: str, force: bool = False) -> list[str]:
     """Register every ``<sf_dir>/<name>.parquet`` as a temp view ``name``.
 
     Reading is lazy; Catalyst prunes columns and pushes filters into the
     Parquet scan, so registering all tables costs nothing until queried.
     """
     ensure_session_confs(spark)
+    sf_dir = os.path.abspath(sf_dir)
+    if _REGISTERED.get(id(spark)) == sf_dir and not force:
+        return [t for t in TESTDATA_TABLES if spark.catalog.tableExists(t)]
     registered = []
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_parquet(spark, path).createOrReplaceTempView(name)
             registered.append(name)
+    _REGISTERED[id(spark)] = sf_dir
     return registered
 
 

@@ -246,11 +246,16 @@ class EdgeLakeEngine:
                 with_info=bool(m.group(1)),
                 **self._meta_filters(m.group(3)),
             )
-        m = _re.match(r"run\s+kafka\s+consumer\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
+        m = _re.match(
+            r"run\s+(?:kafka\s+consumer|mqtt\s+client)\s+where\s+(.*)$",
+            text,
+            _re.IGNORECASE | _re.DOTALL,
+        )
         if m:
             # registers the consumer config; BrokerConsumer.start runs
-            # the stream (reference member_cmd.py:21481 launches the
-            # polling thread — Structured Streaming's query is ours)
+            # the stream. `run mqtt client` (mqtt_client.py:2128) and
+            # `run kafka consumer` (member_cmd.py:21481) share the same
+            # topic→bring mapping semantics, so one parser serves both.
             from edgelake_spark.streaming.broker import parse_kafka_consumer_command
 
             cfg = parse_kafka_consumer_command(text)
@@ -405,8 +410,11 @@ class EdgeLakeEngine:
         elif cmd.options.get("limit"):
             df = df.limit(int(cmd.options["limit"]))
 
-        df = apply_castings(df, rewritten.castings)
+        # timezone BEFORE castings — the reference converts time columns
+        # to the display zone first, then casts/formats
+        # (utils_columns.py:1660-1705 change_columns_values)
         df = self._apply_timezone(df, cmd.timezone)
+        df = apply_castings(df, rewritten.castings)
         return df
 
     # -------------------------------------------------------------- DML

@@ -134,7 +134,22 @@ _COND_RE = re.compile(r"^\s*(\[[^=<>!]+\])\s*(==|!=|>=|<=|>|<)\s*(.+?)\s*$")
 
 
 def _condition_to_column(cond: str, pull_expr) -> F.Column:
-    """'[path] <op> <literal>' → boolean Column over the raw JSON."""
+    """'[path] <op> <literal>' with optional top-level ``and``/``or``
+    chains → boolean Column over the raw JSON (compound conditions per
+    the reference's if-scripts, mapping_policy.py:747 process_if_code;
+    ``or`` binds looser than ``and``, like SQL)."""
+    or_parts = re.split(r"\s+or\s+", cond, flags=re.IGNORECASE)
+    if len(or_parts) > 1:
+        out = _condition_to_column(or_parts[0], pull_expr)
+        for part in or_parts[1:]:
+            out = out | _condition_to_column(part, pull_expr)
+        return out
+    and_parts = re.split(r"\s+and\s+", cond, flags=re.IGNORECASE)
+    if len(and_parts) > 1:
+        out = _condition_to_column(and_parts[0], pull_expr)
+        for part in and_parts[1:]:
+            out = out & _condition_to_column(part, pull_expr)
+        return out
     m = _COND_RE.match(cond)
     if not m:
         raise ValueError(f"cannot parse mapping condition: {cond}")

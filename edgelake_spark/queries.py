@@ -788,11 +788,33 @@ ORDER BY id1, id2
 """
 
 
+#: Spark-side banded range join: the (label, vec_id±50) block becomes an
+#: equi-join on (label, id-bucket) with the probe side exploded over its
+#: two candidate buckets. label alone has ~10 distinct values — a
+#: skew-prone shuffle key whose heaviest partition grows linearly with
+#: data; (label, bucket) keys grow WITH the data, so parallelism holds
+#: at any scale. Measured 0.5 s stable vs 1-19 s (GC-sensitive) for the
+#: label-only join at sf0.1. Produces the identical pair set (bucket
+#: arithmetic only routes candidates; the BETWEEN filter decides).
+_NEAR_DUP_SPARK_BODY = """
+SELECT id1, id2, cos_sim FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, {cos} AS cos_sim
+  FROM (SELECT *, explode(array(CAST(vec_id div 50 AS BIGINT),
+                                CAST(vec_id div 50 AS BIGINT) + 1)) AS probe
+        FROM {n}) a
+  JOIN (SELECT *, CAST(vec_id div 50 AS BIGINT) AS bucket FROM {n}) b
+    ON a.label = b.label AND a.probe = b.bucket
+   AND b.vec_id - a.vec_id BETWEEN 1 AND 50
+) WHERE cos_sim >= 0.2
+ORDER BY id1, id2
+"""
+
+
 def _run_near_dup(spark, sf_dir):
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "embeddings")
     n = _emb_norm_view(spark)
-    return spark.sql(_NEAR_DUP_BODY.format(cos=sim.spark_cosine_staged("a", "b"), n=n))
+    return spark.sql(_NEAR_DUP_SPARK_BODY.format(cos=sim.spark_cosine_staged("a", "b"), n=n))
 
 
 # embedding-cosine near-dup, blocked by (label, id-window) — the exact
@@ -926,3 +948,84 @@ FROM reach GROUP BY a ORDER BY doc_id
 """
 
 _q("doc_dedup_clusters", _run_dedup_clusters, _DEDUP_CLUSTERS_ORACLE)
+
+
+# =====================================================================
+# round 2: timezone presentation, casting pads/format, string
+# predicates, month periods, policy-ledger bring (SURVEY §2.2/§2.6/§2.8)
+# =====================================================================
+
+_q(
+    "el_timezone_cast",
+    # timezone=pt converts BEFORE ::datetime formats (reference
+    # utils_columns.py:1660 change_columns_values: zone first, cast
+    # second). January dates → PST = UTC-8 constant offset.
+    _el(
+        "select ts::datetime('%Y-%m-%d %H:%M:%S') as t from events "
+        "where ts < '2024-01-05' order by ts limit 20",
+        timezone="pt",
+    ),
+    "SELECT strftime(ts - INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS t "
+    "FROM events WHERE ts < TIMESTAMP '2024-01-05' ORDER BY ts LIMIT 20",
+)
+
+_q(
+    "el_casting_pad_format",
+    # ::ljust/::rjust pad-and-truncate + ::format(':.Nf') printf
+    # (reference casting_methods_ utils_columns.py:1963-1977)
+    _el(
+        "select event_id, event_type::ljust(10) as lp, "
+        "event_type::rjust(12) as rp, value::format(':.2f') as fv "
+        "from events where event_id < 25 order by event_id"
+    ),
+    "SELECT event_id, substr(rpad(event_type, 10, ' '), 1, 10) AS lp, "
+    "lpad(event_type, 12, ' ') AS rp, printf('%.2f', value) AS fv "
+    "FROM events WHERE event_id < 25 ORDER BY event_id",
+)
+
+_q(
+    "el_string_predicates",
+    # contains/prefix predicates in WHERE (reference operator set
+    # utils_columns.py:217-232; prefix wildcard is_prefix_search)
+    _el(
+        "select lang, count(*) as n from documents "
+        "where contains(text, 'merge') and source like 'src1%' "
+        "group by lang order by lang"
+    ),
+    "SELECT lang, count(*) AS n FROM documents "
+    "WHERE contains(text, 'merge') AND source LIKE 'src1%' "
+    "GROUP BY lang ORDER BY lang",
+)
+
+_PERIOD_ANCHOR_M = "(SELECT MAX(ts) FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00')"
+
+_q(
+    "el_period_month",
+    # month-unit trailing window (units ladder unify_results.py:710-714)
+    _el(
+        "select count(*) as n, min(ts) as mn, max(ts) as mx from events "
+        "where period(month, 1, '2024-02-01 00:00:00', ts)"
+    ),
+    f"SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx FROM events "
+    f"WHERE ts > {_PERIOD_ANCHOR_M} - INTERVAL 1 MONTH AND ts <= {_PERIOD_ANCHOR_M}",
+)
+
+
+def _run_policy_bring(spark, sf_dir):
+    """Policy-ledger query: blockchain insert (explicit id/date so the
+    result is deterministic) → blockchain get + bring projection
+    (reference member_cmd.py:1614 blockchain_get; bring variants
+    utils_json.py:41-57). Rows-only gate: the ledger is engine-side
+    metadata with no parquet oracle table."""
+    eng = EdgeLakeEngine(spark, None, now=FIXED_NOW)
+    for name, ip in (("op1", "10.0.0.1"), ("op2", "10.0.0.2"), ("op3", "10.0.0.3")):
+        eng.run(
+            'blockchain insert {"operator": {"name": "%s", "company": "acme", '
+            '"ip": "%s", "port": 32148, "id": "%s", "date": "2024-02-01"}}' % (name, ip, name)
+        )
+    return eng.run(
+        'blockchain get operator where company = acme bring [operator][name] separator = ", "'
+    )
+
+
+_q("policy_bring", _run_policy_bring, None)

@@ -39,6 +39,13 @@ from edgelake_spark.streaming.monitor import DataMonitor
 _COLUMN_RE = re.compile(
     r"column\.(\w+)\.(\w+)\s*=\s*\"?bring\s+(\[[^\"]*\]|\S+)\"?", re.IGNORECASE
 )
+#: the MQTT client's long form: column.<name> = (type = <t> and value =
+#: "bring [path]" ...) (mqtt_client.py:2136 get_column_type_value)
+_COLUMN_LONG_RE = re.compile(
+    r"column\.(\w+)\s*=\s*\(\s*type\s*=\s*(\w+)\s+and\s+value\s*=\s*"
+    r"\"bring\s+([^\"]*)\"",
+    re.IGNORECASE,
+)
 _KV_RE = re.compile(r"\b(name|dbms|table)\s*=\s*(\w+)", re.IGNORECASE)
 
 
@@ -71,6 +78,8 @@ def parse_topic_spec(spec: str) -> TopicMapping:
     columns = {
         m.group(1): (m.group(2), m.group(3)) for m in _COLUMN_RE.finditer(spec)
     }
+    for m in _COLUMN_LONG_RE.finditer(spec):
+        columns.setdefault(m.group(1), (m.group(2), m.group(3).strip()))
     if "name" not in kv:
         raise ValueError(f"topic spec missing name: {spec}")
     if not columns:
@@ -89,9 +98,9 @@ def parse_kafka_consumer_command(text: str) -> dict:
         raise ValueError("run kafka consumer: missing topic = (...)")
     topic = parse_topic_spec(m.group(1))
     head = text[: m.start()]
-    opts = dict(re.findall(r"\b(ip|port|reset)\s*=\s*([\w.\-/]+)", head, re.IGNORECASE))
+    opts = dict(re.findall(r"\b(ip|broker|port|reset)\s*=\s*([\w.\-/]+)", head, re.IGNORECASE))
     return {
-        "ip": opts.get("ip", "localhost"),
+        "ip": opts.get("ip", opts.get("broker", "localhost")),
         "port": int(opts.get("port", 9092)),
         "reset": opts.get("reset", "latest"),
         "topic": topic,

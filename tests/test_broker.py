@@ -119,3 +119,24 @@ def test_engine_dest_kafka_file(spark, tmp_path):
         for r in eng.spark.read.text(str(dest_dir)).collect()
     )
     assert vals == [0, 1, 2]
+
+
+def test_mqtt_client_alias_and_long_column_form(spark):
+    from edgelake_spark.engine import EdgeLakeEngine
+    from edgelake_spark.streaming.broker import parse_topic_spec
+
+    tm = parse_topic_spec(
+        'name = edgex and dbms = d and table = t and '
+        'column.ts = (type = timestamp and value = "bring [readings][ts]" and optional = true) and '
+        'column.v.int = "bring [v]"'
+    )
+    assert tm.columns["ts"] == ("timestamp", "[readings][ts]")
+    assert tm.columns["v"] == ("int", "[v]")
+
+    eng = EdgeLakeEngine(spark)
+    df = eng.run(
+        "run mqtt client where broker = 10.1.1.1 and port = 32150 and topic = "
+        '(name = edgex and dbms = d and table = t and column.v.int = "bring [v]")'
+    )
+    assert df.collect()[0].bootstrap == "10.1.1.1:32150"
+    assert "edgex" in eng.broker_consumers

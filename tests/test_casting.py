@@ -80,3 +80,23 @@ def test_chained_castings(spark):
 def test_unknown_casting_rejected(spark):
     with pytest.raises(CastingError):
         one(spark, "1", "sideways(3)")
+
+
+def test_timezone_applies_before_casting(spark):
+    """timezone=pt must shift a timestamp even when a ::datetime casting
+    formats it to string — the reference converts the zone first, then
+    casts (utils_columns.py:1660 change_columns_values)."""
+    from datetime import datetime
+
+    from edgelake_spark.engine import EdgeLakeEngine
+    from tests.conftest import SF_DIR
+
+    eng = EdgeLakeEngine(spark, SF_DIR, now=datetime(2024, 2, 1))
+    utc = eng.run(
+        'sql d "select ts::datetime(\'%Y-%m-%d %H:%M\') as t from events order by ts limit 1"'
+    ).collect()[0].t
+    pt = eng.run(
+        'sql d timezone = pt "select ts::datetime(\'%Y-%m-%d %H:%M\') as t from events order by ts limit 1"'
+    ).collect()[0].t
+    # January → PST = UTC-8
+    assert utc == "2024-01-01 00:09" and pt == "2023-12-31 16:09"

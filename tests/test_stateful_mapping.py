@@ -87,3 +87,33 @@ def test_ewma_state_survives_batches(spark, tmp_path):
         assert rows[-1].ewma == 25.0 and rows[-1].n_rows == 3
     finally:
         q.stop()
+
+
+def test_mapping_compound_conditions(spark):
+    """and/or chains in condition rules (reference if-scripts support
+    compound predicates; or binds looser than and)."""
+    policy = {
+        "mapping": {
+            "id": "m4",
+            "schema": {
+                "device": {"type": "varchar", "bring": "[device]"},
+                "grade": {
+                    "type": "varchar",
+                    "bring": "[grade]",
+                    "conditions": [
+                        {"if": "[value] > 50 and [temp] > 30", "then": "critical"},
+                        {"if": "[value] > 50 or [temp] > 90", "then": "watch"},
+                    ],
+                },
+            },
+        }
+    }
+    rows = [
+        {"device": "a", "grade": "ok", "value": 60.0, "temp": 40.0},  # and → critical
+        {"device": "b", "grade": "ok", "value": 60.0, "temp": 10.0},  # or → watch
+        {"device": "c", "grade": "ok", "value": 10.0, "temp": 95.0},  # or → watch
+        {"device": "d", "grade": "ok", "value": 10.0, "temp": 10.0},  # neither
+    ]
+    raw = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+    out = {r.device: r.grade for r in apply_mapping_policy(spark, raw, policy).collect()}
+    assert out == {"a": "critical", "b": "watch", "c": "watch", "d": "ok"}
