@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "emb_cosine_topk",
     "emb_ivf_topk",
     "emb_near_dup",
+    # round 2 additions
+    "multimodal_features",
+    "events_ewma",
 ]
 
 

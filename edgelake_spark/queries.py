@@ -495,6 +495,25 @@ ORDER BY id1, id2
 """
 
 
+#: Spark-side body: writing `WHERE jac >= 0.5` lets Catalyst push the
+#: filter INTO the join condition, where the pushed copy re-computes
+#: array_intersect per candidate (join conditions get no subexpression
+#: elimination) and the cheap doc_id< test lands after it. Instead the
+#: threshold is the exact integer form 3·|A∩B| ≥ |A|+|B| (⟺ J ≥ 0.5)
+#: placed after the cheap conjuncts, and the double-valued jac is only
+#: projected for survivors: one intersect per candidate + one per
+#: survivor, cheap tests first.
+_NGRAM_PAIRS_SPARK_BODY = """
+SELECT id1, id2, jac FROM (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, {jac} AS jac
+  FROM {g} a JOIN {g} b
+    ON a.lang = b.lang AND a.source = b.source
+  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 10
+    AND 3 * size(array_intersect(a.grams, b.grams)) >= size(a.grams) + size(b.grams)
+) ORDER BY id1, id2
+"""
+
+
 def _run_ngram_pairs(spark, sf_dir):
     """Blocked exact Jaccard verify. Blocking keys (lang, source,
     n_chars±10) bound the candidate count; the gram arrays are cached so
@@ -509,7 +528,7 @@ def _run_ngram_pairs(spark, sf_dir):
     ).localCheckpoint()
     g.createOrReplaceTempView("__ng_g")
     return spark.sql(
-        _NGRAM_PAIRS_BODY.format(jac=dd.spark_jaccard("a.grams", "b.grams"), g="__ng_g")
+        _NGRAM_PAIRS_SPARK_BODY.format(jac=dd.spark_jaccard("a.grams", "b.grams"), g="__ng_g")
     )
 
 
@@ -1029,3 +1048,82 @@ def _run_policy_bring(spark, sf_dir):
 
 
 _q("policy_bring", _run_policy_bring, None)
+
+
+def _run_multimodal_features(spark, sf_dir):
+    """Multimodal blob pipeline, driver-gated end-to-end: documents text
+    → binary content keyed by sha256 (the reference's store-by-hash
+    blob contract, bucket_dbms.py:110) → Arrow-batched mapInPandas
+    feature extraction (deterministic stub decode — see
+    functions/multimodal.py). The oracle recomputes the stub's
+    hash-derived width/height arithmetic in SQL."""
+    from edgelake_spark.functions.multimodal import extract_features
+
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    blobs = spark.sql(
+        "SELECT sha2(encode(text, 'UTF-8'), 256) AS blob_hash, "
+        "'text' AS media_type, source AS source_name, "
+        "encode(text, 'UTF-8') AS content, "
+        "CAST(length(encode(text, 'UTF-8')) AS BIGINT) AS n_bytes "
+        "FROM documents_rep"
+    )
+    return (
+        extract_features(blobs, decode_stub=True)
+        .selectExpr("blob_hash", "n_bytes", "width", "height")
+        .orderBy("blob_hash", "n_bytes")
+    )
+
+
+def _hexbyte(col: str, byte_idx: int) -> str:
+    """DuckDB: value of 0-based byte ``byte_idx`` of a hex digest."""
+    hi = f"strpos('0123456789abcdef', substr({col}, {2 * byte_idx + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr({col}, {2 * byte_idx + 2}, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_q(
+    "multimodal_features",
+    _run_multimodal_features,
+    f"""
+WITH b AS (
+  SELECT sha256(text) AS blob_hash,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT blob_hash, n_bytes,
+  CAST(1 + {_hexbyte('blob_hash', 8)} % 64 AS INTEGER) AS width,
+  CAST(1 + {_hexbyte('blob_hash', 9)} % 64 AS INTEGER) AS height
+FROM b ORDER BY blob_hash, n_bytes
+""",
+)
+
+# batch EWMA with the streaming operator's exact fold semantics
+# (streaming/stateful.py ewma_stream: ewma' = (1-α)·ewma + α·x, α=0.5,
+# rows in unique event_id order: ts would tie-break differently across
+# engines because DuckDB keeps ns while Spark truncates to µs) —
+# verifiable against a DuckDB
+# list_reduce oracle bit-for-bit because both engines fold doubles in
+# the same sequence. The continuous-stream variant is unit-tested.
+_EWMA_SPARK = """
+SELECT user_id,
+  CAST(aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),
+                 (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x * CAST(0.5 AS DOUBLE)) AS DOUBLE) AS ewma,
+  CAST(size(vals) AS BIGINT) AS n
+FROM (
+  SELECT user_id,
+         transform(array_sort(collect_list(struct(event_id, value))),
+                   s -> CAST(s.value AS DOUBLE)) AS vals
+  FROM events GROUP BY user_id
+) ORDER BY user_id
+"""
+
+_EWMA_DUCK = """
+SELECT user_id,
+  CAST(list_reduce(list(CAST(value AS DOUBLE) ORDER BY event_id),
+                   (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x * CAST(0.5 AS DOUBLE)) AS DOUBLE) AS ewma,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+_q("events_ewma", _sql(_EWMA_SPARK), _EWMA_DUCK)
