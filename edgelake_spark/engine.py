@@ -26,6 +26,7 @@ from edgelake_spark.dialect.rewriter import rewrite_select
 from edgelake_spark.output import format_result
 
 _view_counter = itertools.count()
+_job_counter = itertools.count()
 
 
 class EdgeLakeEngine:
@@ -66,6 +67,13 @@ class EdgeLakeEngine:
 
         self.policy_store = PolicyStore()
         self._last_pass_through = False
+        #: dest = buffer:<key> rendered outputs (reference assign_key /
+        #: "buffer" destination, output_data.py:37-60)
+        self.buffers: dict[str, str] = {}
+        #: per-query audit: statement, rewritten SQL, wall seconds
+        #: (reference `query status/explain` — member_cmd.py:21665,
+        #: job_instance bookkeeping). Bounded ring, newest last.
+        self.query_log: list[dict] = []
         if sf_dir:
             catalog.register_sf_tables(spark, sf_dir)
 
@@ -127,6 +135,16 @@ class EdgeLakeEngine:
             from edgelake_spark.streaming.broker import write_query_to_broker
 
             write_query_to_broker(df, dest)
+            return df
+        if dest.startswith("buffer:") or dest == "buffer":
+            # dest = buffer[:key] — rendered output kept engine-side
+            # under a key (reference assign_key "buffer" destination,
+            # output_data.py:37-60; read back with !key)
+            key = dest[7:] or "last"
+            fmt = cmd.fmt if cmd.fmt != "dataframe" else "json"
+            self.buffers[key] = format_result(
+                df, fmt, stat=cmd.options.get("stat", False)
+            )
             return df
         if dest.startswith("file:"):
             # dest = file:<path> — reference routes formatted output to a
@@ -221,6 +239,36 @@ class EdgeLakeEngine:
                     rows.append((name, bucket))
             return self.spark.createDataFrame(
                 rows or [], "table_name string, partition string"
+            )
+        m = _re.match(r"query\s+(status|explain)(\s+(\S+))?$", text, _re.IGNORECASE)
+        if m:
+            # reference `query status/explain` (member_cmd.py:21665,
+            # _query_status :7332): show the source statement, the
+            # rewritten local SQL, and (explain) the physical plan
+            which = m.group(1).lower()
+            sel = m.group(3)
+            if which == "status":
+                rows = [
+                    (e["job_id"], e["statement"], e["rewritten_sql"], e["pass_through"])
+                    for e in self.query_log
+                ]
+                return self.spark.createDataFrame(
+                    rows or [],
+                    "job_id bigint, statement string, rewritten_sql string, pass_through boolean",
+                )
+            if not self.query_log:
+                return self.spark.createDataFrame([], "job_id bigint, plan string")
+            if sel and sel.lower() != "last":
+                entry = next(
+                    (e for e in self.query_log if e["job_id"] == int(sel)), self.query_log[-1]
+                )
+            else:
+                entry = self.query_log[-1]
+            plan = entry["df"]._sc._jvm.PythonSQLUtils.explainString(
+                entry["df"]._jdf.queryExecution(), "formatted"
+            )
+            return self.spark.createDataFrame(
+                [(entry["job_id"], plan)], "job_id bigint, plan string"
             )
         m = _re.match(r"blockchain\s+(insert|get|load|save)\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
@@ -395,6 +443,16 @@ class EdgeLakeEngine:
             "pass_through", True
         )
         df = self.spark.sql(rewritten.sql)
+        self.query_log.append(
+            {
+                "job_id": next(_job_counter),
+                "statement": cmd.statement,
+                "rewritten_sql": rewritten.sql,
+                "pass_through": bool(self._last_pass_through),
+                "df": df,
+            }
+        )
+        del self.query_log[:-200]  # bounded
 
         per_column = cmd.options.get("per_column")
         if per_column and cmd.options.get("limit"):

@@ -144,6 +144,25 @@ class PolicyStore:
         variants = {v for v in m.group(1).lower().split(".") if v}
         spec = m.group(2).strip()
 
+        if "children" in variants:
+            # replace matched policies with their children: policies
+            # whose body's `parent` equals a matched policy's id
+            # (reference member_cmd.py:1711, blockchain
+            # get_root_or_children)
+            parent_ids = set()
+            for p in policies:
+                ptype = next(iter(p)) if len(p) == 1 else None
+                body = p.get(ptype, {}) if ptype else {}
+                if isinstance(body, dict) and "id" in body:
+                    parent_ids.add(body["id"])
+            children = []
+            for p in self.policies:
+                ptype = next(iter(p)) if len(p) == 1 else None
+                body = p.get(ptype, {}) if ptype else {}
+                if isinstance(body, dict) and body.get("parent") in parent_ids:
+                    children.append(p)
+            policies = children
+
         # separator condition at the tail: `separator = \n` style
         separator = ""
         sep_m = re.search(r"separator\s*=\s*(\S+)\s*$", spec)
@@ -163,12 +182,16 @@ class PolicyStore:
                 return []
             return [policies[0]] if ("first" in variants or "recent" in variants) else [policies[-1]]
 
-        # project each policy through the pull spec (paths + literals)
+        # project each policy through the pull spec (paths + literals).
+        # bring.null keeps policies whose paths are missing, rendering
+        # them as "null" (reference utils_json.py:748,1439)
         projected: list[str] = []
         for policy in policies:
             value_str, ok = self._project(policy, spec)
             if ok:
                 projected.append(value_str)
+            elif "null" in variants:
+                projected.append("null")
 
         if "unique" in variants:
             seen, uniq = set(), []

@@ -50,3 +50,47 @@ def test_get_virtual_tables(engine):
     assert [(r.dbms, r.table) for r in rows] == [("iot", "pumps"), ("iot", "sensors")]
     info = engine.run("get virtual tables info").collect()
     assert all(r.copies == 2 for r in info)  # two operators per cluster
+
+
+def test_query_status_and_explain(spark):
+    from datetime import datetime
+
+    from tests.conftest import SF_DIR
+
+    eng = EdgeLakeEngine(spark, SF_DIR, now=datetime(2024, 2, 1))
+    eng.run('sql d "select count(*) as n from events"')
+    eng.run('sql d "select event_type, count(*) as n from events group by event_type"')
+    status = eng.run("query status").collect()
+    assert len(status) == 2
+    assert "GROUP BY" in status[-1].rewritten_sql
+    plan = eng.run("query explain last").collect()[0]
+    assert plan.job_id == status[-1].job_id
+    assert "Physical Plan" in plan.plan and "HashAggregate" in plan.plan
+
+
+def test_dest_buffer(spark):
+    from datetime import datetime
+
+    from tests.conftest import SF_DIR
+
+    eng = EdgeLakeEngine(spark, SF_DIR, now=datetime(2024, 2, 1))
+    eng.run('sql d format = json dest = buffer:res1 "select count(*) as n from events"')
+    import json as _json
+
+    assert _json.loads(eng.buffers["res1"])["Query"][0]["n"] == 1000
+
+
+def test_bring_children_and_null(spark):
+    eng = EdgeLakeEngine(spark)
+    eng.run('blockchain insert {"cluster": {"name": "c1", "id": "cid1", "date": "2024-01-01"}}')
+    eng.run('blockchain insert {"operator": {"name": "op1", "parent": "cid1", "id": "o1", "date": "2024-01-01"}}')
+    eng.run('blockchain insert {"operator": {"name": "op2", "parent": "cid1", "id": "o2", "date": "2024-01-01", "extra": 1}}')
+    got = eng.run(
+        'blockchain get cluster where name = c1 bring.children [operator][name] separator = ","'
+    ).collect()[0].result
+    assert got == "op1,op2"
+    # bring.null renders missing paths as "null" instead of dropping
+    got = eng.run(
+        'blockchain get operator bring.null [operator][extra] separator = ","'
+    ).collect()[0].result
+    assert got == "null,1"
