@@ -864,19 +864,17 @@ def _run_dedup_clusters(spark, sf_dir):
     # checkpoint the pairs FIRST — they are referenced twice below and
     # would otherwise run the whole LSH pipeline once per reference
     pairs = _run_minhash_pairs(spark, sf_dir).select("id1", "id2").localCheckpoint()
-    edges = (
-        pairs.union(pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
-        .distinct()
-        .localCheckpoint()
-    )
-    # Hybrid CC: the edge set is the LSH OUTPUT — already reduced from
+    # Hybrid CC: the pair set is the LSH OUTPUT — already reduced from
     # O(n²) to candidate pairs. Below a threshold the asymptotically
     # "right" distributed loop is all scheduling overhead (measured 49s
     # for a 27k-edge graph vs <1s driver-side), so small graphs run
     # union-find on the driver; big ones fall through to distributed
-    # min-label + pointer-jumping rounds.
-    n_edges = edges.count()
-    if n_edges <= 5_000_000:
+    # min-label + pointer-jumping rounds. Union-find consumes the raw
+    # (id1<id2) pairs directly; only the distributed loop needs the
+    # bidirectional edge set (built below, no distinct — the two halves
+    # cannot overlap).
+    n_edges = pairs.count()
+    if n_edges <= 2_500_000:
         parent: dict = {}
 
         def find(x):
@@ -887,7 +885,7 @@ def _run_dedup_clusters(spark, sf_dir):
                 parent[x], x = root, parent[x]
             return root
 
-        for a, b in edges.collect():
+        for a, b in pairs.collect():
             if a not in parent:
                 parent[a] = a
             if b not in parent:
@@ -901,6 +899,9 @@ def _run_dedup_clusters(spark, sf_dir):
         rows = sorted(comp.items())
         return spark.createDataFrame(rows, "doc_id long, component_id long")
 
+    edges = pairs.union(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("id1").alias("doc_id"))
         .distinct()
