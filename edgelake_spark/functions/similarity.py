@@ -80,3 +80,67 @@ def duck_cosine_staged(a: str, b: str) -> str:
         f"for i in range(1, len({a}.demb) + 1)])"
     )
     return f"({dot} / ({a}.norm * {b}.norm))"
+
+
+# --- k-means centroid refinement (the IVF scale path) -----------------
+#
+# The gate's IVF uses a deterministic stride subset as centroids so the
+# DuckDB oracle can reproduce it. At 100 TB stride centroids track the
+# id distribution, not the vector distribution — refined centroids cut
+# probe fan-out. This is Lloyd's iteration as pure DataFrame ops:
+# assign (N×C broadcast join, C small) → mean per cluster (one shuffle
+# of C×dim partial sums) → repeat. Deterministic given a deterministic
+# init (the stride subset), so runs are reproducible.
+
+
+def kmeans_refine(spark, vectors, iters: int = 2, stride: int = 47):
+    """``vectors``: DataFrame(vec_id long, demb array<double>). Returns
+    DataFrame(centroid_id long, centroid array<double>) after ``iters``
+    Lloyd rounds from the stride-subset initialization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    cents = (
+        vectors.filter(F.col("vec_id") % stride == 0)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("demb").alias("centroid"))
+    )
+    for _ in range(iters):
+        c = F.broadcast(cents)
+        # squared L2 distance, index-order fold (deterministic)
+        d2 = (
+            "aggregate(zip_with(demb, centroid, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        assigned = (
+            vectors.crossJoin(c)
+            .withColumn("__d2", F.expr(d2))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("__d2"), F.col("centroid_id")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+        )
+        # per-cluster mean: explode to (cluster, idx, val), partial sums
+        # combine map-side — one C×dim-sized shuffle, independent of N
+        sums = (
+            assigned.select(
+                "centroid_id", F.posexplode("demb").alias("__i", "__x")
+            )
+            .groupBy("centroid_id", "__i")
+            .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__i", (F.col("__s") / F.col("__n")).alias("__m")))
+                ).alias("__pairs")
+            )
+            .select(
+                "centroid_id",
+                F.expr("transform(__pairs, p -> p.__m)").alias("centroid"),
+            )
+        )
+        cents = sums
+    return cents
