@@ -62,6 +62,10 @@ class EdgeLakeEngine:
         self.partitioned_paths: dict[str, str] = {}
         #: topic name → parsed `run kafka consumer` config
         self.broker_consumers: dict[str, dict] = {}
+        #: "dbms.table" → streaming conditions / data monitors, consumed
+        #: by broker/file ingest pipelines targeting that table
+        self.streaming_conditions: dict[str, list] = {}
+        self.monitors: dict[str, object] = {}
         #: the node's policy ledger (reference: blockchain file/master)
         from edgelake_spark.policies import PolicyStore
 
@@ -240,6 +244,109 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 rows or [], "table_name string, partition string"
             )
+        m = _re.match(
+            r"set\s+streaming\s+conditions?\s+where\s+(.*?)\s+(if\s+.*)$",
+            text,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            # reference member_cmd.py:18886 set streaming condition
+            from edgelake_spark.streaming.conditions import StreamingCondition
+
+            head, rule = m.group(1), m.group(2)
+            opts = dict(_re.findall(r"\b(dbms|table|limit)\s*=\s*(\S+)", head, _re.IGNORECASE))
+            key = f"{opts.get('dbms', '')}.{opts.get('table', '*')}"
+            cond = StreamingCondition.parse(rule, limit=int(opts.get("limit", 0)))
+            self.streaming_conditions.setdefault(key, []).append(cond)
+            return self.spark.createDataFrame(
+                [(key, len(self.streaming_conditions[key]) - 1, rule.strip())],
+                "table_key string, condition_id int, rule string",
+            )
+        m = _re.match(
+            r"get\s+streaming\s+conditions(\s+where\s+(.*))?$", text, _re.IGNORECASE
+        )
+        if m:
+            filt = dict(_re.findall(r"\b(dbms|table)\s*=\s*(\S+)", m.group(2) or "", _re.IGNORECASE))
+            rows = []
+            for key, conds in sorted(self.streaming_conditions.items()):
+                dbms, _, table = key.partition(".")
+                if filt.get("dbms") and filt["dbms"] != dbms:
+                    continue
+                if filt.get("table") and filt["table"] != table:
+                    continue
+                for i, c in enumerate(conds):
+                    rows.append((key, i, c.column, c.op, c.value, c.action, c.limit))
+            return self.spark.createDataFrame(
+                rows or [],
+                "table_key string, condition_id int, column string, op string, "
+                "value string, action string, limit int",
+            )
+        m = _re.match(
+            r"reset\s+streaming\s+conditions?\s+where\s+(.*)$", text, _re.IGNORECASE
+        )
+        if m:
+            # reference member_cmd.py:18743 reset streaming condition
+            opts = m.group(1)
+            ids = [int(v) for v in _re.findall(r"\bid\s*=\s*(\d+)", opts)]
+            kv = dict(_re.findall(r"\b(dbms|table)\s*=\s*(\S+)", opts, _re.IGNORECASE))
+            key = f"{kv.get('dbms', '')}.{kv.get('table', '*')}"
+            removed = 0
+            if key in self.streaming_conditions:
+                if ids:
+                    conds = self.streaming_conditions[key]
+                    self.streaming_conditions[key] = [
+                        c for i, c in enumerate(conds) if i not in ids
+                    ]
+                    removed = len(conds) - len(self.streaming_conditions[key])
+                else:
+                    removed = len(self.streaming_conditions.pop(key))
+            return self.spark.createDataFrame([(removed,)], "removed int")
+        m = _re.match(r"data\s+monitor\s+where\s+(.*)$", text, _re.IGNORECASE)
+        if m:
+            # reference data_monitor.py:16-20 `data monitor where dbms=..
+            # and intervals=N and time=K unit and value_column=v`
+            from edgelake_spark.streaming.monitor import DataMonitor
+
+            opts = dict(
+                _re.findall(
+                    r"\b(dbms|table|intervals|time|value_column)\s*=\s*"
+                    r"(\S+(?:\s+(?!and\b)\w+)?)",
+                    m.group(1),
+                    _re.IGNORECASE,
+                )
+            )
+            tm = _re.match(r"(\d+)(?:\s+(\w+))?", opts.get("time", "1 minute"))
+            secs = int(tm.group(1)) * {"second": 1, "minute": 60, "hour": 3600}.get(
+                (tm.group(2) or "minute").rstrip("s"), 60
+            )
+            key = f"{opts.get('dbms', '')}.{opts.get('table', '*')}"
+            self.monitors[key] = DataMonitor(
+                value_column=opts.get("value_column", "value"),
+                intervals=int(opts.get("intervals", 10)),
+                interval_seconds=secs,
+            )
+            return self.spark.createDataFrame(
+                [(key, int(opts.get("intervals", 10)), secs)],
+                "table_key string, intervals int, interval_seconds int",
+            )
+        m = _re.match(r"get\s+data\s+monitor(\s+where\s+(.*))?$", text, _re.IGNORECASE)
+        if m:
+            filt = dict(_re.findall(r"\b(dbms|table)\s*=\s*(\S+)", m.group(2) or "", _re.IGNORECASE))
+            rows = []
+            for key, mon in sorted(self.monitors.items()):
+                dbms, _, table = key.partition(".")
+                if filt.get("dbms") and filt["dbms"] != dbms:
+                    continue
+                if filt.get("table") and filt["table"] != table:
+                    continue
+                for s in mon.snapshot():
+                    rows.append(
+                        (key, s["interval"], s["count"], s["min"], s["max"], s["sum"])
+                    )
+            return self.spark.createDataFrame(
+                rows or [],
+                "table_key string, interval int, count bigint, min double, max double, sum double",
+            )
         m = _re.match(r"query\s+(status|explain)(\s+(\S+))?$", text, _re.IGNORECASE)
         if m:
             # reference `query status/explain` (member_cmd.py:21665,
@@ -307,6 +414,11 @@ class EdgeLakeEngine:
             from edgelake_spark.streaming.broker import parse_kafka_consumer_command
 
             cfg = parse_kafka_consumer_command(text)
+            # attach any conditions/monitor registered for the target
+            # table, so the consumer topology picks them up at start
+            tkey = f"{cfg['topic'].dbms}.{cfg['topic'].table}"
+            cfg["conditions"] = self.streaming_conditions.get(tkey, [])
+            cfg["monitor"] = self.monitors.get(tkey)
             self.broker_consumers[cfg["topic"].name] = cfg
             return self.spark.createDataFrame(
                 [(cfg["topic"].name, f"{cfg['ip']}:{cfg['port']}", cfg["reset"])],

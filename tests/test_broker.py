@@ -140,3 +140,21 @@ def test_mqtt_client_alias_and_long_column_form(spark):
     )
     assert df.collect()[0].bootstrap == "10.1.1.1:32150"
     assert "edgex" in eng.broker_consumers
+
+
+def test_consumer_picks_up_registered_conditions(spark):
+    from edgelake_spark.engine import EdgeLakeEngine
+
+    eng = EdgeLakeEngine(spark)
+    eng.run(
+        "set streaming condition where dbms = d and table = x "
+        "if [v] > 10 then ignore entry"
+    )
+    eng.run("data monitor where dbms = d and table = x and intervals = 2")
+    eng.run(
+        "run kafka consumer where ip = 10.0.0.5 and port = 9092 and topic = "
+        '(name = t9 and dbms = d and table = x and column.v.int = "bring [v]")'
+    )
+    cfg = eng.broker_consumers["t9"]
+    assert len(cfg["conditions"]) == 1 and cfg["conditions"][0].column == "v"
+    assert cfg["monitor"] is not None

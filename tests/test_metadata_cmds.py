@@ -94,3 +94,40 @@ def test_bring_children_and_null(spark):
         'blockchain get operator bring.null [operator][extra] separator = ","'
     ).collect()[0].result
     assert got == "null,1"
+
+
+def test_streaming_condition_and_monitor_commands(spark):
+    import json as _json
+
+    eng = EdgeLakeEngine(spark)
+    r = eng.run(
+        "set streaming condition where dbms = edgex and table = rand_data and limit = 3 "
+        "if [value] > 10 then ignore entry"
+    ).collect()[0]
+    assert r.table_key == "edgex.rand_data" and r.condition_id == 0
+    eng.run(
+        "set streaming condition where dbms = edgex and table = rand_data "
+        "if [value] < 0 then alert"
+    )
+    conds = eng.run("get streaming conditions where dbms = edgex").collect()
+    assert len(conds) == 2 and conds[0].action == "ignore entry"
+    # conditions actually drop rows when applied to a batch
+    from edgelake_spark.streaming.conditions import apply_conditions
+
+    batch = spark.createDataFrame([(5.0,), (50.0,)], "value double")
+    kept = apply_conditions(batch, eng.streaming_conditions["edgex.rand_data"])
+    assert [r.value for r in kept.collect()] == [5.0]
+    # reset by id
+    assert eng.run(
+        "reset streaming condition where dbms = edgex and table = rand_data and id = 1"
+    ).collect()[0].removed == 1
+    assert len(eng.run("get streaming conditions").collect()) == 1
+
+    # data monitor lifecycle
+    eng.run(
+        "data monitor where dbms = edgex and table = rand_data and intervals = 4 "
+        "and time = 1 minute and value_column = value"
+    )
+    eng.monitors["edgex.rand_data"].process_batch(batch)
+    snap = eng.run("get data monitor where dbms = edgex").collect()
+    assert len(snap) == 1 and snap[0]["count"] == 2 and snap[0]["max"] == 50.0
