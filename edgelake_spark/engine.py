@@ -97,6 +97,12 @@ class EdgeLakeEngine:
         Returns a DataFrame for format=dataframe (default), else a
         rendered string (json / json:list / table).
         """
+        # the canonical CLI prefix: `run client () <command>` routes the
+        # command to query nodes (reference member_cmd.py:21027-21037);
+        # single-engine here, so strip and run locally
+        import re as _re
+
+        command = _re.sub(r"^\s*run\s+client\s*\([^)]*\)\s*", "", command)
         admin_result = self._try_admin(command)
         if admin_result is not None:
             return admin_result

@@ -1128,3 +1128,34 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 _q("events_ewma", _sql(_EWMA_SPARK), _EWMA_DUCK)
+
+
+def _run_dedup_keep(spark, sf_dir):
+    """The user-facing dedup OUTPUT: one kept document per near-dup
+    cluster (the cluster's min doc_id) plus every unclustered doc —
+    i.e. the deduplicated corpus a training pipeline feeds downstream.
+    Left-anti join against the "drop" side of the cluster map; at scale
+    the cluster map is orders of magnitude smaller than the corpus, so
+    the anti-join broadcasts."""
+    from pyspark.sql import functions as F
+
+    clusters = _run_dedup_clusters(spark, sf_dir)
+    drops = clusters.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    docs = spark.table("documents")
+    return (
+        docs.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_q(
+    "doc_dedup_keep",
+    _run_dedup_keep,
+    f"""
+WITH comp AS ({_DEDUP_CLUSTERS_ORACLE.replace("ORDER BY doc_id", "")})
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component_id)
+ORDER BY doc_id
+""",
+)

@@ -72,3 +72,9 @@ def test_update_swap_uses_pre_update_row(engine):
     engine.run('sql d "update t4 set a = b, b = a"')
     row = engine.run('sql d "select a, b from t4"').collect()[0]
     assert (row.a, row.b) == (2, 1)
+
+
+def test_run_client_prefix(engine):
+    """`run client () sql …` — the reference's canonical CLI shape."""
+    df = engine.run('run client () sql d "select count(*) as n from events"')
+    assert df.collect()[0].n == 1000
