@@ -98,6 +98,14 @@ def parse_select(sql: str) -> SelectIR:
         ir.distinct = True
         body = body[8:].strip()
 
+    # `TOP n` right after SELECT [DISTINCT] → limit (reference extracts
+    # TOP from the text and carries it as the limit,
+    # utils_sql.py:870-898 get_limit_by_top)
+    m = re.match(r"top\s+(\d+)\s+", body, re.IGNORECASE)
+    if m:
+        ir.limit = int(m.group(1))
+        body = body[m.end() :]
+
     from_pos = _find_keyword(body, "from")
     if from_pos < 0:
         raise ParseError("SELECT without FROM")

@@ -204,3 +204,12 @@ class TestRound2Fixes:
         assert (
             "ORDER BY increments_trunc, increments_extract, event_type" in res.sql
         )
+
+    def test_top_n_extracted(self):
+        res = rewrite_select(
+            "select top 5 event_id from t order by event_id", now=NOW
+        )
+        assert res.sql.endswith("LIMIT 5")
+        assert "top" not in res.sql.lower()
+        ir = parse_select("select distinct top 3 a from t")
+        assert ir.limit == 3 and ir.distinct and ir.projection == ["a"]
