@@ -353,6 +353,14 @@ class EdgeLakeEngine:
                 rows or [],
                 "table_key string, interval int, count bigint, min double, max double, sum double",
             )
+        if _re.fullmatch(r"get\s+status", text, _re.IGNORECASE):
+            # reference `get status` node liveness probe — single-engine
+            # answer includes the Spark app coordinates
+            sc = self.spark.sparkContext
+            return self.spark.createDataFrame(
+                [("running", sc.appName, sc.master, sc.defaultParallelism)],
+                "status string, app string, master string, parallelism int",
+            )
         m = _re.match(r"query\s+(status|explain)(\s+(\S+))?$", text, _re.IGNORECASE)
         if m:
             # reference `query status/explain` (member_cmd.py:21665,
