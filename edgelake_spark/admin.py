@@ -96,6 +96,23 @@ def create_view_sql(columns: list[dict], source_table: str) -> str:
     return f"SELECT {', '.join(items)} FROM {source_table}"
 
 
+def rows_count_estimate(sf_dir: str, tables: list[str]) -> list[tuple[str, int]]:
+    """estimate = true: metadata-only counts from parquet footers — no
+    scan, the same answer-from-statistics idea as the reference's
+    estimate mode (db_info.py:1874-1901 estimate_rows). At 100 TB this
+    is the difference between a catalog lookup and a cluster job."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            out.append((t, pq.ParquetFile(path).metadata.num_rows))
+    return out
+
+
 def rows_count(spark: SparkSession, tables: list[str]) -> DataFrame:
     """`get rows count ... group = table` — one row per table."""
     parts = [

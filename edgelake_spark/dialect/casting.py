@@ -110,6 +110,17 @@ def casting_to_column(col: Column, casting: str) -> Column:
         if m2:
             return F.format_string(f"%.{m2.group(1)}f", col.cast("double"))
         raise CastingError(f"unsupported ::format spec: {fmt}")
+    m = re.fullmatch(r"function\((.*)\)", c, flags=re.DOTALL)
+    if m:
+        # ::function(<expr>) — the reference evals a Python expression
+        # per row with [col] placeholders resolved against the RESULT
+        # row (cast_by_function, utils_columns.py:1870-1881). Spark
+        # -first: accept a SQL expression instead; [col] → result-row
+        # column reference, compiled JVM-side (safe, vectorized — no
+        # per-row eval). Placeholders name OUTPUT columns, as in the
+        # reference.
+        body = re.sub(r"\[(\w+)\]", r"`\1`", m.group(1).strip())
+        return F.expr(body)
     m = re.fullmatch(r"datetime(?:\((.*)\))?", c, flags=re.DOTALL)
     if m:
         fmt = (m.group(1) or "%Y-%m-%d %H:%M:%S").strip().strip("'\"")

@@ -78,6 +78,7 @@ class EdgeLakeEngine:
         #: (reference `query status/explain` — member_cmd.py:21665,
         #: job_instance bookkeeping). Bounded ring, newest last.
         self.query_log: list[dict] = []
+        self.sf_dir = sf_dir
         if sf_dir:
             catalog.register_sf_tables(spark, sf_dir)
 
@@ -218,12 +219,23 @@ class EdgeLakeEngine:
         m = _re.match(r"get\s+rows\s+count(\s+where\s+(.*))?$", text, _re.IGNORECASE)
         if m:
             tables = None
+            estimate = False
             if m.group(2):
                 tm = _re.search(r"table\s*=\s*(\S+)", m.group(2))
                 if tm:
                     tables = [self._resolve(tm.group(1))]
+                estimate = bool(
+                    _re.search(r"estimate\s*=\s*true", m.group(2), _re.IGNORECASE)
+                )
             if tables is None:
                 tables = [t for t in catalog.TESTDATA_TABLES if self.spark.catalog.tableExists(t)]
+            if estimate and self.sf_dir:
+                from edgelake_spark.admin import rows_count_estimate
+
+                rows = rows_count_estimate(self.sf_dir, tables)
+                return self.spark.createDataFrame(
+                    rows or [], "table_name string, n_rows long"
+                )
             from edgelake_spark.admin import rows_count
 
             return rows_count(self.spark, tables)

@@ -174,3 +174,12 @@ def test_dest_file_and_partition_commands(engine, tmp_path):
     assert 0 < n < 1000
     mn = engine.run('sql d "select min(ts) as m from events_part"').collect()[0].m
     assert str(mn) >= "2024-01-15"
+
+
+def test_rows_count_estimate(engine):
+    est = {r.table_name: r.n_rows for r in engine.run(
+        "get rows count where table = events and estimate = true"
+    ).collect()}
+    assert est == {"events": 1000}
+    all_est = engine.run("get rows count where estimate = true").collect()
+    assert len(all_est) == 10 and all(r.n_rows > 0 for r in all_est)

@@ -100,3 +100,22 @@ def test_timezone_applies_before_casting(spark):
     ).collect()[0].t
     # January → PST = UTC-8
     assert utc == "2024-01-01 00:09" and pt == "2023-12-31 16:09"
+
+
+def test_function_casting_sql_expr(spark):
+    """::function(<sql expr>) with [col] placeholders compiles JVM-side
+    (the Spark-safe stand-in for the reference's per-row Python eval)."""
+    from datetime import datetime
+
+    from edgelake_spark.engine import EdgeLakeEngine
+    from tests.conftest import SF_DIR
+
+    eng = EdgeLakeEngine(spark, SF_DIR, now=datetime(2024, 2, 1))
+    rows = eng.run(
+        'sql d "select event_id, value::function(round([value] * 2, 1)) as value '
+        'from events order by event_id limit 3"'
+    ).collect()
+    base = eng.run(
+        'sql d "select event_id, value from events order by event_id limit 3"'
+    ).collect()
+    assert [r.value for r in rows] == [round(r.value * 2, 1) for r in base]
