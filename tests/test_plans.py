@@ -66,3 +66,41 @@ def test_increments_single_shuffle(spark):
     # bucket agg needs exactly one data shuffle (plus order-by range
     # exchange) — the two-phase increments contract
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the join key join bucket-for-bucket: the
+    SortMergeJoin's inputs show NO Exchange (the co-location payoff)."""
+    from edgelake_spark.catalog import register_sf_tables
+    from edgelake_spark.ingest.bucketing import drop_bucketed, write_bucketed
+
+    register_sf_tables(spark, SF_DIR_MED)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner considers the co-located
+        # sort-merge path (at real scale neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(spark.table("orders"), "b_orders", "o_custkey", buckets=8)
+        write_bucketed(spark.table("customer"), "b_customer", "c_custkey", buckets=8)
+        joined = spark.sql(
+            "SELECT o.o_orderkey, c.c_name "
+            "FROM b_orders o JOIN b_customer c ON o.o_custkey = c.c_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it actually answers correctly
+        n = joined.count()
+        plain = (
+            spark.table("orders")
+            .join(
+                spark.table("customer"),
+                spark.table("orders").o_custkey == spark.table("customer").c_custkey,
+            )
+            .count()
+        )
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        drop_bucketed(spark, "b_orders")
+        drop_bucketed(spark, "b_customer")
