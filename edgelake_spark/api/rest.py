@@ -46,10 +46,21 @@ class EdgeLakeRestServer:
                         # quoting) → the engine returned a DataFrame;
                         # render with the reference's REST default
                         # (format = json) instead of string-splicing
-                        # the command text
+                        # the command text. Pass-through queries stream
+                        # via toLocalIterator (reference REST fast path).
                         from edgelake_spark.output import format_result
 
-                        self._reply(200, format_result(result, "json"), raw=True)
+                        self._reply(
+                            200,
+                            format_result(
+                                result,
+                                "json",
+                                pass_through=getattr(
+                                    outer.engine, "_last_pass_through", False
+                                ),
+                            ),
+                            raw=True,
+                        )
                 except Exception as exc:  # surface engine errors as 400s
                     self._reply(400, {"error": str(exc)[:500]})
 
