@@ -73,6 +73,9 @@ class RewriteResult:
     output_columns: list[str] = field(default_factory=list)
     increments: tuple | None = None  # (unit, interval, column) when used
     pass_through: bool = False  # no funcs/group/order → streamable
+    #: final ORDER BY items as emitted (col [DESC]) — post-SQL operators
+    #: (per-column limit) re-apply them after breaking the sort
+    order_items: list[str] = field(default_factory=list)
 
 
 def _strip_alias(item: str) -> tuple[str, str]:
@@ -450,6 +453,7 @@ def rewrite_select(
         castings=castings,
         output_columns=out_cols,
         increments=incr_info,
+        order_items=order_items,
     )
     res.pass_through = not (has_agg or final_group or ir.order_by or ir.distinct)
     return res

@@ -603,6 +603,16 @@ class EdgeLakeEngine:
                 .filter(F.col("__rn") <= int(cmd.options["limit"]))
                 .drop("__rn")
             )
+            # the window shuffle broke the statement's ORDER BY —
+            # re-apply it so the result keeps its total order
+            if rewritten.order_items:
+                sort_cols = []
+                for item in rewritten.order_items:
+                    if item.upper().endswith(" DESC"):
+                        sort_cols.append(F.expr(item[:-5].strip()).desc())
+                    else:
+                        sort_cols.append(F.expr(item))
+                df = df.orderBy(*sort_cols)
         elif cmd.options.get("limit"):
             df = df.limit(int(cmd.options["limit"]))
 

@@ -252,7 +252,7 @@ _q(
     "SELECT event_type, event_id, value FROM ("
     "  SELECT event_type, event_id, value, "
     "  row_number() OVER (PARTITION BY event_type ORDER BY event_id, value) AS rn "
-    "  FROM events) WHERE rn <= 3",
+    "  FROM events) WHERE rn <= 3 ORDER BY event_id",
 )
 
 _q(
@@ -1157,5 +1157,42 @@ WITH comp AS ({_DEDUP_CLUSTERS_ORACLE.replace("ORDER BY doc_id", "")})
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component_id)
 ORDER BY doc_id
+""",
+)
+
+
+def _run_asof(spark, sf_dir):
+    """As-of join: each event gets the latest order total of the same
+    user at or before the event time. Union-and-carry idiom (see
+    functions/asof.py) — one shuffle on the key; DuckDB's native
+    ASOF LEFT JOIN is the oracle."""
+    from pyspark.sql import functions as F
+
+    from edgelake_spark.functions.asof import asof_join
+
+    register_sf_tables(spark, sf_dir)
+    right = spark.sql(
+        "SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ot, "
+        "max(o_totalprice) AS last_order_price FROM orders GROUP BY 1, 2"
+    )
+    left = spark.table("events").select("event_id", "user_id", "ts")
+    return asof_join(
+        left, right, on=["user_id"], left_time="ts", right_time="ot",
+        value_cols=["last_order_price"],
+    ).orderBy("event_id")
+
+
+_q(
+    "events_asof_orders",
+    _run_asof,
+    """
+WITH r AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ot,
+         max(o_totalprice) AS last_order_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, r.last_order_price
+FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ot
+ORDER BY e.event_id
 """,
 )
