@@ -64,6 +64,24 @@ class EdgeLakeRestServer:
                 except Exception as exc:  # surface engine errors as 400s
                     self._reply(400, {"error": str(exc)[:500]})
 
+            def do_POST(self) -> None:
+                # Grafana JSON-datasource endpoints (reference
+                # al_grafana.py via http_server POST routing): /search
+                # lists tables, /query builds+runs dialect SQL per target
+                from edgelake_spark.api import grafana
+
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                try:
+                    if self.path.rstrip("/").endswith("search"):
+                        self._reply(200, grafana.grafana_search(outer.engine))
+                    elif self.path.rstrip("/").endswith("query"):
+                        self._reply(200, grafana.grafana_query(outer.engine, body))
+                    else:
+                        self._reply(404, {"error": f"unknown endpoint {self.path}"})
+                except Exception as exc:
+                    self._reply(400, {"error": str(exc)[:500]})
+
             def do_PUT(self) -> None:
                 dbms = self.headers.get("dbms", "")
                 table = self.headers.get("table", "")
