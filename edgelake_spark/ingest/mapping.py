@@ -121,13 +121,102 @@ def apply_mapping_policy(
         if "default" in info and info["default"] is not None:
             expr = F.coalesce(expr, F.lit(info["default"]).cast(spark_type))
         cols.append(expr.alias(column))
-    out = df.select(*cols)
+    # policy-level imperative script (reference "script" attribute):
+    # runs conceptually per row AFTER bring/default seeding; assignments
+    # targeting schema columns override their expressions, new names
+    # become extra output columns
+    script_lines = policy.get("mapping", {}).get("script") or []
+    drop_cond: F.Column | None = None
+    if script_lines:
+        seed = {name: expr for name, expr in zip(schema.keys(), cols)}
+        vars_, drop_cond = compile_policy_script(script_lines, _pull_expr, seed)
+        cols = [vars_[n].alias(n) for n in vars_]
 
-    # policy-level row filter: `if <cond> then ignore event`
-    drop = policy.get("mapping", {}).get("ignore_if")
-    if drop:
-        out = df.filter(~_condition_to_column(drop, _pull_expr)).select(*cols)
-    return out
+    # row filters evaluate over the RAW json columns, so apply them
+    # before projecting the mapped schema
+    ignore_if = policy.get("mapping", {}).get("ignore_if")
+    if ignore_if:
+        cond = _condition_to_column(ignore_if, _pull_expr)
+        drop_cond = cond if drop_cond is None else (drop_cond | cond)
+    if drop_cond is not None:
+        df = df.filter(~F.coalesce(drop_cond, F.lit(False)))
+    return df.select(*cols)
+
+
+_SCRIPT_IF_RE = re.compile(r"^\s*if\s+(.*?)\s+then\s+(.*?)\s*$", re.IGNORECASE)
+_ASSIGN_RE = re.compile(r"^\s*(?:set\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$")
+
+
+def _script_value(text: str, pull_expr) -> F.Column:
+    """RHS of a script assignment: '[path]' pull, numeric, or string
+    literal (reference data_assignment, member_cmd.py via
+    mapping_policy.py:782-788)."""
+    text = text.strip()
+    if text.startswith("["):
+        return pull_expr(text)
+    try:
+        return F.lit(int(text))
+    except ValueError:
+        pass
+    try:
+        return F.lit(float(text))
+    except ValueError:
+        pass
+    return F.lit(text.strip("'\""))
+
+
+def compile_policy_script(
+    lines: list[str], pull_expr, seed: dict[str, F.Column] | None = None
+) -> tuple[dict[str, F.Column], F.Column | None]:
+    """Compile the reference's ordered imperative policy script
+    (mapping_policy.py:747-801 process_if_code) into pure Catalyst
+    expressions — per-row imperative semantics, zero Python in the
+    data path.
+
+    Each line is ``if <cond> then <action>`` or a bare ``<action>``;
+    actions: ``<var> = <value>`` (assignment, later lines overwrite),
+    ``ignore event`` (drop the row), ``ignore attribute <name>`` (null
+    the column), ``ignore script`` (stop processing further lines for
+    that row — the reference's IGNORE_SCRIPT early break).
+
+    The imperative control flow folds into expressions: an ``active``
+    predicate accumulates ``ignore script`` breaks, each line's
+    effective condition is ``active AND line_cond``, and ordered
+    re-assignment is a when().otherwise chain where later lines wrap
+    earlier ones (last true assignment wins, exactly like sequential
+    execution).
+
+    Returns ({var: expression}, drop_condition|None).
+    """
+    vars_: dict[str, F.Column] = dict(seed or {})
+    drop: F.Column | None = None
+    active: F.Column = F.lit(True)
+    for line in lines:
+        m = _SCRIPT_IF_RE.match(line)
+        if m:
+            cond = _condition_to_column(m.group(1), pull_expr) & active
+            action = m.group(2)
+        else:
+            cond = active
+            action = line.strip()
+        low = action.lower()
+        if low in ("ignore event", "drop event"):
+            drop = cond if drop is None else (drop | cond)
+        elif low == "ignore script":
+            # rows matching cond stop seeing later lines
+            active = active & ~F.coalesce(cond, F.lit(False))
+        elif low.startswith("ignore attribute"):
+            name = action.split()[-1]
+            prev = vars_.get(name, F.lit(None))
+            vars_[name] = F.when(~F.coalesce(cond, F.lit(False)), prev)
+        else:
+            am = _ASSIGN_RE.match(action)
+            if not am:
+                raise ValueError(f"cannot parse policy script action: {action}")
+            name, rhs = am.groups()
+            prev = vars_.get(name, F.lit(None))
+            vars_[name] = F.when(F.coalesce(cond, F.lit(False)), _script_value(rhs, pull_expr)).otherwise(prev)
+    return vars_, drop
 
 
 _COND_RE = re.compile(r"^\s*(\[[^=<>!]+\])\s*(==|!=|>=|<=|>|<)\s*(.+?)\s*$")
@@ -150,6 +239,12 @@ def _condition_to_column(cond: str, pull_expr) -> F.Column:
         for part in and_parts[1:]:
             out = out & _condition_to_column(part, pull_expr)
         return out
+    bare = cond.strip()
+    if bare.startswith("[") and bare.endswith("]") and not _COND_RE.match(cond):
+        # existence test: `if [attr] then ...` is true when the
+        # attribute is present (reference process_analyzed_if treats a
+        # bare key as a presence check)
+        return pull_expr(bare).isNotNull()
     m = _COND_RE.match(cond)
     if not m:
         raise ValueError(f"cannot parse mapping condition: {cond}")

@@ -117,3 +117,48 @@ def test_mapping_compound_conditions(spark):
     raw = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
     out = {r.device: r.grade for r in apply_mapping_policy(spark, raw, policy).collect()}
     assert out == {"a": "critical", "b": "watch", "c": "watch", "d": "ok"}
+
+
+def test_mapping_imperative_script(spark):
+    """Ordered if/then script semantics (reference process_if_code,
+    mapping_policy.py:747-801): sequential assignment overwrites,
+    ignore-script early break, ignore-event drop, ignore-attribute
+    nulling — all compiled to Catalyst when() chains."""
+    policy = {
+        "mapping": {
+            "id": "s1",
+            "schema": {
+                "device": {"type": "varchar", "bring": "[device]"},
+                "value": {"type": "float", "bring": "[value]"},
+                "status": {"type": "varchar", "bring": "[status]"},
+            },
+            "script": [
+                # sequential overwrite: both lines match value>50 rows,
+                # the LATER one wins, like imperative execution
+                "if [value] > 50 then grade = high",
+                "if [value] > 100 then grade = critical",
+                # early break: device 'x' stops before the masking line
+                "if [device] == x then ignore script",
+                "if [status] == hide then ignore attribute status",
+                "if [value] < 0 then ignore event",
+                "source = script",
+            ],
+        }
+    }
+    rows = [
+        {"device": "a", "status": "ok", "value": 60.0},
+        {"device": "b", "status": "hide", "value": 200.0},
+        {"device": "x", "status": "hide", "value": 10.0},
+        {"device": "bad", "status": "ok", "value": -1.0},
+    ]
+    import json as _json
+
+    raw = spark.createDataFrame([(_json.dumps(r),) for r in rows], "value string")
+    out = {r.device: r for r in apply_mapping_policy(spark, raw, policy).collect()}
+    assert set(out) == {"a", "b", "x"}  # 'bad' dropped by ignore event
+    assert out["a"].grade == "high" and out["b"].grade == "critical"
+    assert out["b"].status is None  # masked by ignore attribute
+    # 'x' broke out before the masking line: keeps its status, and the
+    # unconditional trailing assignment also never ran for it
+    assert out["x"].status == "hide" and out["x"].grade is None
+    assert out["x"].source is None and out["a"].source == "script"
