@@ -1196,3 +1196,96 @@ FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ot
 ORDER BY e.event_id
 """,
 )
+
+
+# ---------------------------------------------------- simhash near-dup
+
+
+def _sh_bands(engine: str, src: str) -> str:
+    """4 bands x 4 bits over the 16-bit simhash. Pigeonhole: hamming<=3
+    guarantees at least one identical band, so the band-equality join
+    finds every qualifying pair without an open self-join. (At 100 TB
+    you would widen to a 64-bit simhash with 4x16-bit bands — same
+    shape, bucket count 2^16 per band instead of 2^4.)"""
+    shift = {"spark": ">>", "duck": ">>"}[engine]
+    return " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_id, "
+        f"(simhash {shift} {j * 4}) & 15 AS band_key FROM {src}"
+        for j in range(4)
+    )
+
+
+_SH_PAIRS_BODY = """
+SELECT id1, id2, hamming FROM (
+  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2, {ham} AS hamming
+  FROM {bands} x JOIN {bands} y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+) WHERE hamming <= 3
+ORDER BY id1, id2
+"""
+
+
+def _run_simhash_pairs(spark, sf_dir):
+    """Hamming-distance near-dup pairs via banded SimHash: fingerprint
+    (map + one groupBy), band keys (map-only), equality join per band,
+    bit_count verify. Candidate count is bucket collisions, not n^2."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    sh = spark.sql(dd.spark_simhash_sql("documents_rep")).localCheckpoint()
+    sh.createOrReplaceTempView("__sh")
+    spark.sql(_sh_bands("spark", "__sh")).createOrReplaceTempView("__sh_bands")
+    return spark.sql(
+        _SH_PAIRS_BODY.format(
+            ham="bit_count(x.simhash ^ y.simhash)", bands="__sh_bands"
+        )
+    )
+
+
+_q(
+    "doc_simhash_pairs",
+    _run_simhash_pairs,
+    f"""
+WITH sh AS (
+  SELECT doc_id, {dd.duck_simhash_over('hs64')} AS simhash
+  FROM (SELECT doc_id, {dd.duck_hs64_expr('text')} AS hs64 FROM documents)
+),
+bands AS ({_sh_bands('duck', 'sh')})
+{_SH_PAIRS_BODY.format(ham="bit_count(xor(x.simhash, y.simhash))", bands="bands")}
+""",
+)
+
+
+# ------------------------------------------------------- top terms
+
+
+_TOP_TERMS_BODY = """
+SELECT lang, term, cnt FROM (
+  SELECT lang, term, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+  FROM (
+    SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({exploded})
+    GROUP BY lang, term
+  )
+) WHERE rn <= 5
+ORDER BY lang, cnt DESC, term
+"""
+
+
+_q(
+    "doc_top_terms",
+    # corpus term statistics: explode -> two-phase count -> per-group
+    # top-k window. The token explode is map-side; the count shuffles
+    # once on (lang, term); the window shuffles the tiny counted table.
+    _sql(
+        _TOP_TERMS_BODY.format(
+            exploded=f"SELECT lang, explode({tx.spark_tokens('text')}) AS term "
+            f"FROM documents_rep"
+        ),
+        rep=("documents",),
+    ),
+    _TOP_TERMS_BODY.format(
+        exploded=f"SELECT lang, unnest({tx.duck_tokens('text')}) AS term "
+        f"FROM documents"
+    ),
+)
