@@ -159,3 +159,63 @@ def spark_fingerprint(col: str) -> str:
 
 def duck_fingerprint(col: str) -> str:
     return f"md5(regexp_replace(trim(lower({col})), '\\s+', ' ', 'g'))"
+
+
+# ----------------------------------------------------------- winnowing
+
+#: winnowing parameters: character k-grams, window of w consecutive
+#: k-gram hashes (Schleimer, Wilkerson, Aiken, "Winnowing: Local
+#: Algorithms for Document Fingerprinting", SIGMOD 2003). Guarantee:
+#: any shared substring of length >= WINNOW_K + WINNOW_W - 1 produces
+#: at least one shared fingerprint.
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def spark_gram_hashes(col: str) -> str:
+    """Positional (non-distinct) character k-gram 60-bit md5 hashes of a
+    pre-staged normalized text column. Stage THIS as a column too before
+    applying spark_winnow_fps_over — HOF lambdas get no subexpression
+    elimination (see staging note in functions/dedup.py)."""
+    k = WINNOW_K
+    grams = (
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)), "
+        f"i -> substr({col}, i, {k}))"
+    )
+    return (
+        f"transform({grams}, g -> "
+        f"CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))"
+    )
+
+
+def spark_winnow_fps_over(hs: str) -> str:
+    """Winnowing fingerprint set over a pre-staged gram-hash array:
+    per-window min, then distinct. A pure map-side array pipeline — no
+    shuffle, no UDF; at 100 TB this runs inside the scan stage. (Window
+    min is the ties-by-value variant: selecting the min VALUE per window
+    yields the same fingerprint SET as rightmost-position selection.)"""
+    w = WINNOW_W
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({hs}) - {w - 1}, 1)), "
+        f"i -> array_min(slice({hs}, i, {w}))))"
+    )
+
+
+def duck_gram_hashes(col: str) -> str:
+    k = WINNOW_K
+    grams = (
+        f"[({col})[p:p+{k - 1}] "
+        f"for p in range(1, greatest(length({col}) - {k - 1}, 1) + 1)]"
+    )
+    return (
+        f"[CAST(list_sum([CAST(strpos('0123456789abcdef', (md5(g))[c:c]) - 1 AS BIGINT)"
+        f" << (4*(15-c)) for c in range(1, 16)]) AS BIGINT) for g in {grams}]"
+    )
+
+
+def duck_winnow_fps_over(hs: str) -> str:
+    w = WINNOW_W
+    return (
+        f"list_distinct([list_min(({hs})[p:p+{w - 1}]) "
+        f"for p in range(1, greatest(len({hs}) - {w - 1}, 1) + 1)])"
+    )

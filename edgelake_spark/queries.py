@@ -1289,3 +1289,34 @@ _q(
         f"FROM documents"
     ),
 )
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+
+_q(
+    "doc_winnow_fp",
+    # Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    # normalize -> positional k-gram hashes -> window-min -> distinct,
+    # all staged array columns, entirely map-side (fingerprinting 100 TB
+    # is a scan-stage operation; the only shuffle is the final ORDER BY
+    # presentation sort).
+    _sql(
+        f"""
+SELECT doc_id, size(fps) AS n_fps, array_min(fps) AS fp_min, array_max(fps) AS fp_max
+FROM (SELECT doc_id, {tx.spark_winnow_fps_over('hs')} AS fps
+      FROM (SELECT doc_id, {tx.spark_gram_hashes('norm')} AS hs
+            FROM (SELECT doc_id, {dd.spark_normalize('text')} AS norm FROM documents_rep)))
+ORDER BY doc_id
+""",
+        rep=("documents",),
+    ),
+    f"""
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+FROM (SELECT doc_id, {tx.duck_winnow_fps_over('hs')} AS fps
+      FROM (SELECT doc_id, {tx.duck_gram_hashes('norm')} AS hs
+            FROM (SELECT doc_id, {dd.duck_normalize('text')} AS norm FROM documents)))
+ORDER BY doc_id
+""",
+)
