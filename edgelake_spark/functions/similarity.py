@@ -144,3 +144,80 @@ def kmeans_refine(spark, vectors, iters: int = 2, stride: int = 47):
         )
         cents = sums
     return cents
+
+
+# ------------------------------------------------ sign-random-projection
+
+#: SRP-LSH (Charikar 2002, "Similarity estimation techniques from
+#: rounding algorithms"): H hyperplanes of deterministic +-1 components;
+#: the H sign bits of vector . plane form the bucket key, and
+#: P[bits agree] = 1 - angle/pi. Planes are Rademacher vectors derived
+#: from integer mixing — pure arithmetic, bit-identical across engines.
+#:
+#: Recall characteristics (measured on the synthetic testdata): the
+#: sf0.01 embeddings are near-isotropic, so true top-5 neighbors sit
+#: near 90 degrees and sign bits approach coin flips — recall@5 is
+#: ~0.16 at 8 bits/hamming-1 probes, and a sweep (6-10 bits, radius
+#: 1-2, up to 6 independent tables) tops out ~0.5 while examining ~40%
+#: of the corpus. That bound is the data, not the operator: on real
+#: embedding corpora (low intrinsic dimension, clustered) SRP
+#: concentrates sharply. Scale knobs: SRP_BITS ~ log2(n / target
+#: bucket size), multiprobe radius for recall, L independent tables
+#: (union of candidates) when radius alone is not enough.
+SRP_BITS = 8
+_SRP_A = 2654435761  # Knuth multiplicative-hash constants
+_SRP_B = 40503
+_SRP_MOD = 97
+_SRP_HALF = 48  # < HALF → +1, else -1 (48/97 keeps E[component] ~ 0)
+
+
+def spark_srp_key(demb: str) -> str:
+    """SRP bucket key over a pre-staged double-cast embedding column.
+    Index-order accumulation: the dot product runs the identical IEEE
+    sequence in both engines, so the SIGN (and hence the key) agrees."""
+    sign = (
+        f"CASE WHEN pmod(j * {_SRP_A}L + i * {_SRP_B}L, {_SRP_MOD}) < {_SRP_HALF} "
+        f"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+    )
+    dot = (
+        f"aggregate(sequence(1, size({demb})), CAST(0 AS DOUBLE), "
+        f"(s, i) -> s + element_at({demb}, i) * {sign})"
+    )
+    return (
+        f"aggregate(sequence(0, {SRP_BITS - 1}), 0L, "
+        f"(acc, j) -> acc + CASE WHEN {dot} >= CAST(0 AS DOUBLE) "
+        f"THEN shiftleft(1L, j) ELSE 0L END)"
+    )
+
+
+def duck_srp_key(demb: str) -> str:
+    sign = (
+        f"CASE WHEN ((j * {_SRP_A} + i * {_SRP_B}) % {_SRP_MOD}) < {_SRP_HALF} "
+        f"THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END"
+    )
+    dot = (
+        f"list_sum([({demb})[i] * {sign} "
+        f"for i in range(1, len({demb}) + 1)])"
+    )
+    return (
+        f"CAST(list_sum([CASE WHEN {dot} >= 0.0 "
+        f"THEN (1::BIGINT << j) ELSE 0 END "
+        f"for j in range(0, {SRP_BITS})]) AS BIGINT)"
+    )
+
+
+def spark_srp_probes(key: str) -> str:
+    """Multiprobe key set: the exact bucket plus every 1-bit flip
+    (hamming-1 neighbors) — recall insurance without widening the join
+    beyond SRP_BITS+1 buckets per query."""
+    return (
+        f"concat(array({key}), transform(sequence(0, {SRP_BITS - 1}), "
+        f"j -> CAST({key} ^ shiftleft(1L, j) AS BIGINT)))"
+    )
+
+
+def duck_srp_probes(key: str) -> str:
+    return (
+        f"list_prepend({key}, [xor({key}, 1::BIGINT << j) "
+        f"for j in range(0, {SRP_BITS})])"
+    )

@@ -1320,3 +1320,53 @@ FROM (SELECT doc_id, {tx.duck_winnow_fps_over('hs')} AS fps
 ORDER BY doc_id
 """,
 )
+
+
+# --------------------------------------------------------- SRP-LSH ANN
+
+
+def _srp_body(engine: str, n: str) -> str:
+    """SRP-LSH top-k: bucket keys are map-side over the staged vectors,
+    candidates come from an equality join on (probe) bucket keys —
+    collisions only, never an open cross join — and exact cosine ranks
+    the survivors. The scale shape: keys partition the corpus; multiprobe
+    bounds fan-out to SRP_BITS+1 buckets per query."""
+    if engine == "spark":
+        key, probes = sim.spark_srp_key("demb"), sim.spark_srp_probes("key")
+        cos = sim.spark_cosine_staged("q", "e")
+        explode = f"explode({probes})"
+        probe_src = f"SELECT vec_id AS query_id, {explode} AS pkey FROM keyed WHERE vec_id < 5"
+    else:
+        key, probes = sim.duck_srp_key("demb"), sim.duck_srp_probes("key")
+        cos = sim.duck_cosine_staged("q", "e")
+        probe_src = (
+            f"SELECT vec_id AS query_id, unnest({probes}) AS pkey "
+            f"FROM keyed WHERE vec_id < 5"
+        )
+    return f"""
+keyed AS (SELECT vec_id, demb, norm, {key} AS key FROM {n}),
+probes AS ({probe_src})
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT p.query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim,
+    row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY {cos} DESC, e.vec_id) AS rn
+  FROM probes p
+  JOIN keyed e ON e.key = p.pkey AND e.vec_id != p.query_id
+  JOIN keyed q ON q.vec_id = p.query_id
+) WHERE rn <= 5
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
+def _run_srp_topk(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    n = _emb_norm_view(spark)
+    return spark.sql("WITH " + _srp_body("spark", n))
+
+
+_q(
+    "emb_lsh_topk",
+    _run_srp_topk,
+    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}),\n" + _srp_body("duck", "n"),
+)
