@@ -231,3 +231,61 @@ def get_virtual_tables(
         .agg(F.count("*").alias("copies"))
         .orderBy("company", "dbms", "table")
     )
+
+
+def test_table_schema(spark, store, dbms: str, table: str, resolve) -> list[tuple]:
+    """``test table <t> where dbms = <d>`` — compare the ledger's
+    declared table schema against the live table schema (reference
+    member_cmd.py:14816 test_table: blockchain_select_schema vs
+    db_info.get_table_info per table, reply 'Passed' or the failure).
+    ``table='*'`` tests every ledger-registered table of the dbms.
+    Returns (dbms, table, result) rows."""
+    def _table_policies():
+        for p in store.policies:
+            body = p.get("table")
+            if isinstance(body, dict) and body.get("dbms") in (dbms, None, ""):
+                yield body
+
+    if table == "*":
+        names = sorted({b.get("name", "") for b in _table_policies()} - {""})
+        if not names:
+            return [(dbms, "*", f"Failed: no tables in the ledger for dbms '{dbms}'")]
+    else:
+        names = [table]
+
+    rows = []
+    for name in names:
+        policy = next((b for b in _table_policies() if b.get("name") == name), None)
+        if policy is None:
+            rows.append((dbms, name, "Failed: blockchain schema not available"))
+            continue
+        declared = policy.get("columns") or {}
+        if not declared and policy.get("create"):
+            # reference table policies carry the full CREATE statement;
+            # pull `<name> <type>` column pairs out of its body
+            body = policy["create"]
+            body = body[body.index("(") + 1 :] if "(" in body else body
+            for item in split_top_level(body.rstrip("); \n")):
+                cm = re.match(r"\s*(\w+)\s+(\w+(?:\s*\(\d+(?:,\d+)?\))?)", item)
+                if cm and cm.group(1).lower() not in (
+                    "primary", "unique", "constraint", "foreign",
+                ):
+                    declared[cm.group(1)] = cm.group(2).strip()
+        try:
+            actual = {f.name: f.dataType for f in spark.table(resolve(name)).schema.fields}
+        except Exception:
+            rows.append((dbms, name, "Failed: dbms schema not available or dbms not connected"))
+            continue
+        problems = []
+        for col, el_type in declared.items():
+            from edgelake_spark.ingest.infer import edgelake_to_spark_type
+
+            want = edgelake_to_spark_type(str(el_type).upper())
+            if col not in actual:
+                problems.append(f"missing column {col}")
+            elif actual[col] != want:
+                problems.append(
+                    f"{col}: ledger {want.simpleString()} != dbms {actual[col].simpleString()}"
+                )
+        rows.append((dbms, name, "Passed" if not problems else "Failed: " + "; ".join(problems)))
+    return rows

@@ -403,6 +403,32 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 [(entry["job_id"], plan)], "job_id bigint, plan string"
             )
+        m = _re.match(
+            r"test\s+table\s+(\S+)\s+where\s+dbms\s*=\s*(\S+)\s*$", text, _re.IGNORECASE
+        )
+        if m:
+            # reference member_cmd.py:14816 test_table — ledger schema
+            # vs live schema consistency check
+            rows = admin.test_table_schema(
+                self.spark, self.policy_store, m.group(2), m.group(1), self._resolve
+            )
+            return self.spark.createDataFrame(
+                rows, "dbms string, table_name string, result string"
+            )
+        if _re.fullmatch(r"test\s+node", text, _re.IGNORECASE):
+            # reference test_node: validate the node's own services; here
+            # the checks are catalog reachability and ledger integrity
+            checks = []
+            try:
+                n = len(self.spark.catalog.listTables())
+                checks.append(("catalog", f"Passed ({n} tables)"))
+            except Exception as exc:
+                checks.append(("catalog", f"Failed: {exc}"))
+            checks.append(("ledger", f"Passed ({len(self.policy_store.policies)} policies)"))
+            checks.append(
+                ("sql", "Passed" if self.spark.sql("SELECT 1").collect()[0][0] == 1 else "Failed")
+            )
+            return self.spark.createDataFrame(checks, "service string, result string")
         m = _re.match(r"blockchain\s+(insert|get|load|save)\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
             return self._blockchain_cmd(m.group(1).lower(), m.group(2).strip())

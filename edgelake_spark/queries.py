@@ -1370,3 +1370,56 @@ _q(
     _run_srp_topk,
     f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}),\n" + _srp_body("duck", "n"),
 )
+
+
+# ------------------------------------------------------------ gap fill
+
+
+def _gapfill_body(engine: str) -> str:
+    """Time-spine gap fill + forward fill (the reference's Grafana
+    fixed-points concept — al_grafana.py get_fixed_points_info — as a
+    first-class operator). Scale shape: the spine is |groups| x |buckets|
+    rows of generated integers (no data shuffle to build it), the left
+    join broadcasts the tiny spine side or co-partitions on the group
+    key, and the forward fill is one window per group — the same plan a
+    hypertable rollup-with-fill runs at any scale."""
+    if engine == "spark":
+        spine = (
+            "SELECT t.event_type, s.ts FROM (SELECT DISTINCT event_type FROM events) t "
+            "CROSS JOIN (SELECT explode(sequence(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-01 23:00:00', INTERVAL 1 HOUR)) AS ts) s"
+        )
+        ffill = (
+            "last(h.a, true) OVER (PARTITION BY sp.event_type ORDER BY sp.ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    else:
+        spine = (
+            "SELECT t.event_type, s.ts FROM (SELECT DISTINCT event_type FROM events) t, "
+            "(SELECT unnest(range(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-02', INTERVAL 1 HOUR)) AS ts) s"
+        )
+        ffill = (
+            "last_value(h.a IGNORE NULLS) OVER (PARTITION BY sp.event_type ORDER BY sp.ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    return f"""
+WITH spine AS ({spine}),
+hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS a
+  FROM events WHERE ts >= '2024-01-01' AND ts < '2024-01-02'
+  GROUP BY 1, 2
+)
+SELECT sp.event_type, sp.ts, coalesce(h.n, 0) AS n, {ffill} AS avg_ffill
+FROM spine sp LEFT JOIN hourly h ON h.event_type = sp.event_type AND h.ts = sp.ts
+ORDER BY sp.event_type, sp.ts
+"""
+
+
+_q(
+    "events_gapfill",
+    _sql(_gapfill_body("spark")),
+    _gapfill_body("duck"),
+)

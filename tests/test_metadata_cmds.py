@@ -131,3 +131,48 @@ def test_streaming_condition_and_monitor_commands(spark):
     eng.monitors["edgex.rand_data"].process_batch(batch)
     snap = eng.run("get data monitor where dbms = edgex").collect()
     assert len(snap) == 1 and snap[0]["count"] == 2 and snap[0]["max"] == 50.0
+
+
+def test_test_table_command(spark):
+    from tests.conftest import SF_DIR
+
+    engine = EdgeLakeEngine(spark, SF_DIR)
+    # declared schema matches the live events view
+    engine.run(
+        'blockchain insert {"table": {"name": "events", "dbms": "d", "columns": '
+        '{"event_id": "bigint", "event_type": "varchar", "value": "float", "ts": "timestamp"}}}'
+    )
+    # declared schema with a wrong type and a missing column
+    engine.run(
+        'blockchain insert {"table": {"name": "orders", "dbms": "d", "columns": '
+        '{"o_orderkey": "varchar", "no_such_col": "int"}}}'
+    )
+    out = {r.table_name: r.result for r in engine.run("test table events where dbms = d").collect()}
+    assert out == {"events": "Passed"}
+    out = {r.table_name: r.result for r in engine.run("test table orders where dbms = d").collect()}
+    assert out["orders"].startswith("Failed:")
+    assert "o_orderkey" in out["orders"] and "no_such_col" in out["orders"]
+    # wildcard covers every ledger table of the dbms
+    out = {r.table_name: r.result for r in engine.run("test table * where dbms = d").collect()}
+    assert set(out) == {"events", "orders"}
+    # table present in ledger check: unknown table → blockchain-side failure
+    out = engine.run("test table nope where dbms = d").collect()
+    assert out[0].result == "Failed: blockchain schema not available"
+
+
+def test_test_table_from_create_ddl(spark):
+    from tests.conftest import SF_DIR
+
+    engine = EdgeLakeEngine(spark, SF_DIR)
+    engine.run(
+        'blockchain insert {"table": {"name": "region", "dbms": "d", "create": '
+        '"CREATE TABLE region (r_regionkey int, r_name varchar);"}}'
+    )
+    out = engine.run("test table region where dbms = d").collect()
+    assert out[0].result == "Passed"
+
+
+def test_test_node_command(engine):
+    out = {r.service: r.result for r in engine.run("test node").collect()}
+    assert set(out) == {"catalog", "ledger", "sql"}
+    assert all(v.startswith("Passed") for v in out.values())
