@@ -21,6 +21,7 @@ BENCH_QUERIES = [
     "el_include_mixed_schema",
     # joins / windows / scans
     "tpch_q1",
+    "tpch_q6",
     "tpch_q3",
     "tpch_q5ish",
     "topk_per_group",
@@ -41,6 +42,11 @@ BENCH_QUERIES = [
     # round 2 additions
     "multimodal_features",
     "events_ewma",
+    "events_asof_orders",
+    "events_gapfill",
+    "doc_winnow_fp",
+    "doc_top_terms",
+    "emb_lsh_topk",
 ]
 
 

@@ -65,13 +65,25 @@ class EdgeLakeRestServer:
                     self._reply(400, {"error": str(exc)[:500]})
 
             def do_POST(self) -> None:
-                # Grafana JSON-datasource endpoints (reference
-                # al_grafana.py via http_server POST routing): /search
+                # POST with a `topic` header publishes messages into a
+                # registered broker consumer's mapping (reference
+                # http_server.py:1844-1930 POST+topic →
+                # streaming_data.add_data via the MQTT/Kafka mapping);
+                # otherwise Grafana JSON-datasource endpoints
+                # (al_grafana.py via http_server POST routing): /search
                 # lists tables, /query builds+runs dialect SQL per target
                 from edgelake_spark.api import grafana
 
                 length = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(length) or b"{}")
+                raw = self.rfile.read(length)
+                topic = self.headers.get("topic")
+                if topic:
+                    try:
+                        self._reply(200, outer.publish(topic, raw))
+                    except Exception as exc:
+                        self._reply(400, {"error": str(exc)[:500]})
+                    return
+                body = json.loads(raw or b"{}")
                 try:
                     if self.path.rstrip("/").endswith("search"):
                         self._reply(200, grafana.grafana_search(outer.engine))
@@ -115,6 +127,36 @@ class EdgeLakeRestServer:
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_port
         self._thread: threading.Thread | None = None
+
+    def publish(self, topic: str, raw: bytes) -> dict:
+        """Route POSTed messages through the topic's registered broker
+        mapping (shared with the Kafka/MQTT consumer), appending typed
+        rows to the target table's ingest view — REST publish and broker
+        consume produce identical rows because they compile the same
+        mapping policy."""
+        from edgelake_spark.ingest.mapping import apply_mapping_policy
+
+        cfg = self.engine.broker_consumers.get(topic)
+        if cfg is None:
+            raise ValueError(f"no consumer registered for topic '{topic}'")
+        tm = cfg["topic"]
+        payload = json.loads(raw or b"[]")
+        msgs = payload if isinstance(payload, list) else [payload]
+        raw_df = self.engine.spark.createDataFrame(
+            [(json.dumps(m),) for m in msgs], "value string"
+        )
+        mapped = apply_mapping_policy(self.engine.spark, raw_df, tm.to_mapping_policy())
+        name = f"{tm.dbms}.{tm.table}" if tm.dbms else tm.table
+        view = f"__ingest_{tm.table}"
+        if self.engine.spark.catalog.tableExists(view):
+            mapped = self.engine.spark.table(view).unionByName(
+                mapped, allowMissingColumns=True
+            )
+        mapped.createOrReplaceTempView(view)
+        self.engine.views[name] = view
+        self.engine.views[tm.table] = view
+        self.ingested[name] = self.ingested.get(name, 0) + len(msgs)
+        return {"ingested": len(msgs), "table": name, "topic": topic}
 
     def start(self) -> "EdgeLakeRestServer":
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)

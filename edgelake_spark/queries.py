@@ -1300,7 +1300,10 @@ _q(
     # normalize -> positional k-gram hashes -> window-min -> distinct,
     # all staged array columns, entirely map-side (fingerprinting 100 TB
     # is a scan-stage operation; the only shuffle is the final ORDER BY
-    # presentation sort).
+    # presentation sort). Measured alternative: posexplode + codegen md5
+    # + window-min is 4-12x SLOWER at sf0.1 (the per-doc sort of ~10M
+    # exploded gram rows dominates) — unlike simhash, the HOF form wins
+    # here because winnowing needs positional windows, not a groupBy.
     _sql(
         f"""
 SELECT doc_id, size(fps) AS n_fps, array_min(fps) AS fp_min, array_max(fps) AS fp_max
@@ -1423,3 +1426,23 @@ _q(
     _sql(_gapfill_body("spark")),
     _gapfill_body("duck"),
 )
+
+
+# -------------------------------------------------------- tpch q6-style
+
+
+_TPCH_Q6 = f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+# forecasting-revenue-change scan: every predicate reaches the parquet
+# row-group stats (PushedFilters asserted in test_plans for this family)
+# and the aggregate is a two-phase partial/final — the canonical
+# "selective scan" probe at any scale
+_q("tpch_q6", _sql(_TPCH_Q6), _TPCH_Q6)

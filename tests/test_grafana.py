@@ -4,6 +4,7 @@ from panel payloads, timeserie/table reply shapes, HTTP round-trip."""
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 from datetime import datetime
 
@@ -156,3 +157,39 @@ def test_grafana_http_roundtrip(rest_engine):
     assert out[0]["type"] == "table"
     assert [c["text"] for c in out[0]["columns"]] == ["event_id", "value"]
     assert len(out[0]["rows"]) > 0
+
+
+def test_rest_post_topic_publish(rest_engine):
+    """POST with a `topic` header routes messages through the registered
+    broker consumer's mapping (reference http_server.py:1844-1930) —
+    typed rows land in the target table, queryable via the engine."""
+    eng = rest_engine.engine
+    eng.run(
+        "run kafka consumer where ip = 127.0.0.1 and port = 9092 and topic = "
+        "(name = readings and dbms = iot and table = meter and "
+        'column.ts.timestamp = "bring [ts]" and column.value.float = "bring [v]")'
+    )
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{rest_engine.port}/",
+        data=json.dumps(
+            [{"ts": "2024-01-01 00:00:00", "v": 1.5}, {"ts": "2024-01-01 00:01:00", "v": 2.5}]
+        ).encode(),
+        headers={"topic": "readings"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        out = json.loads(resp.read())
+    assert out == {"ingested": 2, "table": "iot.meter", "topic": "readings"}
+    rows = eng.run('sql iot "select ts, value from meter order by ts"').collect()
+    assert [r.value for r in rows] == [1.5, 2.5]
+    assert rows[0].ts.isoformat() == "2024-01-01T00:00:00"
+    # unknown topic → 400
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{rest_engine.port}/",
+        data=b"{}", headers={"topic": "nope"}, method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
