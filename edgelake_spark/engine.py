@@ -62,6 +62,9 @@ class EdgeLakeEngine:
         self.partitioned_paths: dict[str, str] = {}
         #: topic name → parsed `run kafka consumer` config
         self.broker_consumers: dict[str, dict] = {}
+        #: StreamIngest pipelines registered on this node (for
+        #: `get streaming` counters)
+        self.stream_ingests: list = []
         #: "dbms.table" → streaming conditions / data monitors, consumed
         #: by broker/file ingest pipelines targeting that table
         self.streaming_conditions: dict[str, list] = {}
@@ -414,6 +417,34 @@ class EdgeLakeEngine:
             )
             return self.spark.createDataFrame(
                 rows, "dbms string, table_name string, result string"
+            )
+        if _re.fullmatch(r"get\s+streaming", text, _re.IGNORECASE):
+            # reference streaming_data.py:713 show_info — flush
+            # thresholds + per-stream counters; live micro-batch stats
+            # come from Spark's own streaming progress
+            from edgelake_spark.streaming.ingest import (
+                DEFAULT_MAX_TIME_SEC,
+                DEFAULT_MAX_VOLUME_BYTES,
+            )
+
+            rows = [
+                ("config", "threshold_time_sec", str(DEFAULT_MAX_TIME_SEC)),
+                ("config", "threshold_volume_bytes", str(DEFAULT_MAX_VOLUME_BYTES)),
+            ]
+            for ing in self.stream_ingests:
+                rows.append(
+                    ("ingest", ing.target_dir, f"flushed_rows={ing.rows_flushed}")
+                )
+            for topic, cfg in sorted(self.broker_consumers.items()):
+                rows.append(
+                    ("consumer", topic, f"{cfg['topic'].dbms}.{cfg['topic'].table}")
+                )
+            for q in self.spark.streams.active:
+                p = q.lastProgress
+                n = p["numInputRows"] if p else 0
+                rows.append(("stream", q.name or q.id, f"active input_rows={n}"))
+            return self.spark.createDataFrame(
+                rows, "scope string, item string, value string"
             )
         if _re.fullmatch(r"test\s+node", text, _re.IGNORECASE):
             # reference test_node: validate the node's own services; here

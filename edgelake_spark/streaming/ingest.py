@@ -48,15 +48,18 @@ class StreamIngest:
     monitor: DataMonitor | None = None
     write_immediate: bool = False  # reference: bypass buffering
 
+    #: rows written by flushes so far (reference counter_rows_flushed_,
+    #: streaming_data.py:713 show_info)
+    rows_flushed: int = 0
+
     def _handle_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         kept = apply_conditions(batch_df, self.conditions)
         if self.monitor is not None:
             self.monitor.process_batch(kept)
-        (
-            kept.withColumn("insert_timestamp", F.current_timestamp())
-            .write.mode("append")
-            .parquet(self.target_dir)
-        )
+        out = kept.withColumn("insert_timestamp", F.current_timestamp())
+        out = out.localCheckpoint()  # count + write from one materialization
+        self.rows_flushed += out.count()
+        out.write.mode("append").parquet(self.target_dir)
 
     def start(self, query_name: str = "edgelake_ingest"):
         reader = (

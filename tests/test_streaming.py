@@ -140,3 +140,42 @@ def test_stream_ingest_end_to_end(spark, tmp_path):
     assert len(rows_out) == 1 and rows_out[0].device == "d1"
     assert "insert_timestamp" in landed.columns
     assert mon.snapshot()[0]["count"] == 1  # monitor sees post-condition rows
+
+
+def test_get_streaming_command(spark, tmp_path):
+    """`get streaming` (reference streaming_data.py:713 show_info):
+    thresholds + per-ingest flushed-row counters + registered
+    consumers."""
+    import json as _json
+
+    from edgelake_spark.engine import EdgeLakeEngine
+
+    src = tmp_path / "src3"
+    dst = tmp_path / "dst3"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"device": f"d{i}", "value": i}) for i in range(4))
+    )
+    schema = T.StructType(
+        [T.StructField("device", T.StringType()), T.StructField("value", T.LongType())]
+    )
+    ingest = StreamIngest(
+        spark=spark, source_dir=str(src), target_dir=str(dst), schema=schema,
+        write_immediate=True,
+    )
+    eng = EdgeLakeEngine(spark)
+    eng.stream_ingests.append(ingest)
+    eng.run(
+        "run kafka consumer where ip = 127.0.0.1 and port = 9092 and topic = "
+        '(name = s1 and dbms = iot and table = m and column.value.int = "bring [v]")'
+    )
+    q = ingest.start("test_get_streaming")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {(r.scope, r.item): r.value for r in eng.run("get streaming").collect()}
+    assert out[("config", "threshold_time_sec")] == "60"
+    assert out[("config", "threshold_volume_bytes")] == "10000"
+    assert out[("ingest", str(dst))] == "flushed_rows=4"
+    assert out[("consumer", "s1")] == "iot.m"
