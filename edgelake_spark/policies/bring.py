@@ -173,6 +173,19 @@ class PolicyStore:
         # bring paths address the FULL policy including its type key
         # (reference: json_data entries are whole policies, e.g.
         # `bring [table][name]` — utils_json.py:533 pull_info)
+        if "ip_port" in variants:
+            # reference utils_json.py:41-57 BRING_IP_PORT: for each
+            # matched policy emit "<ip>:<port>" from the body's
+            # connection fields (operator/query nodes publish ip+port)
+            out = []
+            for p in policies:
+                ptype = next(iter(p)) if len(p) == 1 else None
+                body = p.get(ptype, {}) if ptype else p
+                ip = body.get("ip") or body.get("external_ip") or ""
+                port = body.get("port") or body.get("rest_port") or ""
+                if ip and port:
+                    out.append(f"{ip}:{port}")
+            return separator.join(out) if separator else out
         if "count" in variants and not spec:
             return len(policies)
         if "json" in variants and not spec:

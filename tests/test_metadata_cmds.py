@@ -176,3 +176,10 @@ def test_test_node_command(engine):
     out = {r.service: r.result for r in engine.run("test node").collect()}
     assert set(out) == {"catalog", "ledger", "sql"}
     assert all(v.startswith("Passed") for v in out.values())
+
+
+def test_bring_ip_port(engine):
+    out = engine.run("blockchain get operator bring.ip_port").collect()
+    flat = [r[0] for r in out]
+    assert any("10.0.0.1:32148" in str(v) for v in flat)
+    assert any("10.0.0.2:32148" in str(v) for v in flat)
