@@ -570,6 +570,13 @@ class EdgeLakeEngine:
             }
         result = self.policy_store.blockchain_get(ptype, where, bring)
         if bring:
+            if isinstance(result, list) and all(isinstance(v, str) for v in result):
+                # list-valued bring variants (list / ip_port / sorted
+                # projections) render one value per row, matching the
+                # reference's line-per-value output
+                return self.spark.createDataFrame(
+                    [(v,) for v in result] or [], "result string"
+                )
             return self.spark.createDataFrame([(str(result),)], "result string")
         return self.spark.createDataFrame(
             [( _json.dumps(p, separators=(",", ":")),) for p in result] or [],
