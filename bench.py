@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "events_ewma",
     "events_asof_orders",
     "events_gapfill",
+    "events_ohlc",
     "doc_winnow_fp",
     "doc_top_terms",
     "emb_lsh_topk",

@@ -1446,3 +1446,40 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 # and the aggregate is a two-phase partial/final — the canonical
 # "selective scan" probe at any scale
 _q("tpch_q6", _sql(_TPCH_Q6), _TPCH_Q6)
+
+
+# ----------------------------------------------------------- OHLC bars
+
+
+_OHLC_BODY = """
+WITH src AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         value, ts, event_id
+  FROM events
+  WHERE ts >= '2024-01-01' AND ts < '2024-01-03'
+),
+ranked AS (
+  SELECT event_type, bucket, value,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM src
+)
+SELECT event_type, bucket,
+  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+  max(value) AS high, min(value) AS low,
+  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+  CAST(count(*) AS BIGINT) AS n
+FROM ranked
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+# OHLC candle bars: open/close are (ts, event_id)-tie-broken window
+# ranks — pure value selection, zero float arithmetic, so cross-engine
+# hashes match exactly. The bucket is STAGED as a column so both windows
+# and the aggregate share one (event_type, bucket) hash partitioning —
+# one data shuffle + the presentation sort; bar count is fixed by the
+# time range, and the per-bucket sorts are bounded by bucket size.
+_q("events_ohlc", _sql(_OHLC_BODY), _OHLC_BODY)
