@@ -1483,3 +1483,34 @@ ORDER BY event_type, bucket
 # one data shuffle + the presentation sort; bar count is fixed by the
 # time range, and the per-bucket sorts are bounded by bucket size.
 _q("events_ohlc", _sql(_OHLC_BODY), _OHLC_BODY)
+
+
+_q(
+    "el_increments_month",
+    # month unit: year parent truncation + extract(month) — exercises
+    # the unit ladder's top end over lineitem's multi-year ship dates
+    _el(
+        "select increments(month, 1, l_shipdate), count(*) as n, "
+        "cast(sum(cast(l_quantity as decimal(25,6))) as double) as qty "
+        "from lineitem where l_shipdate >= '1996-01-01' and l_shipdate < '1998-01-01'"
+    ),
+    "SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS increments_trunc, "
+    "CAST(CAST(extract(month FROM l_shipdate) AS INTEGER) // 1 AS BIGINT) AS increments_extract, "
+    "count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty "
+    "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01' "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+
+
+_q(
+    "el_increments_minute",
+    # minute unit with n=15: quarter-hour buckets, hour parent
+    _el(
+        "select increments(minute, 15, ts), count(*) as n from events "
+        "where ts >= '2024-01-01' and ts < '2024-01-02'"
+    ),
+    "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS increments_trunc, "
+    "CAST(CAST(extract(minute FROM ts) AS INTEGER) // 15 AS BIGINT) AS increments_extract, "
+    "count(*) AS n FROM events WHERE ts >= '2024-01-01' AND ts < '2024-01-02' "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
