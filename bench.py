@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "tpch_q6",
     "tpch_q3",
     "tpch_q5ish",
+    "tpch_q10ish",
     "topk_per_group",
     "scalar_subquery",
     "lineitem_time_scan",

@@ -1514,3 +1514,25 @@ _q(
     "count(*) AS n FROM events WHERE ts >= '2024-01-01' AND ts < '2024-01-02' "
     "GROUP BY 1, 2 ORDER BY 1, 2",
 )
+
+
+_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, n_name,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# returned-item revenue ranking: the fact table joins two broadcastable
+# dims (customer at sf, nation always) plus orders; revenue is the
+# decimal-routed double sum; LIMIT has a unique tie-break (c_custkey)
+_q("tpch_q10ish", _sql(_TPCH_Q10), _TPCH_Q10)
