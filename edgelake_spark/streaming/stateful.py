@@ -68,3 +68,81 @@ def ewma_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------ sessionization
+
+SESSION_OUTPUT = (
+    "user_id string, session_id bigint, n_events bigint, "
+    "session_start timestamp, session_end timestamp"
+)
+#: per-key state: running session counter + open-session accumulator
+#: (timestamps as epoch microseconds — bigints round-trip the state
+#: store across engines/versions without timezone surprises)
+SESSION_STATE = "session_id bigint, n bigint, start_us bigint, last_us bigint"
+
+
+def make_session_fn(gap_minutes: int = 30, ts_col: str = "ts"):
+    """Gap-based sessionizer for applyInPandasWithState: a session
+    closes (and is EMITTED) when a new event arrives more than
+    ``gap_minutes`` after the previous one; the open session stays in
+    state across micro-batches. Matches the batch lag/cumsum form
+    (queries._SESSIONIZE) for every closed session — the batch query's
+    last session per user corresponds to the state still open here."""
+
+    def sessions(key, batches, state) -> "Iterator[pd.DataFrame]":
+        gap_us = gap_minutes * 60_000_000
+        if state.exists:
+            sid, n, start_us, last_us = state.get
+        else:
+            sid, n, start_us, last_us = 0, 0, None, None
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        out = []
+        if pdfs:
+            rows = pd.concat(pdfs).sort_values(ts_col)
+            for ts in rows[ts_col]:
+                ts_us = int(pd.Timestamp(ts).value // 1_000)
+                if last_us is not None and ts_us - last_us > gap_us:
+                    out.append((key[0], sid, n, start_us, last_us))
+                    sid, n, start_us = sid + 1, 0, ts_us
+                if start_us is None:
+                    start_us = ts_us
+                n += 1
+                last_us = ts_us
+        state.update((sid, n, start_us, last_us))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": u,
+                    "session_id": s + 1,  # batch cumsum numbering starts at 1
+                    "n_events": c,
+                    "session_start": pd.Timestamp(st * 1_000),
+                    "session_end": pd.Timestamp(en * 1_000),
+                }
+                for u, s, c, st, en in out
+            ],
+            columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+        )
+
+    return sessions
+
+
+def session_stream(
+    stream_df: DataFrame, key_col: str = "user_id", ts_col: str = "ts", gap_minutes: int = 30
+) -> DataFrame:
+    """Closed sessions per key over a stream (append semantics: a row is
+    final once emitted). State is one small tuple per key in the state
+    store — partitioned, checkpointed, no driver involvement."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withColumn("user_id", F.col(key_col).cast("string"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_fn(gap_minutes, ts_col),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -162,3 +162,55 @@ def test_mapping_imperative_script(spark):
     # unconditional trailing assignment also never ran for it
     assert out["x"].status == "hide" and out["x"].grade is None
     assert out["x"].source is None and out["a"].source == "script"
+
+
+def test_session_stream_matches_batch_semantics(spark, tmp_path):
+    """Streaming gap-sessionizer == batch lag/cumsum sessionize for every
+    CLOSED session, with state carrying open sessions across
+    micro-batches (a session spanning two batches must not split)."""
+    from edgelake_spark.streaming.stateful import session_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("user_id", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    b1 = [
+        {"user_id": "u1", "ts": "2024-01-01 10:00:00"},
+        {"user_id": "u1", "ts": "2024-01-01 10:10:00"},
+        {"user_id": "u2", "ts": "2024-01-01 09:00:00"},
+    ]
+    # u1's 10:20 event continues the batch-1 session; 11:30 opens a new
+    # one (gap 70m) -> session 1 closes with events from BOTH batches
+    b2 = [
+        {"user_id": "u1", "ts": "2024-01-01 10:20:00"},
+        {"user_id": "u1", "ts": "2024-01-01 11:30:00"},
+        {"user_id": "u2", "ts": "2024-01-01 09:05:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    out = session_stream(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from sess_out").count() == 0  # nothing closed yet
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        q.processAllAvailable()
+        closed = {
+            (r.user_id, r.session_id): r
+            for r in spark.sql("select * from sess_out").collect()
+        }
+    finally:
+        q.stop()
+    # only u1's first session closed: 3 events 10:00-10:20 spanning batches
+    assert set(closed) == {("u1", 1)}
+    row = closed[("u1", 1)]
+    assert row.n_events == 3
+    assert row.session_start.isoformat() == "2024-01-01T10:00:00"
+    assert row.session_end.isoformat() == "2024-01-01T10:20:00"
