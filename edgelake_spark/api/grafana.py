@@ -96,9 +96,14 @@ def build_target_sql(
     func_items = ", ".join(f"{f}({value_col}) as {f}_val" for f in funcs)
     if payload.get("type") == "period":
         unit, n = parse_interval(interval)
+        # the payload's extra filter rides as period()'s 5th argument so
+        # it constrains both the anchor subquery and the range
+        # (reference al_grafana.py:2251, 2173-2174 append where_cond
+        # inside the period(...) call)
+        period_filt = f", and ({payload['where']})" if payload.get("where") else ""
         sql = (
             f"select max({time_col}) as timestamp, {func_items} from {table} "
-            f"where period({unit}, {n}, '{hi}', {time_col})"
+            f"where period({unit}, {n}, '{hi}', {time_col}{period_filt}){limit_sql}"
         )
     elif payload.get("data_points"):
         # let the engine's auto-increments planner pick unit/n

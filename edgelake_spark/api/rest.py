@@ -83,8 +83,8 @@ class EdgeLakeRestServer:
                     except Exception as exc:
                         self._reply(400, {"error": str(exc)[:500]})
                     return
-                body = json.loads(raw or b"{}")
                 try:
+                    body = json.loads(raw or b"{}")
                     if self.path.rstrip("/").endswith("search"):
                         self._reply(200, grafana.grafana_search(outer.engine))
                     elif self.path.rstrip("/").endswith("query"):
@@ -101,7 +101,11 @@ class EdgeLakeRestServer:
                     self._reply(400, {"error": "missing 'table' header"})
                     return
                 length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"[]")
+                try:
+                    payload = json.loads(self.rfile.read(length) or b"[]")
+                except json.JSONDecodeError as exc:
+                    self._reply(400, {"error": f"malformed JSON body: {exc}"})
+                    return
                 rows = payload if isinstance(payload, list) else [payload]
                 df = rows_to_dataframe(outer.engine.spark, rows)
                 name = f"{dbms}.{table}" if dbms else table

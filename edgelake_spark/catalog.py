@@ -12,6 +12,7 @@ column (see ``extend`` handling in the dialect layer).
 from __future__ import annotations
 
 import os
+import weakref
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -65,7 +66,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
 #: dir is idempotent (identical view definitions), so repeat engine
 #: constructions skip the per-table schema reads; a different dir
 #: re-registers (views must track it).
-_REGISTERED: dict[int, str] = {}
+#: weak keys: a dict keyed by id(spark) could silently skip registration
+#: for a brand-new session whose id CPython recycled from a dead one
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 def register_sf_tables(spark: SparkSession, sf_dir: str, force: bool = False) -> list[str]:
@@ -76,7 +79,7 @@ def register_sf_tables(spark: SparkSession, sf_dir: str, force: bool = False) ->
     """
     ensure_session_confs(spark)
     sf_dir = os.path.abspath(sf_dir)
-    if _REGISTERED.get(id(spark)) == sf_dir and not force:
+    if _REGISTERED.get(spark) == sf_dir and not force:
         return [t for t in TESTDATA_TABLES if spark.catalog.tableExists(t)]
     registered = []
     for name in TESTDATA_TABLES:
@@ -84,7 +87,7 @@ def register_sf_tables(spark: SparkSession, sf_dir: str, force: bool = False) ->
         if os.path.exists(path):
             load_parquet(spark, path).createOrReplaceTempView(name)
             registered.append(name)
-    _REGISTERED[id(spark)] = sf_dir
+    _REGISTERED[spark] = sf_dir
     return registered
 
 

@@ -91,6 +91,18 @@ class EdgeLakeEngine:
         short = catalog.view_name(name)
         return self.views.get(short, short)
 
+    @staticmethod
+    def _entry_plan(entry: dict) -> str:
+        """Formatted physical plan for a query_log entry; cached so the
+        DataFrame reference can be dropped once an entry is no longer
+        the newest (avoids pinning checkpoint blocks — see _execute)."""
+        if entry.get("plan") is None:
+            df = entry["df"]
+            entry["plan"] = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        return entry["plan"]
+
     # ------------------------------------------------------------ public
 
     def run(self, command: str):
@@ -394,17 +406,14 @@ class EdgeLakeEngine:
                 )
             if not self.query_log:
                 return self.spark.createDataFrame([], "job_id bigint, plan string")
-            if sel and sel.lower() != "last":
+            if sel and sel.strip().isdigit():
                 entry = next(
                     (e for e in self.query_log if e["job_id"] == int(sel)), self.query_log[-1]
                 )
-            else:
+            else:  # non-numeric / "last" selectors fall back to latest
                 entry = self.query_log[-1]
-            plan = entry["df"]._sc._jvm.PythonSQLUtils.explainString(
-                entry["df"]._jdf.queryExecution(), "formatted"
-            )
             return self.spark.createDataFrame(
-                [(entry["job_id"], plan)], "job_id bigint, plan string"
+                [(entry["job_id"], self._entry_plan(entry))], "job_id bigint, plan string"
             )
         m = _re.match(
             r"test\s+table\s+(\S+)\s+where\s+dbms\s*=\s*(\S+)\s*$", text, _re.IGNORECASE
@@ -645,6 +654,14 @@ class EdgeLakeEngine:
             "pass_through", True
         )
         df = self.spark.sql(rewritten.sql)
+        # only the newest entry keeps a live DataFrame reference: plans
+        # over localCheckpoint RDDs would otherwise pin block-manager
+        # blocks for up to 200 queries (the checkpoint-block pile-up
+        # SCALE.md documents). Older entries carry the plan string.
+        for e in self.query_log:
+            if e.get("df") is not None:
+                e["plan"] = self._entry_plan(e)
+                e["df"] = None
         self.query_log.append(
             {
                 "job_id": next(_job_counter),

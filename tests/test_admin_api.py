@@ -140,6 +140,23 @@ def test_rest_server_query_and_ingest(engine):
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(bad)
         assert exc_info.value.code == 400
+
+        # malformed JSON bodies → 400 replies, not dropped connections
+        bad_put = urllib.request.Request(
+            base,
+            data=b"{not json",
+            method="PUT",
+            headers={"dbms": "iot", "table": "readings"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad_put)
+        assert exc_info.value.code == 400
+        bad_post = urllib.request.Request(
+            base + "query", data=b"{not json", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad_post)
+        assert exc_info.value.code == 400
     finally:
         server.stop()
 

@@ -85,6 +85,26 @@ def test_build_period_and_table_sql():
     assert sql.endswith("order by ts limit 500")
 
 
+def test_build_period_applies_where_and_limit():
+    # the payload's extra filter must ride inside period(...) as the 5th
+    # argument (reference al_grafana.py:2251) and the limit must apply
+    sql, _, ts = build_target_sql(
+        {
+            "target": "events",
+            "payload": {"type": "period", "where": "event_type = 'error'", "limit": 7},
+        },
+        "2024-01-01T00:00:00Z",
+        "2024-01-02T00:00:00Z",
+        "10m",
+    )
+    assert ts
+    assert (
+        "period(minute, 10, '2024-01-02 00:00:00', ts, and (event_type = 'error'))"
+        in sql
+    )
+    assert sql.endswith(" limit 7")
+
+
 def test_format_timeseries_shapes():
     rows = [
         (datetime(2024, 1, 1, 0, 0, 0), "b0", 1.5, 3.0),

@@ -66,6 +66,13 @@ def test_query_status_and_explain(spark):
     plan = eng.run("query explain last").collect()[0]
     assert plan.job_id == status[-1].job_id
     assert "Physical Plan" in plan.plan and "HashAggregate" in plan.plan
+    # older entries dropped their DataFrame ref but kept the plan string
+    assert eng.query_log[0]["df"] is None and "Physical Plan" in eng.query_log[0]["plan"]
+    old = eng.run(f"query explain {status[0].job_id}").collect()[0]
+    assert old.job_id == status[0].job_id and "Physical Plan" in old.plan
+    # a non-numeric selector falls back to the latest entry, no raise
+    foo = eng.run("query explain foo").collect()[0]
+    assert foo.job_id == status[-1].job_id
 
 
 def test_dest_buffer(spark):
