@@ -1035,20 +1035,41 @@ def _run_policy_bring(spark, sf_dir):
     """Policy-ledger query: blockchain insert (explicit id/date so the
     result is deterministic) → blockchain get + bring projection
     (reference member_cmd.py:1614 blockchain_get; bring variants
-    utils_json.py:41-57). Rows-only gate: the ledger is engine-side
-    metadata with no parquet oracle table."""
+    utils_json.py:41-57). The zeta-company policy must be excluded by
+    the where filter. Oracle: the same deterministic policy JSON as a
+    DuckDB VALUES table, filter via json_extract_string, bring
+    projection via per-item `name || separator` string_agg — the exact
+    concat-then-append-separator shape of utils_json.py:533."""
     eng = EdgeLakeEngine(spark, None, now=FIXED_NOW)
-    for name, ip in (("op1", "10.0.0.1"), ("op2", "10.0.0.2"), ("op3", "10.0.0.3")):
+    for name, company, ip in (
+        ("op1", "acme", "10.0.0.1"),
+        ("op2", "acme", "10.0.0.2"),
+        ("op3", "acme", "10.0.0.3"),
+        ("other", "zeta", "10.0.0.9"),
+    ):
         eng.run(
-            'blockchain insert {"operator": {"name": "%s", "company": "acme", '
-            '"ip": "%s", "port": 32148, "id": "%s", "date": "2024-02-01"}}' % (name, ip, name)
+            'blockchain insert {"operator": {"name": "%s", "company": "%s", '
+            '"ip": "%s", "port": 32148, "id": "%s", "date": "2024-02-01"}}'
+            % (name, company, ip, name)
         )
     return eng.run(
         'blockchain get operator where company = acme bring [operator][name] separator = ", "'
     )
 
 
-_q("policy_bring", _run_policy_bring, None)
+_POLICY_BRING_ORACLE = """
+SELECT string_agg(json_extract_string(p, '$.operator.name') || ', ', ''
+                  ORDER BY json_extract_string(p, '$.operator.id')) AS result
+FROM (VALUES
+  ('{"operator": {"name": "op1", "company": "acme", "ip": "10.0.0.1", "port": 32148, "id": "op1", "date": "2024-02-01"}}'),
+  ('{"operator": {"name": "op2", "company": "acme", "ip": "10.0.0.2", "port": 32148, "id": "op2", "date": "2024-02-01"}}'),
+  ('{"operator": {"name": "op3", "company": "acme", "ip": "10.0.0.3", "port": 32148, "id": "op3", "date": "2024-02-01"}}'),
+  ('{"operator": {"name": "other", "company": "zeta", "ip": "10.0.0.9", "port": 32148, "id": "other", "date": "2024-02-01"}}')
+) t(p)
+WHERE json_extract_string(p, '$.operator.company') = 'acme'
+"""
+
+_q("policy_bring", _run_policy_bring, _POLICY_BRING_ORACLE)
 
 
 def _run_multimodal_features(spark, sf_dir):
