@@ -289,3 +289,110 @@ def duck_jaccard(a: str, b: str) -> str:
         f"CAST({inter} AS DOUBLE) / "
         f"CAST(len({a}) + len({b}) - {inter} AS DOUBLE)"
     )
+
+
+# --------------------------------------------------- connected components
+
+#: below this edge count the distributed loop is pure scheduling
+#: overhead (measured: 49 s for 27 k edges vs <1 s driver-side)
+DRIVER_CC_THRESHOLD = 2_500_000
+
+
+def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max_rounds: int = 20):
+    """Undirected connected components over a (id1, id2) pair DataFrame
+    → DataFrame (doc_id, component_id) with component_id = min id
+    reachable (the dedup keep-candidate).
+
+    Hybrid: the pair set is LSH *output* — already reduced from O(n²) to
+    candidate pairs — so small graphs run path-compressed union-find on
+    the driver; above ``driver_threshold`` edges the distributed branch
+    runs min-label propagation PLUS pointer jumping (label :=
+    label[label]), halving component diameter per round → O(log n)
+    rounds on any graph (the large-graph CC idiom). Raises RuntimeError
+    if the fixpoint is not reached within ``max_rounds`` — convergence
+    is verified, never assumed.
+    """
+    from pyspark.sql import functions as F
+
+    spark = pairs.sparkSession
+    n_edges = pairs.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs.collect():
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {x: find(x) for x in parent}
+        # component id = min doc_id in the component (find() roots are
+        # already minima because unions always point max → min)
+        rows = sorted(comp.items())
+        return spark.createDataFrame(rows, "doc_id long, component_id long")
+
+    # bidirectional edge set (no distinct — id1<id2 halves cannot overlap)
+    edges = pairs.union(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("id1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for round_no in range(1, max_rounds + 1):
+        nmin = (
+            edges.join(labels, edges.id2 == labels.doc_id)
+            .groupBy(edges.id1.alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = labels.join(nmin, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: follow label -> label-of-label
+        parents = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parents, stepped.label == parents.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        # convergence probe every other round (scheduling overhead
+        # stays bounded), and every round near the cap
+        if round_no % 2 == 0 or round_no >= max_rounds - 2:
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels = jumped
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_rounds} rounds"
+        )
+    return labels.select("doc_id", F.col("label").alias("component_id")).orderBy("doc_id")

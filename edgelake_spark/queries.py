@@ -852,99 +852,18 @@ _q(
 
 def _run_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: MinHash-LSH pairs → undirected edges →
-    connected components. Each round does min-label propagation over
-    edges PLUS pointer jumping (label := label[label]), which halves
-    component diameter per round → O(log n) rounds on any graph (the
-    large-graph CC idiom). Convergence is checked every other round so
-    scheduling overhead stays bounded. The fixpoint (min doc_id
-    reachable) is engine-independent; a DuckDB recursive-CTE oracle
-    verifies it exactly. component_id = the dedup keep-candidate."""
-    from pyspark.sql import functions as F
-
-    # checkpoint the pairs FIRST — they are referenced twice below and
-    # would otherwise run the whole LSH pipeline once per reference
+    connected components; component_id = min doc_id reachable (the
+    dedup keep-candidate). The fixpoint is engine-independent; a DuckDB
+    recursive-CTE oracle verifies it exactly. The hybrid
+    driver-union-find / distributed min-label + pointer-jumping
+    algorithm lives in functions/dedup.py::connected_components; BOTH
+    branches are oracle-verified (tests/test_dedup_cc.py forces the
+    distributed one with driver_threshold=0)."""
+    # checkpoint the pairs FIRST — they are referenced twice inside
+    # connected_components and would otherwise run the whole LSH
+    # pipeline once per reference
     pairs = _run_minhash_pairs(spark, sf_dir).select("id1", "id2").localCheckpoint()
-    # Hybrid CC: the pair set is the LSH OUTPUT — already reduced from
-    # O(n²) to candidate pairs. Below a threshold the asymptotically
-    # "right" distributed loop is all scheduling overhead (measured 49s
-    # for a 27k-edge graph vs <1s driver-side), so small graphs run
-    # union-find on the driver; big ones fall through to distributed
-    # min-label + pointer-jumping rounds. Union-find consumes the raw
-    # (id1<id2) pairs directly; only the distributed loop needs the
-    # bidirectional edge set (built below, no distinct — the two halves
-    # cannot overlap).
-    n_edges = pairs.count()
-    if n_edges <= 2_500_000:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for a, b in pairs.collect():
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        comp = {x: find(x) for x in parent}
-        # component id = min doc_id in the component (find() roots are
-        # already minima because unions always point max → min)
-        rows = sorted(comp.items())
-        return spark.createDataFrame(rows, "doc_id long, component_id long")
-
-    edges = pairs.union(
-        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("id1").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for round_no in range(1, 13):
-        nmin = (
-            edges.join(labels, edges.id2 == labels.doc_id)
-            .groupBy(edges.id1.alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        stepped = labels.join(nmin, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-        )
-        # pointer jump: follow label -> label-of-label
-        parents = stepped.select(
-            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        jumped = (
-            stepped.join(parents, stepped.label == parents.p_id, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        if round_no % 2 == 0 or round_no >= 6:
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = jumped
-            if changed == 0:
-                break
-        else:
-            labels = jumped
-    return labels.select("doc_id", F.col("label").alias("component_id")).orderBy("doc_id")
+    return dd.connected_components(pairs)
 
 
 _DEDUP_CLUSTERS_ORACLE = f"""
