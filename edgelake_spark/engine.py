@@ -77,6 +77,9 @@ class EdgeLakeEngine:
         #: dest = buffer:<key> rendered outputs (reference assign_key /
         #: "buffer" destination, output_data.py:37-60)
         self.buffers: dict[str, str] = {}
+        #: (dbms, table) → blobs temp view, fed by `file store`
+        #: (reference bucket_dbms.py:110 store_file / :220 retrieve_files)
+        self.blob_views: dict[tuple[str, str], str] = {}
         #: per-query audit: statement, rewritten SQL, wall seconds
         #: (reference `query status/explain` — member_cmd.py:21665,
         #: job_instance bookkeeping). Bounded ring, newest last.
@@ -536,7 +539,108 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 [(b,) for b in dropped] or [], "dropped_partition string"
             )
+        m = _re.match(r"file\s+store\s+where\s+(.*)$", text, _re.IGNORECASE)
+        if m:
+            return self._file_store(m.group(1))
+        m = _re.match(r"file\s+retrieve\s+where\s+(.*)$", text, _re.IGNORECASE)
+        if m:
+            return self._file_retrieve(m.group(1))
+        m = _re.match(r"get\s+files\s+count(\s+where\s+(.*))?$", text, _re.IGNORECASE)
+        if m:
+            flt = self._meta_filters(m.group(2))
+            rows = []
+            for (dbms, table), view in sorted(self.blob_views.items()):
+                if flt.get("dbms") and dbms != flt["dbms"]:
+                    continue
+                if flt.get("table") and table != flt["table"]:
+                    continue
+                rows.append((dbms, table, self.spark.table(view).count()))
+            return self.spark.createDataFrame(
+                rows or [], "dbms string, table_name string, n_files bigint"
+            )
         return None
+
+    # ------------------------------------------------------------ blobs
+
+    def _blob_view(self, dbms: str, table: str) -> str:
+        return f"__blobs_{dbms}_{table}".replace(".", "_")
+
+    def _file_store(self, where: str):
+        """`file store where dbms = X and table = Y [and hash = H] and
+        file = PATH` — insert a file into the blobs store keyed by
+        content hash (reference member_cmd.py:19225-19234 file_store,
+        bucket_dbms.py:110 store_file; duplicate-hash handling
+        bucket_dbms.py:205-214)."""
+        import re as _re
+
+        from edgelake_spark.functions import multimodal
+
+        opts = {k.lower(): v for k, v in _re.findall(r"(\w+)\s*=\s*(\S+)", where)}
+        if "table" not in opts or "file" not in opts:
+            raise ValueError("file store needs table = ... and file = ...")
+        dbms, table = opts.get("dbms", ""), opts["table"]
+        row = multimodal.file_to_blob_row(opts["file"], opts.get("hash"))
+        view = self._blob_view(dbms, table)
+        df = self.spark.createDataFrame([row], schema=multimodal.BLOB_SCHEMA)
+        if self.spark.catalog.tableExists(view):
+            existing = self.spark.table(view)
+            if existing.filter(F.col("blob_hash") == row[0]).limit(1).count():
+                # reference: duplicate key is an error unless
+                # ignore_duplicate (multiple rows may point at one blob)
+                if opts.get("ignore", "").lower() in ("true", "1"):
+                    return self.spark.createDataFrame(
+                        [(dbms, table, row[0], row[4], False)],
+                        "dbms string, table_name string, blob_hash string, n_bytes bigint, stored boolean",
+                    )
+                raise ValueError(f"duplicate blob hash {row[0]} in {dbms}.{table}")
+            df = existing.unionByName(df)
+        df.createOrReplaceTempView(view)
+        self.blob_views[(dbms, table)] = view
+        return self.spark.createDataFrame(
+            [(dbms, table, row[0], row[4], True)],
+            "dbms string, table_name string, blob_hash string, n_bytes bigint, stored boolean",
+        )
+
+    def _file_retrieve(self, where: str):
+        """`file retrieve where dbms = X and table = Y and hash = H and
+        dest = PATH` (also `name = <source name>`, `limit = n`) — write
+        matching blob content to dest (reference member_cmd.py:19377,
+        bucket_dbms.py:220 retrieve_files: hash/name are unique keys →
+        one file; otherwise dest is a directory)."""
+        import os
+        import re as _re
+
+        opts = {k.lower(): v for k, v in _re.findall(r"(\w+)\s*=\s*(\S+)", where)}
+        dbms, table = opts.get("dbms", ""), opts.get("table", "")
+        view = self.blob_views.get((dbms, table))
+        if view is None:
+            raise ValueError(f"no blobs stored for {dbms}.{table}")
+        df = self.spark.table(view)
+        unique_key = False
+        if opts.get("hash"):
+            df = df.filter(F.col("blob_hash") == opts["hash"])
+            unique_key = True
+        if opts.get("name"):
+            df = df.filter(F.col("source_name") == opts["name"])
+            unique_key = True
+        limit = int(opts.get("limit", 1 if unique_key else 0))
+        if limit:
+            df = df.limit(limit)
+        rows = df.collect()
+        dest = opts.get("dest", "")
+        out = []
+        for r in rows:
+            if len(rows) == 1 and dest and not os.path.isdir(dest):
+                path = dest
+            else:  # multiple files (or dest is a dir): one file per blob
+                os.makedirs(dest or ".", exist_ok=True)
+                path = os.path.join(dest or ".", r.source_name)
+            with open(path, "wb") as f:
+                f.write(bytes(r.content))
+            out.append((r.blob_hash, r.source_name, r.n_bytes, path))
+        return self.spark.createDataFrame(
+            out or [], "blob_hash string, source_name string, n_bytes bigint, dest string"
+        )
 
     @staticmethod
     def _meta_filters(where: str | None) -> dict:
