@@ -84,19 +84,33 @@ def duck_cosine_staged(a: str, b: str) -> str:
 
 # --- k-means centroid refinement (the IVF scale path) -----------------
 #
-# The gate's IVF uses a deterministic stride subset as centroids so the
-# DuckDB oracle can reproduce it. At 100 TB stride centroids track the
-# id distribution, not the vector distribution — refined centroids cut
-# probe fan-out. This is Lloyd's iteration as pure DataFrame ops:
+# The IVF gate's centroids come FROM kmeans_refine (stride init + one
+# decimal-staged Lloyd round); the DuckDB oracle reproduces the round
+# bit-for-bit (duck_kmeans_centroids_cte), so the real k-means code is
+# hash-verified. This is Lloyd's iteration as pure DataFrame ops:
 # assign (N×C broadcast join, C small) → mean per cluster (one shuffle
 # of C×dim partial sums) → repeat. Deterministic given a deterministic
 # init (the stride subset), so runs are reproducible.
+#
+# Recall note (sf0.01, nprobe=2, 13 centroids, measured vs brute-force
+# top-5): stride centroids 0.48, one-round k-means 0.44 — noise-level
+# difference, because the synthetic embeddings are near-isotropic (all
+# neighbors sit near 90°; see the SRP note below). Refinement earns its
+# keep on REAL clustered data, where stride centroids track the id
+# distribution instead of the vector distribution; the gate wires it in
+# to verify the machinery, not to claim a recall win here.
 
 
 def kmeans_refine(spark, vectors, iters: int = 2, stride: int = 47):
     """``vectors``: DataFrame(vec_id long, demb array<double>). Returns
     DataFrame(centroid_id long, centroid array<double>) after ``iters``
-    Lloyd rounds from the stride-subset initialization."""
+    Lloyd rounds from the stride-subset initialization.
+
+    Per-cluster means go through DECIMAL(38,18) partial sums (exact,
+    order-independent) then ONE cast back to double — so refined
+    centroids are bit-identical across partition orders AND engines,
+    letting the IVF gate oracle (duck_kmeans_centroids_cte) reproduce
+    them exactly."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
     cents = (
@@ -130,11 +144,22 @@ def kmeans_refine(spark, vectors, iters: int = 2, stride: int = 47):
                 "centroid_id", F.posexplode("demb").alias("__i", "__x")
             )
             .groupBy("centroid_id", "__i")
-            .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+            .agg(
+                F.sum(F.col("__x").cast("decimal(38,18)")).alias("__s"),
+                F.count("*").alias("__n"),
+            )
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(
-                    F.collect_list(F.struct("__i", (F.col("__s") / F.col("__n")).alias("__m")))
+                    F.collect_list(
+                        F.struct(
+                            "__i",
+                            (
+                                F.col("__s").cast("double")
+                                / F.col("__n").cast("double")
+                            ).alias("__m"),
+                        )
+                    )
                 ).alias("__pairs")
             )
             .select(
@@ -144,6 +169,43 @@ def kmeans_refine(spark, vectors, iters: int = 2, stride: int = 47):
         )
         cents = sums
     return cents
+
+
+def duck_kmeans_centroids_cte(n: str, stride: int = 47) -> str:
+    """DuckDB CTE chain reproducing ONE kmeans_refine Lloyd round
+    bit-for-bit: same stride init, same index-order squared-L2 fold,
+    same (d2, cid) tie-break, same DECIMAL(38,18)-staged means. Emitted
+    WITHOUT a leading WITH; defines ``centroids(cid, demb, norm)`` with
+    norms per the staged convention (duck_norm_stage_sql)."""
+    d2 = (
+        "list_sum([((e.demb)[i] - (c.demb)[i]) * ((e.demb)[i] - (c.demb)[i]) "
+        "for i in range(1, len(e.demb) + 1)])"
+    )
+    return f"""
+kinit AS (
+  SELECT vec_id AS cid, demb FROM {n} WHERE vec_id % {stride} = 0
+),
+kassign AS (
+  SELECT vec_id, cid, demb FROM (
+    SELECT e.vec_id, c.cid, e.demb,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cid) AS rn
+    FROM {n} e JOIN kinit c ON true
+  ) WHERE rn = 1
+),
+kcomp AS (
+  SELECT cid, generate_subscripts(demb, 1) AS i, unnest(demb) AS x FROM kassign
+),
+kmean AS (
+  SELECT cid, i,
+    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM kcomp GROUP BY cid, i
+),
+kcent AS (
+  SELECT cid, list(m ORDER BY i) AS demb FROM kmean GROUP BY cid
+),
+centroids AS (
+  SELECT cid, demb, sqrt(list_sum([x * x for x in demb])) AS norm FROM kcent
+)"""
 
 
 # ------------------------------------------------ sign-random-projection

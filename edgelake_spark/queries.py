@@ -608,9 +608,12 @@ _q(
 
 
 def _ivf_body(engine: str, n: str) -> str:
-    """IVF: deterministic centroids (vec_id % stride == 0); assign each
-    vector to its nearest centroid; probe NPROBE centroids per query.
-    All cosines run over the staged (demb, norm) table ``n``."""
+    """IVF: k-means-refined centroids (stride init + one decimal-staged
+    Lloyd round — kmeans_refine on the Spark side, its DuckDB CTE twin
+    in the oracle); assign each vector to its nearest centroid; probe
+    NPROBE centroids per query. All cosines run over the staged
+    (demb, norm) table ``n``. Expects a ``centroids(cid, demb, norm)``
+    CTE/view prepended by the caller."""
     def cos(a, b):
         return (
             sim.spark_cosine_staged(a, b)
@@ -618,12 +621,9 @@ def _ivf_body(engine: str, n: str) -> str:
             else sim.duck_cosine_staged(a, b)
         )
 
-    stride, nprobe = sim.CENTROID_STRIDE, sim.NPROBE
+    nprobe = sim.NPROBE
     # emitted WITHOUT a leading WITH so callers can prepend their own CTEs
     return f"""
-centroids AS (
-  SELECT vec_id AS cid, demb, norm FROM {n} WHERE vec_id % {stride} = 0
-),
 assign AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
@@ -655,16 +655,32 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 
 
 def _run_ivf_topk(spark, sf_dir):
+    """Spark side CALLS kmeans_refine (the scale-path function) for the
+    centroids; the oracle reproduces it via duck_kmeans_centroids_cte —
+    so the real k-means implementation is what gets hash-verified."""
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "embeddings")
     n = _emb_norm_view(spark)
-    return spark.sql("WITH " + _ivf_body("spark", n))
+    vectors = spark.sql(f"SELECT vec_id, demb FROM {n}")
+    cents = sim.kmeans_refine(spark, vectors, iters=1, stride=sim.CENTROID_STRIDE)
+    cents.selectExpr(
+        "centroid_id AS cid",
+        "centroid AS demb",
+        "sqrt(aggregate(centroid, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS norm",
+    ).localCheckpoint().createOrReplaceTempView("__ivf_centroids")
+    return spark.sql(
+        "WITH centroids AS (SELECT cid, demb, norm FROM __ivf_centroids),\n"
+        + _ivf_body("spark", n)
+    )
 
 
 _q(
     "emb_ivf_topk",
     _run_ivf_topk,
-    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}),\n" + _ivf_body("duck", "n"),
+    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}),\n"
+    + sim.duck_kmeans_centroids_cte("n", sim.CENTROID_STRIDE)
+    + ",\n"
+    + _ivf_body("duck", "n"),
 )
 
 # =====================================================================
