@@ -15,6 +15,11 @@ Reference: edge_lake/json_to_sql/mapping_policy.py — a policy document
 mapping_policy.py:537-575). On Spark the pull compiles to column
 navigation + explode over the raw JSON, all JVM-side via from_json /
 get_json_object.
+
+``bring "re.group(N)"`` pulls a match group of the policy-level
+``re_match`` pattern applied to the ``re_source`` path (the reference's
+PLC tag-name mapping, mapping_policy.py:57,1153) — compiled to a
+JVM-side regexp_extract.
 """
 
 from __future__ import annotations
@@ -27,6 +32,9 @@ from pyspark.sql import functions as F
 from edgelake_spark.ingest.infer import edgelake_to_spark_type
 
 _PATH_RE = re.compile(r"\[([^\]]*)\]")
+#: `re.group(N)` value pulls (reference mapping_policy.py:57
+#: re_group_pattern_, :1153 get_re_match_value)
+_RE_GROUP_RE = re.compile(r"^\s*re\.group\((\d+)\)\s*$")
 
 
 def parse_bring_path(path: str) -> list[str]:
@@ -95,7 +103,27 @@ def apply_mapping_policy(
         ).withColumn("__item", F.explode("__items"))
         item_col = "__item"
 
+    # regex-group pulls (reference mapping_policy.py:57,1153 + PLC flow
+    # mqtt_client.py:1234-1250): the policy declares a `re_match`
+    # pattern applied to `re_source` (a bring path; the reference
+    # applies it to the PLC attribute name), and any bring value
+    # `re.group(N)` pulls that match group. re.match anchors at the
+    # start, so the compiled regexp_extract pattern is ^-anchored; a
+    # failed match yields NULL (the reference skips falsy values).
+    re_pattern = policy.get("mapping", {}).get("re_match")
+    re_source = policy.get("mapping", {}).get("re_source")
+    if re_pattern and not re_pattern.startswith("^"):
+        re_pattern = "^" + re_pattern
+
     def _pull_expr(path_str: str):
+        gm = _RE_GROUP_RE.match(path_str or "")
+        if gm:
+            if not re_pattern or not re_source:
+                raise ValueError(
+                    "re.group(N) bring needs policy-level re_match and re_source"
+                )
+            ext = F.regexp_extract(_pull_expr(re_source), re_pattern, int(gm.group(1)))
+            return F.when(ext != "", ext)
         parts = parse_bring_path(path_str)
         if parts and "" in parts:
             rel = parts[parts.index("") + 1 :]
@@ -152,7 +180,7 @@ def _script_value(text: str, pull_expr) -> F.Column:
     literal (reference data_assignment, member_cmd.py via
     mapping_policy.py:782-788)."""
     text = text.strip()
-    if text.startswith("["):
+    if text.startswith("[") or _RE_GROUP_RE.match(text):
         return pull_expr(text)
     try:
         return F.lit(int(text))

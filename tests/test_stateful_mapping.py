@@ -214,3 +214,67 @@ def test_session_stream_matches_batch_semantics(spark, tmp_path):
     assert row.n_events == 3
     assert row.session_start.isoformat() == "2024-01-01T10:00:00"
     assert row.session_end.isoformat() == "2024-01-01T10:20:00"
+
+
+def test_mapping_regex_group_pulls(spark):
+    """re.group(N) bring values extract from the policy's re_match
+    pattern applied to re_source — the reference's PLC tag-name mapping
+    (mapping_policy.py:57,1153; mqtt_client.py:1234-1250)."""
+    policy = {
+        "mapping": {
+            "id": "m_re",
+            # PLC tag names like "plant1.line3.temp" carry the site and
+            # line in the name itself
+            "re_match": r"(\w+)\.line(\d+)\.(\w+)",
+            "re_source": "[tag]",
+            "schema": {
+                "site": {"type": "varchar", "bring": "re.group(1)"},
+                "line_no": {"type": "int", "bring": "re.group(2)"},
+                "metric": {"type": "varchar", "bring": "re.group(3)"},
+                "reading": {"type": "float", "bring": "[value]"},
+            },
+        }
+    }
+    rows = [
+        {"tag": "plant1.line3.temp", "value": 21.5},
+        {"tag": "plant2.line12.rpm", "value": 900.0},
+        {"tag": "malformed-tag", "value": 1.0},  # no match → NULLs
+    ]
+    raw = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+    got = {
+        r.reading: (r.site, r.line_no, r.metric)
+        for r in apply_mapping_policy(spark, raw, policy).collect()
+    }
+    assert got[21.5] == ("plant1", 3, "temp")
+    assert got[900.0] == ("plant2", 12, "rpm")
+    assert got[1.0] == (None, None, None)
+
+
+def test_mapping_regex_group_requires_pattern(spark):
+    policy = {
+        "mapping": {
+            "id": "m_bad",
+            "schema": {"x": {"type": "varchar", "bring": "re.group(1)"}},
+        }
+    }
+    raw = spark.createDataFrame([('{"a": 1}',)], "value string")
+    with pytest.raises(ValueError, match="re_match"):
+        apply_mapping_policy(spark, raw, policy)
+
+
+def test_mapping_regex_group_in_script(spark):
+    """re.group(N) also works as a script assignment RHS."""
+    policy = {
+        "mapping": {
+            "id": "m_re_script",
+            "re_match": r"(\w+)/(\w+)",
+            "re_source": "[topic]",
+            "schema": {"v": {"type": "float", "bring": "[v]"}},
+            "script": ["room = re.group(2)"],
+        }
+    }
+    raw = spark.createDataFrame(
+        [('{"topic": "floor1/kitchen", "v": 3.5}',)], "value string"
+    )
+    row = apply_mapping_policy(spark, raw, policy).collect()[0]
+    assert (row.v, row.room) == (3.5, "kitchen")
