@@ -1492,3 +1492,171 @@ LIMIT 20
 # dims (customer at sf, nation always) plus orders; revenue is the
 # decimal-routed double sum; LIMIT has a unique tie-break (c_custkey)
 _q("tpch_q10ish", _sql(_TPCH_Q10), _TPCH_Q10)
+
+
+# =====================================================================
+# Round 3: wider join/window surface (SURVEY §2.3/§2.8 superset gates)
+#
+# Each query is ONE SQL text executed verbatim by both Spark and the
+# DuckDB oracle — the dialect subset below is chosen to be semantically
+# and bit-for-bit identical across engines (decimal-staged double sums,
+# unique ORDER BY tie-breaks, explicit BIGINT casts on counts).
+# =====================================================================
+
+
+_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# priority count over late-shipping orders: the EXISTS compiles to a
+# LEFT SEMI join (orders ⋈ lineitem on orderkey) — at scale both sides
+# shuffle on l_orderkey once and the semi probe short-circuits per key;
+# no fact-table duplication, no distinct needed
+_q("tpch_q4ish", _sql(_TPCH_Q4), _TPCH_Q4)
+
+
+_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_dsum('volume')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# nation-pair shipping volume: supplier + both nation dims broadcast
+# (supplier is 100 rows per 10k customers at any sf); lineitem⋈orders⋈
+# customer are the only shuffles, and the OR-of-pairs predicate prunes
+# to two nations BEFORE the fact join via the broadcast hash probe
+_q("tpch_q7ish", _sql(_TPCH_Q7), _TPCH_Q7)
+
+
+_TPCH_Q14 = f"""
+SELECT CAST(100 AS DOUBLE) * promo / total AS promo_revenue_pct,
+       promo, total, n_lines
+FROM (
+  SELECT {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo,
+         {_dsum('l_extendedprice * (1 - l_discount)')} AS total,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+) t
+"""
+
+# promo revenue share: part broadcasts against the date-pruned lineitem
+# scan (PushedFilters carry the shipdate range); both sums are
+# decimal-staged so the final ratio is one IEEE divide on identical
+# doubles — bit-equal across engines and partition orders
+_q("tpch_q14ish", _sql(_TPCH_Q14), _TPCH_Q14)
+
+
+_TPCH_Q17 = f"""
+SELECT {_dsum('l1.l_extendedprice')} AS total_price,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l1.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                  / count(l2.l_quantity))
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+# small-quantity outlier revenue (q17 shape without partsupp): the
+# correlated scalar subquery decorrelates into a per-partkey aggregate
+# of lineitem joined back on l_partkey — one extra shuffle on the SAME
+# key as the probe join, so AQE can reuse the exchange; the avg is
+# decimal-staged /count so the 0.2× threshold is engine-identical
+_q("tpch_q17ish", _sql(_TPCH_Q17), _TPCH_Q17)
+
+
+_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+       {_dsum('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 160)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+# large-volume orders: the IN-subquery is a semi join against a
+# pre-aggregated lineitem (HAVING on an exact decimal sum — no float
+# boundary risk); the outer agg re-groups on the order grain it just
+# semi-filtered, so the orderkey partitioning is reused; DESC LIMIT has
+# a unique o_orderkey tie-break
+_q("tpch_q18ish", _sql(_TPCH_Q18), _TPCH_Q18)
+
+
+# ------------------------------------------------ window-function gates
+
+
+_EVENTS_LAG = """
+SELECT event_id, user_id, ts, value,
+       lag(value) OVER w AS prev_value,
+       value - lag(value) OVER w AS delta,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM events
+WHERE ts >= '2024-01-01' AND ts < '2024-01-15'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+"""
+
+# per-user deltas: lag/row_number share ONE (user_id) hash partitioning
+# + in-partition sort; the subtraction is a single IEEE op on values
+# both engines read identically. At scale this is the canonical
+# sessionless per-entity window — one shuffle, sort spills locally
+_q("events_lag_delta", _sql(_EVENTS_LAG), _EVENTS_LAG)
+
+
+_EVENTS_RUNSUM = """
+SELECT user_id, ts, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_value,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(count(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS moving_avg_10
+FROM events
+WHERE ts >= '2024-01-01' AND ts < '2024-01-15'
+ORDER BY user_id, ts, event_id
+"""
+
+# running total + 10-row moving average: both frames are decimal-staged
+# (prefix sums over DECIMAL are exact, so engine/accumulation order
+# can't skew low bits); same single (user_id) partitioning as above
+_q("events_running_sum", _sql(_EVENTS_RUNSUM), _EVENTS_RUNSUM)
