@@ -88,6 +88,9 @@ def main() -> None:
         "doc_simhash",
         "doc_winnow_fp",
         "doc_top_terms",
+        # JIT-compiles the kmeans/assign cosine folds; the sf-dir
+        # centroid cache itself stays cold here (per-dataset key)
+        "emb_ivf_topk",
     ):
         try:
             SPARK_QUERIES[warm](spark, warm_dir).collect()
