@@ -104,3 +104,45 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         drop_bucketed(spark, "b_orders")
         drop_bucketed(spark, "b_customer")
+
+
+def test_exists_compiles_to_semi_join(spark):
+    # tpch_q4ish: EXISTS must become a semi join (one probe per order),
+    # never an inner join + distinct (fact duplication at scale)
+    plan = plan_of(spark, "tpch_q4ish")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_nation_pair_dims_broadcast(spark):
+    # tpch_q7ish: supplier + both nation sides broadcast; the only
+    # shuffle joins are between the big tables
+    plan = plan_of(spark, "tpch_q7ish")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_promo_ratio_part_broadcast_and_pushdown(spark):
+    # tpch_q14ish: part is the broadcast side; the shipdate window is
+    # pushed into the lineitem scan
+    plan = plan_of(spark, "tpch_q14ish")
+    assert "BroadcastHashJoin" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_correlated_subquery_decorrelates(spark):
+    # tpch_q17ish: the per-partkey avg must decorrelate into an
+    # aggregate joined on l_partkey — no nested-loop re-execution
+    plan = plan_of(spark, "tpch_q17ish")
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_gates_single_shuffle(spark):
+    # events_lag_delta + events_running_sum: every frame shares ONE
+    # (user_id) hash partitioning; the only other exchange is the
+    # presentation sort's range partitioning
+    for name in ("events_lag_delta", "events_running_sum"):
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert plan.count("Window") >= 1, name
