@@ -1694,3 +1694,124 @@ ORDER BY user_id, ts, event_id
 # (prefix sums over DECIMAL are exact, so engine/accumulation order
 # can't skew low bits); same single (user_id) partitioning as above
 _q("events_running_sum", _sql(_EVENTS_RUNSUM), _EVENTS_RUNSUM)
+
+
+# =====================================================================
+# Round 3: deterministic sampling / split assignment + embedding keep
+#
+# Training pipelines shard, sample, and split by HASH, not by random():
+# the assignment must be reproducible across engines, re-runs, and
+# repartitions. u = md5-hex60 / 2^60 gives a uniform [0,1) per key that
+# both engines compute bit-identically (the repo's md5 conventions).
+# =====================================================================
+
+_MD5_SPARK = "md5(concat('split:', CAST(doc_id AS STRING)))"
+_MD5_DUCK = "md5('split:' || CAST(doc_id AS VARCHAR))"
+# divide by CAST(2^60 AS DOUBLE): a bare `...976.0` literal parses as
+# DECIMAL in Spark and the decimal division rounds differently than
+# DuckDB's — an explicit double divisor makes u an exact binary scale
+_U_EXPR_SPARK = (
+    dd.spark_hex60(_MD5_SPARK) + " / CAST(1152921504606846976 AS DOUBLE)"
+)
+_U_EXPR_DUCK = (
+    dd.duck_hex60(_MD5_DUCK) + " / CAST(1152921504606846976 AS DOUBLE)"
+)
+
+
+def _split_assign_sql(u_expr: str) -> str:
+    return f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       min(u) AS min_u, max(u) AS max_u,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT doc_id,
+         CASE WHEN u < 0.8 THEN 'train'
+              WHEN u < 0.9 THEN 'valid'
+              ELSE 'test' END AS split, u
+  FROM (SELECT doc_id, {u_expr} AS u FROM documents) h
+) s
+GROUP BY split
+ORDER BY split
+"""
+
+
+# train/valid/test assignment by key hash: one map-side expression per
+# row; the id_checksum proves both engines assign the SAME rows, not
+# just the same counts. At scale this is a scan + tiny agg — no joins,
+# no shuffle beyond 3 groups
+_q(
+    "doc_split_assign",
+    _sql(_split_assign_sql(_U_EXPR_SPARK)),
+    _split_assign_sql(_U_EXPR_DUCK),
+)
+
+
+def _strat_sample_sql(u_expr: str) -> str:
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT lang, doc_id, {u_expr} AS u,
+         CASE lang WHEN 'en' THEN 0.35 WHEN 'zh' THEN 0.7 ELSE 1.0 END
+         AS rate
+  FROM documents
+) s
+WHERE u < rate
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# stratified downsampling (rebalance a corpus by language): the keep
+# decision is u < per-stratum rate — deterministic, engine-identical,
+# map-side; rows never move until the (tiny) per-lang count agg
+_q(
+    "doc_stratified_sample",
+    _sql(_strat_sample_sql(_U_EXPR_SPARK)),
+    _strat_sample_sql(_U_EXPR_DUCK),
+)
+
+
+# ------------------------------------------- embedding dedup keep-list
+
+
+def _emb_keep_sql(pairs_body: str, n: str) -> str:
+    # pairs = the emb_near_dup candidates (already blocked + verified);
+    # greedy keep: a vector survives unless it matched a SMALLER id
+    # (id2 side of a pair). NOT EXISTS compiles to LEFT ANTI on Spark.
+    return f"""
+WITH pairs AS ({pairs_body}),
+drops AS (SELECT DISTINCT id2 FROM pairs)
+SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(vec_id) AS BIGINT) AS keep_checksum
+FROM {n} e
+WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.id2 = e.vec_id)
+GROUP BY label
+ORDER BY label
+"""
+
+
+def _run_emb_dedup_keep(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    n = _emb_norm_view(spark)
+    pairs = _NEAR_DUP_SPARK_BODY.format(
+        cos=sim.spark_cosine_staged("a", "b"), n=n
+    ).replace("ORDER BY id1, id2", "")
+    return spark.sql(_emb_keep_sql(pairs, n))
+
+
+# near-dup keep-policy over embeddings: candidates from the blocked
+# cosine join, drop-list = distinct matched ids (≪ corpus), survivors
+# via anti join — the corpus itself never shuffles for the drop
+_q(
+    "emb_dedup_keep",
+    _run_emb_dedup_keep,
+    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}) "
+    + _emb_keep_sql(
+        _NEAR_DUP_BODY.format(
+            cos=sim.duck_cosine_staged("a", "b"), n="n"
+        ).replace("ORDER BY id1, id2", ""),
+        "n",
+    ).replace("WITH pairs AS", ", pairs AS", 1),
+)
