@@ -1815,3 +1815,48 @@ _q(
         "n",
     ).replace("WITH pairs AS", ", pairs AS", 1),
 )
+
+
+# ---------------------------------------------- multimodal frame sample
+
+
+def _run_multimodal_frames(spark, sf_dir):
+    """Video-style frame sampling over the blobs-from-documents table:
+    each blob expands to 3 frame rows INSIDE one Arrow batch pass
+    (mapInPandas 1→N — no explode+shuffle). Frame identity/dims derive
+    from sha256(blob_hash + '#' + idx), which the DuckDB oracle
+    replays in SQL."""
+    from edgelake_spark.functions.multimodal import sample_frames
+
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    blobs = spark.sql(
+        "SELECT sha2(encode(text, 'UTF-8'), 256) AS blob_hash, "
+        "'video' AS media_type, encode(text, 'UTF-8') AS content "
+        "FROM documents_rep"
+    )
+    return (
+        sample_frames(blobs, n_frames=3)
+        .selectExpr(
+            "blob_hash", "frame_idx", "frame_hash", "frame_width", "frame_height"
+        )
+        .orderBy("blob_hash", "frame_idx")
+    )
+
+
+_q(
+    "multimodal_frames",
+    _run_multimodal_frames,
+    f"""
+WITH b AS (SELECT sha256(text) AS blob_hash FROM documents),
+f AS (
+  SELECT blob_hash, CAST(i AS INTEGER) AS frame_idx,
+         sha256(blob_hash || '#' || i) AS frame_hash
+  FROM b, range(0, 3) r(i)
+)
+SELECT blob_hash, frame_idx, frame_hash,
+  CAST(1 + {_hexbyte('frame_hash', 0)} % 64 AS INTEGER) AS frame_width,
+  CAST(1 + {_hexbyte('frame_hash', 1)} % 64 AS INTEGER) AS frame_height
+FROM f ORDER BY blob_hash, frame_idx
+""",
+)

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from edgelake_spark.ingest.mapping import apply_mapping_policy, parse_bring_path
@@ -193,3 +195,110 @@ def test_real_image_decode_with_pil(spark):
     row = extract_features(blobs, decode_stub="auto").collect()[0]
     assert (row.width, row.height) == (4, 2)
     assert abs(sum(row.feature) - 1.0) < 1e-6 and row.feature[4] == 1.0
+
+
+# ---------------------------------------------------------------------
+# resize / frame-sample / audio (round 3)
+
+
+def _mk_blobs(spark, rows):
+    from edgelake_spark.functions.multimodal import store_blobs
+
+    return store_blobs(spark, rows)
+
+
+def test_resize_fake_deterministic(spark):
+    from edgelake_spark.functions.multimodal import resize_images
+
+    blobs = _mk_blobs(
+        spark, [(b"img-one", "image", "a.png"), (b"img-two", "image", "b.png")]
+    )
+    out = resize_images(blobs, max_side=16, decode_stub=True)
+    rows = {r["blob_hash"]: r for r in out.collect()}
+    assert len(rows) == 2
+    for r in rows.values():
+        assert 1 <= r["resized_width"] <= 16 and 1 <= r["resized_height"] <= 16
+        assert r["resized_width"] <= r["width"] or r["width"] <= 16
+        assert isinstance(r["content"], (bytes, bytearray))
+    # same input → same bytes (deterministic double)
+    again = {r["blob_hash"]: r for r in resize_images(blobs, 16, True).collect()}
+    for k in rows:
+        assert bytes(rows[k]["content"]) == bytes(again[k]["content"])
+
+
+def test_resize_real_with_pil_if_present(spark):
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from edgelake_spark.functions.multimodal import resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 32), (200, 10, 10)).save(buf, format="PNG")
+    blobs = _mk_blobs(spark, [(buf.getvalue(), "image", "wide.png")])
+    r = resize_images(blobs, max_side=16, decode_stub="auto").collect()[0]
+    assert (r["width"], r["height"]) == (64, 32)
+    assert (r["resized_width"], r["resized_height"]) == (16, 8)
+    # the re-encoded content must decode to the resized dims
+    back = Image.open(io.BytesIO(bytes(r["content"])))
+    assert (back.width, back.height) == (16, 8)
+
+
+def test_sample_frames_expands_in_batch(spark):
+    from edgelake_spark.functions.multimodal import sample_frames
+
+    blobs = _mk_blobs(
+        spark, [(b"vid-a", "video", "a.mp4"), (b"vid-b", "video", "b.mp4")]
+    )
+    out = sample_frames(blobs, n_frames=4).collect()
+    assert len(out) == 8  # 2 blobs × 4 frames
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["blob_hash"], []).append(r)
+    for frames in by_blob.values():
+        assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2, 3]
+        # frames are distinct and deterministic per (blob, idx)
+        assert len({f["frame_hash"] for f in frames}) == 4
+        for f in frames:
+            assert 1 <= f["frame_width"] <= 64
+
+
+def test_audio_wav_decodes_for_real(spark):
+    import io
+    import math
+    import wave
+
+    from edgelake_spark.functions.multimodal import audio_features
+
+    # 1 kHz sine, 0.25 s @ 8 kHz, 16-bit mono — amplitude 0.5 → RMS ≈ 0.3535
+    sr, dur, amp = 8000, 0.25, 0.5
+    n = int(sr * dur)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = b"".join(
+            int(amp * 32767 * math.sin(2 * math.pi * 1000 * i / sr)).to_bytes(
+                2, "little", signed=True
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    blobs = _mk_blobs(spark, [(buf.getvalue(), "audio", "tone.wav")])
+    r = audio_features(blobs).collect()[0]
+    assert r["sample_rate"] == sr
+    assert r["n_samples"] == n
+    assert abs(r["duration_s"] - dur) < 1e-9
+    assert abs(r["rms"] - amp / math.sqrt(2)) < 0.01
+
+
+def test_audio_non_wav_falls_back_deterministic(spark):
+    from edgelake_spark.functions.multimodal import audio_features
+
+    blobs = _mk_blobs(spark, [(b"not-a-wav-stream", "audio", "x.mp3")])
+    a = audio_features(blobs).collect()[0]
+    b = audio_features(blobs).collect()[0]
+    assert a["sample_rate"] == b["sample_rate"] and a["rms"] == b["rms"]
+    assert a["sample_rate"] % 8000 == 0
