@@ -1860,3 +1860,65 @@ SELECT blob_hash, frame_idx, frame_hash,
 FROM f ORDER BY blob_hash, frame_idx
 """,
 )
+
+
+# =====================================================================
+# Round 3: corpus statistics + salted distinct gate
+# =====================================================================
+
+
+def _corpus_stats_sql(engine: str) -> str:
+    # exact median of n_chars per (lang): avg of the middle one/two by
+    # row_number — no percentile functions (Spark and DuckDB interpolate
+    # differently), decimal-staged avg so the .5 midpoints are exact
+    return """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) AS sum_chars,
+       CAST(AVG(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                     THEN CAST(n_chars AS DECIMAL(25,6)) END) AS DOUBLE)
+       AS median_chars
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# per-language corpus profile with an EXACT windowed median (the
+# rn*2 ∈ {n, n+1, n+2} trick selects the middle row for odd n and both
+# middle rows for even n); one (lang) shuffle shared by the windows and
+# the aggregate — the profiling scan every corpus rebalance starts with
+_q(
+    "doc_corpus_stats",
+    _sql(_corpus_stats_sql("spark")),
+    _corpus_stats_sql("duck"),
+)
+
+
+def _run_salted_distinct(spark, sf_dir):
+    """Two-stage exact distinct count (functions/skew.py): dedup on
+    (group, hash-salt-of-value) slices the value space into disjoint
+    buckets, so partial distinct counts ADD — the skew-safe form of
+    count(distinct) whose per-task cardinality is bounded at any scale.
+    Gate-verified against DuckDB's plain count(distinct)."""
+    from edgelake_spark.functions.skew import salted_distinct_count
+
+    register_sf_tables(spark, sf_dir)
+    return salted_distinct_count(
+        spark.table("events"), ["event_type"], "user_id", buckets=8
+    ).orderBy("event_type")
+
+
+_q(
+    "events_salted_distinct",
+    _run_salted_distinct,
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+)
