@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "tpch_q18ish",
     "events_lag_delta",
     "events_running_sum",
+    "doc_split_assign",
+    "doc_stratified_sample",
+    "doc_corpus_stats",
+    "emb_dedup_keep",
+    "events_salted_distinct",
+    "multimodal_frames",
 ]
 
 
@@ -267,14 +273,16 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
     cust_stride = stride_of(cust, "c_custkey")
     order_stride = stride_of(orders, "o_orderkey")
     ev_stride = stride_of(ev, "event_id")
-    user_stride = stride_of(ev, "user_id")
     doc_stride = stride_of(docs, "doc_id")
 
     jobs = {
         "customer": replicate(cust, {"c_custkey": cust_stride}),
         "orders": replicate(orders, {"o_orderkey": order_stride, "o_custkey": cust_stride}),
         "lineitem": replicate(li, {"l_orderkey": order_stride}),
-        "events": replicate(ev, {"event_id": ev_stride, "user_id": user_stride}),
+        # user_id joins orders.o_custkey (events_asof_orders), so it must
+        # shift by the SAME stride as o_custkey or replica-r events would
+        # probe replica-0's orders only.
+        "events": replicate(ev, {"event_id": ev_stride, "user_id": cust_stride}),
         "documents": replicate(
             docs, {"doc_id": doc_stride}, text_tag="text"
         ).withColumn("n_chars", F.length("text").cast("long")),

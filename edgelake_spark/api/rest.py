@@ -106,19 +106,22 @@ class EdgeLakeRestServer:
                 except json.JSONDecodeError as exc:
                     self._reply(400, {"error": f"malformed JSON body: {exc}"})
                     return
-                rows = payload if isinstance(payload, list) else [payload]
-                df = rows_to_dataframe(outer.engine.spark, rows)
-                name = f"{dbms}.{table}" if dbms else table
-                view = f"__ingest_{table}"
-                if outer.engine.spark.catalog.tableExists(view):
-                    df = outer.engine.spark.table(view).unionByName(
-                        df, allowMissingColumns=True
-                    )
-                df.createOrReplaceTempView(view)
-                outer.engine.views[name] = view
-                outer.engine.views[table] = view
-                outer.ingested[name] = outer.ingested.get(name, 0) + len(rows)
-                self._reply(200, {"ingested": len(rows), "table": name})
+                try:
+                    rows = payload if isinstance(payload, list) else [payload]
+                    df = rows_to_dataframe(outer.engine.spark, rows)
+                    name = f"{dbms}.{table}" if dbms else table
+                    view = f"__ingest_{table}"
+                    if outer.engine.spark.catalog.tableExists(view):
+                        df = outer.engine.spark.table(view).unionByName(
+                            df, allowMissingColumns=True
+                        )
+                    df.createOrReplaceTempView(view)
+                    outer.engine.views[name] = view
+                    outer.engine.views[table] = view
+                    outer.ingested[name] = outer.ingested.get(name, 0) + len(rows)
+                    self._reply(200, {"ingested": len(rows), "table": name})
+                except Exception as exc:
+                    self._reply(400, {"error": str(exc)[:500]})
 
             def _reply(self, code: int, body, raw: bool = False) -> None:
                 data = (body if raw else json.dumps(body)).encode()

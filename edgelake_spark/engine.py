@@ -80,6 +80,10 @@ class EdgeLakeEngine:
         #: (dbms, table) → blobs temp view, fed by `file store`
         #: (reference bucket_dbms.py:110 store_file / :220 retrieve_files)
         self.blob_views: dict[tuple[str, str], str] = {}
+        #: (dbms, table) → {blob_hash: row tuple} — driver-side source of
+        #: truth for the blobs store; the temp view is ONE createDataFrame
+        #: over these rows (no per-store union lineage, O(1) dup checks)
+        self.blob_rows: dict[tuple[str, str], dict[str, tuple]] = {}
         #: per-query audit: statement, rewritten SQL, wall seconds
         #: (reference `query status/explain` — member_cmd.py:21665,
         #: job_instance bookkeeping). Bounded ring, newest last.
@@ -554,7 +558,7 @@ class EdgeLakeEngine:
                     continue
                 if flt.get("table") and table != flt["table"]:
                     continue
-                rows.append((dbms, table, self.spark.table(view).count()))
+                rows.append((dbms, table, len(self.blob_rows.get((dbms, table), ()))))
             return self.spark.createDataFrame(
                 rows or [], "dbms string, table_name string, n_files bigint"
             )
@@ -581,19 +585,18 @@ class EdgeLakeEngine:
         dbms, table = opts.get("dbms", ""), opts["table"]
         row = multimodal.file_to_blob_row(opts["file"], opts.get("hash"))
         view = self._blob_view(dbms, table)
-        df = self.spark.createDataFrame([row], schema=multimodal.BLOB_SCHEMA)
-        if self.spark.catalog.tableExists(view):
-            existing = self.spark.table(view)
-            if existing.filter(F.col("blob_hash") == row[0]).limit(1).count():
-                # reference: duplicate key is an error unless
-                # ignore_duplicate (multiple rows may point at one blob)
-                if opts.get("ignore", "").lower() in ("true", "1"):
-                    return self.spark.createDataFrame(
-                        [(dbms, table, row[0], row[4], False)],
-                        "dbms string, table_name string, blob_hash string, n_bytes bigint, stored boolean",
-                    )
-                raise ValueError(f"duplicate blob hash {row[0]} in {dbms}.{table}")
-            df = existing.unionByName(df)
+        rows = self.blob_rows.setdefault((dbms, table), {})
+        if row[0] in rows:
+            # reference: duplicate key is an error unless
+            # ignore_duplicate (multiple rows may point at one blob)
+            if opts.get("ignore", "").lower() in ("true", "1"):
+                return self.spark.createDataFrame(
+                    [(dbms, table, row[0], row[4], False)],
+                    "dbms string, table_name string, blob_hash string, n_bytes bigint, stored boolean",
+                )
+            raise ValueError(f"duplicate blob hash {row[0]} in {dbms}.{table}")
+        rows[row[0]] = row
+        df = self.spark.createDataFrame(list(rows.values()), schema=multimodal.BLOB_SCHEMA)
         df.createOrReplaceTempView(view)
         self.blob_views[(dbms, table)] = view
         return self.spark.createDataFrame(

@@ -298,6 +298,19 @@ def duck_jaccard(a: str, b: str) -> str:
 DRIVER_CC_THRESHOLD = 2_500_000
 
 
+def _persistent_rdd_ids(sc) -> set:
+    """Ids of RDDs currently pinned in the block manager (incl. eager
+    localCheckpoint blocks, which DataFrame.unpersist cannot reach)."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist(False)
+
+
 def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max_rounds: int = 20):
     """Undirected connected components over a (id1, id2) pair DataFrame
     → DataFrame (doc_id, component_id) with component_id = min id
@@ -342,15 +355,22 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
         return spark.createDataFrame(rows, "doc_id long, component_id long")
 
     # bidirectional edge set (no distinct — id1<id2 halves cannot overlap)
+    sc = spark.sparkContext
     edges = pairs.union(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).localCheckpoint()
+    before_labels = _persistent_rdd_ids(sc)
     labels = (
         edges.select(F.col("id1").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    # each round supersedes the previous labels checkpoint; without an
+    # explicit unpersist its blocks stay pinned until JVM GC — up to
+    # max_rounds live copies of the label table (the checkpoint-block
+    # pile-up SCALE.md measures as 1→19 s GC-storm variance)
+    labels_ids = _persistent_rdd_ids(sc) - before_labels
     converged = False
     for round_no in range(1, max_rounds + 1):
         nmin = (
@@ -366,6 +386,7 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
         parents = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
+        before_jump = _persistent_rdd_ids(sc)
         jumped = (
             stepped.join(parents, stepped.label == parents.p_id, "left")
             .select(
@@ -376,6 +397,7 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
             )
             .localCheckpoint()
         )
+        jumped_ids = _persistent_rdd_ids(sc) - before_jump
         # convergence probe every other round (scheduling overhead
         # stays bounded), and every round near the cap
         if round_no % 2 == 0 or round_no >= max_rounds - 2:
@@ -385,12 +407,14 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            labels = jumped
+            _unpersist_rdd_ids(sc, labels_ids)
+            labels, labels_ids = jumped, jumped_ids
             if changed == 0:
                 converged = True
                 break
         else:
-            labels = jumped
+            _unpersist_rdd_ids(sc, labels_ids)
+            labels, labels_ids = jumped, jumped_ids
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach a fixpoint in {max_rounds} rounds"

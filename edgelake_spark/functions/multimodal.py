@@ -221,6 +221,11 @@ def resize_images(df: DataFrame, max_side: int = 32, decode_stub: bool | str = "
     PIL path re-encodes the resized image (PNG); the double keeps the
     fake dims/bytes deterministic from the blob hash. Batch shape and
     schema are identical either way."""
+    if decode_stub is False and _PILImage is None:
+        raise NotImplementedError(
+            "resize_images(decode_stub=False) requires PIL, which is not "
+            "installed; use decode_stub='auto' for the deterministic double"
+        )
     use_real = decode_stub is False or (decode_stub == "auto" and _PILImage is not None)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -305,8 +310,12 @@ def _decode_wav(content: bytes) -> tuple[int, int, float, float]:
         n = w.getnframes()
         width = w.getsampwidth()
         raw = w.readframes(n)
-    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
-    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    # 8-bit WAV is UNSIGNED (silence = 0x80); 16/32-bit are signed.
+    if width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        dtype = {2: np.int16, 4: np.int32}[width]
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
     full = float(2 ** (8 * width - 1))
     rms = float(np.sqrt(np.mean((x / full) ** 2))) if len(x) else 0.0
     return sr, n, n / sr if sr else 0.0, rms

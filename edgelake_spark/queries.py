@@ -1867,11 +1867,11 @@ FROM f ORDER BY blob_hash, frame_idx
 # =====================================================================
 
 
-def _corpus_stats_sql(engine: str) -> str:
-    # exact median of n_chars per (lang): avg of the middle one/two by
-    # row_number — no percentile functions (Spark and DuckDB interpolate
-    # differently), decimal-staged avg so the .5 midpoints are exact
-    return """
+# exact median of n_chars per (lang): avg of the middle one/two by
+# row_number — no percentile functions (Spark and DuckDB interpolate
+# differently), decimal-staged avg so the .5 midpoints are exact.
+# ONE SQL text for both engines.
+_CORPUS_STATS_SQL = """
 WITH ranked AS (
   SELECT lang, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
@@ -1897,8 +1897,8 @@ ORDER BY lang
 # the aggregate — the profiling scan every corpus rebalance starts with
 _q(
     "doc_corpus_stats",
-    _sql(_corpus_stats_sql("spark")),
-    _corpus_stats_sql("duck"),
+    _sql(_CORPUS_STATS_SQL),
+    _CORPUS_STATS_SQL,
 )
 
 
