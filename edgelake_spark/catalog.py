@@ -41,6 +41,11 @@ _REQUIRED_CONFS = {
     # testdata ships timestamp[ns]; Spark has no ns type, so read as
     # int64 and load_parquet converts to microsecond timestamps
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # testdata timestamps are naive (isAdjustedToUTC=false); read them as
+    # session-TZ TIMESTAMP (UTC session => same wall-clock values DuckDB
+    # sees) instead of TIMESTAMP_NTZ so every time function/cast behaves
+    # as one type across the engine
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # oracle value-hashes compare UTC-naive timestamps; a non-UTC
     # session would silently shift every rendered timestamp
     "spark.sql.session.timeZone": "UTC",
