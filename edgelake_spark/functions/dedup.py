@@ -94,6 +94,23 @@ def duck_shingles(col: str) -> str:
     return duck_shingles_over(duck_tokens(col))
 
 
+def spark_word_grams_over(toks: str, k: int) -> str:
+    """Word k-grams over a pre-staged token column (generalized
+    shingle builder; k is a query-time choice, e.g. decontamination
+    sweeps use a larger k than near-dup shingling)."""
+    return (
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"j -> concat_ws(' ', slice({toks}, j, {k})))"
+    )
+
+
+def duck_word_grams_over(toks: str, k: int) -> str:
+    return (
+        f"[array_to_string(({toks})[j:j+{k - 1}], ' ') "
+        f"for j in range(1, greatest(len({toks}) - {k - 1}, 1) + 1)]"
+    )
+
+
 # ------------------------------------------------------------- minhash
 
 

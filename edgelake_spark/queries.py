@@ -1922,3 +1922,312 @@ _q(
     "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
     "FROM events GROUP BY event_type ORDER BY event_type",
 )
+
+
+# =====================================================================
+# Round-3 breadth: TPC-H ladder (q11/q13/q15/q19/q21 shapes on the
+# tables the testdata ships), timeseries operators, and the
+# decontamination / repetition / tf-idf passes of a training-data
+# pipeline. Same conventions as above: decimal-staged double sums,
+# unique tie-break keys under every LIMIT, identical operation sequence
+# on both engines for every derived double.
+# =====================================================================
+
+
+_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# customer order-count distribution (TPC-H q13): the outer-join-with-
+# residual-condition keeps zero-order customers (count(o_orderkey)
+# skips the NULL pad rows); one custkey shuffle for join+first agg, the
+# second agg groups on the tiny c_count domain — at scale the left join
+# is the only real data movement and AQE coalesces the second exchange
+_q("tpch_q13ish", _sql(_TPCH_Q13), _TPCH_Q13)
+
+
+_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# top supplier by quarter revenue (q15): the CTE aggregates once and is
+# consumed twice (join probe + scalar max); the equality-on-double is
+# safe because total_revenue is an exact decimal sum on both engines.
+# At scale: one suppkey shuffle for the agg, supplier dim broadcasts,
+# and the scalar max is a tiny second pass over the agg output
+_q("tpch_q15ish", _sql(_TPCH_Q15), _TPCH_Q15)
+
+
+_TPCH_Q19 = f"""
+SELECT {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+# disjunctive mixed-side predicate (q19): Catalyst factors the
+# per-side conjuncts out of the OR — part gets
+# (brand IN ...) pushed into its scan, lineitem gets the quantity
+# range union pushed into ITS scan — then the residual OR evaluates on
+# the broadcast-join output; without that factoring the scan reads
+# everything and the OR runs post-join on the full fact table
+_q("tpch_q19ish", _sql(_TPCH_Q19), _TPCH_Q19)
+
+
+_TPCH_Q21 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+# q21 shape: lines that shipped LAST on a multi-supplier order. The
+# EXISTS compiles to a LEFT SEMI and the NOT EXISTS to a LEFT ANTI,
+# both against lineitem on l_orderkey — three scans of the same fact
+# table all shuffle on the SAME key, so the exchange is planned once
+# and reused; supplier broadcasts onto the survivor set
+_q("tpch_q21ish", _sql(_TPCH_Q21), _TPCH_Q21)
+
+
+_TPCH_Q11 = f"""
+WITH part_rev AS (
+  SELECT l_partkey,
+         {_dsum('l_extendedprice * (1 - l_discount)')} AS part_rev
+  FROM lineitem
+  GROUP BY l_partkey)
+SELECT l_partkey, part_rev
+FROM part_rev
+WHERE part_rev > (SELECT 0.001 * CAST(SUM(CAST(part_rev AS DECIMAL(25,6))) AS DOUBLE)
+                  FROM part_rev)
+ORDER BY part_rev DESC, l_partkey
+"""
+
+# q11 shape (group share of global total): aggregate once, then the
+# scalar total is a second tiny pass over the SAME aggregate — the
+# fact table is read and shuffled exactly once; the > threshold is a
+# deterministic compare because both sides are exact decimal sums
+_q("tpch_q11ish", _sql(_TPCH_Q11), _TPCH_Q11)
+
+
+# ------------------------------------------------------ timeseries ops
+
+
+_EVENTS_RATE = """
+SELECT user_id,
+       CAST(SUM(CAST(CASE WHEN delta > 0 THEN delta ELSE 0 END
+                     AS DECIMAL(25,6))) AS DOUBLE) AS increase,
+       CAST(count(delta) AS BIGINT) AS n_steps
+FROM (
+  SELECT user_id,
+         value - lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS delta
+  FROM events) t
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+# counter-reset-aware rate (the PromQL increase() idiom): per-entity
+# lag() needs one (user_id) shuffle and the GROUP BY reuses that same
+# partitioning — window and aggregate share one exchange; resets
+# (negative deltas) contribute zero instead of poisoning the sum
+_q("events_rate", _sql(_EVENTS_RATE), _EVENTS_RATE)
+
+
+_EVENTS_ANOMALY = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS mu,
+         CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS m2
+  FROM events
+  GROUP BY event_type)
+SELECT event_id, e.event_type, value,
+       (value - mu) / sqrt(m2 - mu * mu) AS z
+FROM events e
+JOIN stats s ON e.event_type = s.event_type
+WHERE abs((value - mu) / sqrt(m2 - mu * mu)) > 2.0
+ORDER BY event_id
+"""
+
+# z-score outlier flagging: per-group mean and second moment come from
+# exact decimal sums (one shuffle on the tiny event_type domain), the
+# stats broadcast back onto the stream, and z is IEEE-deterministic
+# (sqrt is correctly rounded per IEEE-754) — the same rows flag on any
+# engine and any partition order
+_q("events_anomaly_z", _sql(_EVENTS_ANOMALY), _EVENTS_ANOMALY)
+
+
+_EVENTS_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bucket
+"""
+
+# fixed-width value histogram: bucket assignment is map-side, the agg
+# two-phase; the (type, bucket) domain is tiny so the final exchange
+# moves partial counts only — the shape monitoring dashboards need at
+# any corpus size
+_q("events_histogram", _sql(_EVENTS_HISTOGRAM), _EVENTS_HISTOGRAM)
+
+
+# ----------------------------------------- training-data breadth gates
+
+
+#: decontamination gram width: word 4-grams. The benchmark/eval split
+#: here is the deterministic doc_id % 11 slice; in production it is the
+#: actual eval-set text with the same gram builder.
+_DECON_K = 4
+
+
+def _decon_sql(engine: str) -> str:
+    if engine == "spark":
+        toks, grams, distinct = (
+            tx.spark_tokens("text"),
+            dd.spark_word_grams_over("toks", _DECON_K),
+            "explode(array_distinct(grams))",
+        )
+        src = "documents_rep"
+    else:
+        toks, grams, distinct = (
+            tx.duck_tokens("text"),
+            dd.duck_word_grams_over("toks", _DECON_K),
+            "unnest(list_distinct(grams))",
+        )
+        src = "documents"
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS toks FROM {src}),
+gr0 AS (SELECT doc_id, {grams} AS grams FROM toks),
+grams AS (SELECT doc_id, {distinct} AS g FROM gr0),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams t
+JOIN eval_grams e ON t.g = e.g
+WHERE t.doc_id % 11 <> 0
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+# benchmark decontamination: flag training docs sharing any word
+# 4-gram with the eval slice. The eval gram set is benchmark-sized
+# (fixed, small) → broadcast; the corpus side is a map-side explode
+# into a broadcast hash join, and the per-doc count groups on doc_id,
+# which the explode left co-partitioned — at 100 TB the only full
+# shuffle is the final per-doc aggregate over matches (tiny)
+_q(
+    "doc_decontaminate",
+    _sql(_decon_sql("spark"), rep=("documents",)),
+    _decon_sql("duck"),
+)
+
+
+def _bigram_frac_sql(engine: str) -> str:
+    if engine == "spark":
+        toks = tx.spark_tokens("text")
+        grams = dd.spark_word_grams_over("toks", 2)
+        unnest = "explode(grams)"
+        src = "documents_rep"
+    else:
+        toks = tx.duck_tokens("text")
+        grams = dd.duck_word_grams_over("toks", 2)
+        unnest = "unnest(grams)"
+        src = "documents"
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS toks FROM {src}),
+gr0 AS (SELECT doc_id, {grams} AS grams FROM toks),
+big AS (SELECT doc_id, {unnest} AS bg FROM gr0),
+counts AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg)
+SELECT doc_id,
+       CAST(max(c) AS BIGINT) AS top_bigram_n,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.08 AS flagged
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# Gopher-style repetition filter: fraction of bigrams claimed by the
+# most frequent bigram. Both aggregations group on keys the explode
+# left co-located (doc_id, then doc_id again), so partial aggs do the
+# heavy lifting and the only cross-node movement is per-doc partials;
+# the int/int→double division is a single IEEE op on equal operands
+_q(
+    "doc_top_bigram_frac",
+    _sql(_bigram_frac_sql("spark"), rep=("documents",)),
+    _bigram_frac_sql("duck"),
+)
+
+
+def _tfidf_sql(engine: str) -> str:
+    if engine == "spark":
+        toks, unnest, src = tx.spark_tokens("text"), "explode(toks)", "documents_rep"
+    else:
+        toks, unnest, src = tx.duck_tokens("text"), "unnest(toks)", "documents"
+    return f"""
+WITH tok AS (SELECT doc_id, {unnest} AS term
+             FROM (SELECT doc_id, {toks} AS toks FROM {src}) s),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {src})
+SELECT doc_id, term,
+       CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf AS DOUBLE) * CAST(n AS DOUBLE)
+                                     / CAST(df AS DOUBLE) DESC,
+                                     tf.term) AS rn
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) ranked
+WHERE rn <= 3
+ORDER BY doc_id, rank
+"""
+
+
+# per-doc top-3 tf-idf terms (idf kept as the exact rational N/df —
+# no ln(), whose libm rounding differs across engines): tf groups on
+# co-located (doc_id, term); df is vocabulary-sized → broadcasts back;
+# the top-k window partitions on doc_id, reusing tf's partitioning.
+# Deterministic: unique (score DESC, term) order under the window
+_q(
+    "doc_tfidf_topk",
+    _sql(_tfidf_sql("spark"), rep=("documents",)),
+    _tfidf_sql("duck"),
+)

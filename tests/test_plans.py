@@ -146,3 +146,27 @@ def test_window_gates_single_shuffle(spark):
         plan = plan_of(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert plan.count("Window") >= 1, name
+
+
+def test_q21_semi_and_anti(spark):
+    # tpch_q21ish: EXISTS → LeftSemi, NOT EXISTS → LeftAnti; never an
+    # inner join + distinct (would duplicate the fact table at scale)
+    plan = plan_of(spark, "tpch_q21ish")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Distinct" not in plan
+
+
+def test_q19_disjunct_pushdown(spark):
+    # tpch_q19ish: Catalyst must factor the per-side conjuncts out of
+    # the OR so the quantity-range union reaches the lineitem scan
+    plan = plan_of(spark, "tpch_q19ish")
+    pushed = plan.split("PushedFilters: [")
+    assert any("l_quantity" in seg[:400] for seg in pushed[1:])
+
+
+def test_events_rate_shared_partitioning(spark):
+    # events_rate: the lag() window and the GROUP BY both key on
+    # user_id — exactly one hash exchange (the other is the final sort)
+    plan = plan_of(spark, "events_rate")
+    assert plan.count("Exchange hashpartitioning") == 1
