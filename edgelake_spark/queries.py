@@ -2231,3 +2231,67 @@ _q(
     _sql(_tfidf_sql("spark"), rep=("documents",)),
     _tfidf_sql("duck"),
 )
+
+
+_WINNOW_PAIRS_BODY = """
+SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+FROM {x} a
+JOIN ({rare}) r ON a.fp = r.fp
+JOIN {x} b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+ORDER BY id1, id2
+"""
+
+_WINNOW_RARE = "SELECT fp FROM {x} GROUP BY fp HAVING count(*) <= 5"
+
+
+def _run_winnow_pairs(spark, sf_dir):
+    """Winnowing near-dup detection. The fingerprint pipeline (the
+    expensive HOF-chain) is materialized ONCE with localCheckpoint —
+    the self-join plus the stop-gram count would otherwise re-run it
+    three times (CTEs are inlined, not materialized, by both engines).
+
+    The checkpoint MUST happen on the fps ARRAY column, before the
+    explode: explode(<hof-chain>) lets Catalyst collapse the staged
+    projections into the Generate input, and the window-min lambda then
+    recomputes the entire md5 gram chain once per window position —
+    O(grams x windows) md5s per doc, a ~300x blowup (measured: hung at
+    sf0.01; split form runs in ~3 s)."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    fps = spark.sql(
+        f"SELECT doc_id, {tx.spark_winnow_fps_over('hs')} AS fps FROM "
+        f"(SELECT doc_id, {tx.spark_gram_hashes('norm')} AS hs FROM "
+        f"(SELECT doc_id, {dd.spark_normalize('text')} AS norm FROM documents_rep))"
+    ).localCheckpoint()
+    fps.createOrReplaceTempView("__wp_fps")
+    spark.sql("SELECT doc_id, explode(fps) AS fp FROM __wp_fps").createOrReplaceTempView(
+        "__wp_x"
+    )
+    return spark.sql(
+        _WINNOW_PAIRS_BODY.format(x="__wp_x", rare=_WINNOW_RARE.format(x="__wp_x"))
+    )
+
+
+# winnowing near-dup pairs (the detection half of SIGMOD'03: docs
+# sharing >= 2 fingerprints share a guaranteed-length common substring):
+# the fingerprint explode self-joins ON fp — bucket sizes are bounded by
+# the stop-gram filter (df <= 5 docs), the same frequency cap a 100 TB
+# run needs to keep boilerplate fps from creating quadratic buckets
+# (here it also strips the tiny-vocab noise floor of the synthetic
+# corpus); the pair agg groups on keys the join co-located. DuckDB twin
+# computes fps once via a MATERIALIZED CTE.
+_q(
+    "doc_winnow_pairs",
+    _run_winnow_pairs,
+    f"""
+WITH x AS MATERIALIZED (
+  SELECT doc_id, unnest(fps) AS fp
+  FROM (SELECT doc_id, {tx.duck_winnow_fps_over('hs')} AS fps
+        FROM (SELECT doc_id, {tx.duck_gram_hashes('norm')} AS hs
+              FROM (SELECT doc_id, {dd.duck_normalize('text')} AS norm
+                    FROM documents) n) h) f)
+{_WINNOW_PAIRS_BODY.format(x='x', rare=_WINNOW_RARE.format(x='x'))}
+""",
+)
