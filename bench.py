@@ -64,6 +64,22 @@ BENCH_QUERIES = [
     "emb_dedup_keep",
     "events_salted_distinct",
     "multimodal_frames",
+    # round 3, second wave: TPC-H ladder breadth (outer-join distribution,
+    # CTE-reuse top-supplier, disjunctive pushdown, semi+anti self-join,
+    # group-vs-global share), timeseries rate/z-score/histogram, and the
+    # decontamination / repetition / tf-idf / winnow-pair corpus passes
+    "tpch_q13ish",
+    "tpch_q15ish",
+    "tpch_q19ish",
+    "tpch_q21ish",
+    "tpch_q11ish",
+    "events_rate",
+    "events_anomaly_z",
+    "events_histogram",
+    "doc_decontaminate",
+    "doc_top_bigram_frac",
+    "doc_tfidf_topk",
+    "doc_winnow_pairs",
 ]
 
 

@@ -2031,15 +2031,18 @@ WITH part_rev AS (
   GROUP BY l_partkey)
 SELECT l_partkey, part_rev
 FROM part_rev
-WHERE part_rev > (SELECT 0.001 * CAST(SUM(CAST(part_rev AS DECIMAL(25,6))) AS DOUBLE)
+WHERE part_rev > (SELECT 1.5 * CAST(SUM(CAST(part_rev AS DECIMAL(25,6))) AS DOUBLE)
+                         / count(*)
                   FROM part_rev)
 ORDER BY part_rev DESC, l_partkey
 """
 
 # q11 shape (group share of global total): aggregate once, then the
-# scalar total is a second tiny pass over the SAME aggregate — the
-# fact table is read and shuffled exactly once; the > threshold is a
-# deterministic compare because both sides are exact decimal sums
+# scalar threshold is a second tiny pass over the SAME aggregate — the
+# fact table is read and shuffled exactly once. The threshold is
+# scale-FREE (1.5x the mean per-part revenue, not a fixed fraction of
+# the total, which silently empties as the part count grows); the >
+# compare is deterministic because both sides are exact decimal sums
 _q("tpch_q11ish", _sql(_TPCH_Q11), _TPCH_Q11)
 
 
@@ -2149,9 +2152,45 @@ ORDER BY t.doc_id
 # into a broadcast hash join, and the per-doc count groups on doc_id,
 # which the explode left co-partitioned — at 100 TB the only full
 # shuffle is the final per-doc aggregate over matches (tiny)
+def _ckpt_view(spark, sql: str, view: str) -> str:
+    """Materialize an array-building projection ONCE and expose it as a
+    view. Explode over a staged HOF chain is a trap: CollapseProject
+    inlines the chain into the Generate input, and the per-output-row
+    re-evaluation multiplies the chain cost by the array length
+    (measured 9 s → 0.4 s on the bigram gate; a hang on winnow_pairs).
+    Checkpointing the ARRAY column is the barrier that keeps the chain
+    evaluated once per doc."""
+    df = spark.sql(sql).localCheckpoint()
+    df.createOrReplaceTempView(view)
+    return view
+
+
+def _run_decon(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    _ckpt_view(
+        spark,
+        f"SELECT doc_id, array_distinct({dd.spark_word_grams_over('toks', _DECON_K)}) AS gs "
+        f"FROM (SELECT doc_id, {tx.spark_tokens('text')} AS toks FROM documents_rep) t",
+        "__dc_gs",
+    )
+    return spark.sql(
+        """
+WITH grams AS (SELECT doc_id, explode(gs) AS g FROM __dc_gs),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams t
+JOIN eval_grams e ON t.g = e.g
+WHERE t.doc_id % 11 <> 0
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+    )
+
+
 _q(
     "doc_decontaminate",
-    _sql(_decon_sql("spark"), rep=("documents",)),
+    _run_decon,
     _decon_sql("duck"),
 )
 
@@ -2183,6 +2222,31 @@ ORDER BY doc_id
 """
 
 
+def _run_bigram_frac(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    _ckpt_view(
+        spark,
+        f"SELECT doc_id, {dd.spark_word_grams_over('toks', 2)} AS grams "
+        f"FROM (SELECT doc_id, {tx.spark_tokens('text')} AS toks FROM documents_rep) t",
+        "__bg_grams",
+    )
+    return spark.sql(
+        """
+WITH big AS (SELECT doc_id, explode(grams) AS bg FROM __bg_grams),
+counts AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg)
+SELECT doc_id,
+       CAST(max(c) AS BIGINT) AS top_bigram_n,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.08 AS flagged
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    )
+
+
 # Gopher-style repetition filter: fraction of bigrams claimed by the
 # most frequent bigram. Both aggregations group on keys the explode
 # left co-located (doc_id, then doc_id again), so partial aggs do the
@@ -2190,7 +2254,7 @@ ORDER BY doc_id
 # the int/int→double division is a single IEEE op on equal operands
 _q(
     "doc_top_bigram_frac",
-    _sql(_bigram_frac_sql("spark"), rep=("documents",)),
+    _run_bigram_frac,
     _bigram_frac_sql("duck"),
 )
 
@@ -2226,9 +2290,39 @@ ORDER BY doc_id, rank
 # co-located (doc_id, term); df is vocabulary-sized → broadcasts back;
 # the top-k window partitions on doc_id, reusing tf's partitioning.
 # Deterministic: unique (score DESC, term) order under the window
+def _run_tfidf(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    _ckpt_view(
+        spark,
+        f"SELECT doc_id, {tx.spark_tokens('text')} AS toks FROM documents_rep",
+        "__tfidf_toks",
+    )
+    return spark.sql(
+        """
+WITH tok AS (SELECT doc_id, explode(toks) AS term FROM __tfidf_toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM __tfidf_toks)
+SELECT doc_id, term,
+       CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf AS DOUBLE) * CAST(n AS DOUBLE)
+                                     / CAST(df AS DOUBLE) DESC,
+                                     tf.term) AS rn
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) ranked
+WHERE rn <= 3
+ORDER BY doc_id, rank
+"""
+    )
+
+
 _q(
     "doc_tfidf_topk",
-    _sql(_tfidf_sql("spark"), rep=("documents",)),
+    _run_tfidf,
     _tfidf_sql("duck"),
 )
 
@@ -2243,7 +2337,14 @@ HAVING count(*) >= 2
 ORDER BY id1, id2
 """
 
-_WINNOW_RARE = "SELECT fp FROM {x} GROUP BY fp HAVING count(*) <= 5"
+#: stop-gram cap scales with corpus size (1% of docs, floor 5): a fixed
+#: cap empties as the corpus grows — df of every common gram rises
+#: linearly with doc count, so "rare" must be relative
+_WINNOW_RARE = (
+    "SELECT fp FROM {x} GROUP BY fp "
+    "HAVING count(*) <= (SELECT greatest(5, CAST(floor(count(*) / 100.0) AS BIGINT)) "
+    "FROM documents)"
+)
 
 
 def _run_winnow_pairs(spark, sf_dir):
