@@ -179,3 +179,46 @@ def test_get_streaming_command(spark, tmp_path):
     assert out[("config", "threshold_volume_bytes")] == "10000"
     assert out[("ingest", str(dst))] == "flushed_rows=4"
     assert out[("consumer", "s1")] == "iot.m"
+
+
+def test_dedup_stream_drops_rearrivals(spark, tmp_path):
+    # streaming exact dedup: same content hash re-arriving within the
+    # watermark horizon is dropped; distinct hashes pass through
+    from edgelake_spark.streaming.ingest import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_hash", T.StringType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:01.000", "doc_hash": "h1", "payload": "a"},
+        {"ts": "2024-01-01T00:00:02.000", "doc_hash": "h2", "payload": "b"},
+        {"ts": "2024-01-01T00:00:03.000", "doc_hash": "h1", "payload": "a-dup"},
+        {"ts": "2024-01-01T00:00:04.000", "doc_hash": "h3", "payload": "c"},
+        {"ts": "2024-01-01T00:00:05.000", "doc_hash": "h2", "payload": "b-dup"},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    deduped = dedup_stream(stream, ["doc_hash"], "ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.doc_hash, r.payload)
+            for r in spark.sql("select * from dedup_out").collect()
+        )
+    finally:
+        q.stop()
+    assert [h for h, _ in got] == ["h1", "h2", "h3"]
+    # first arrival wins
+    assert ("h1", "a") in got and ("h2", "b") in got
