@@ -2396,3 +2396,37 @@ WITH x AS MATERIALIZED (
 {_WINNOW_PAIRS_BODY.format(x='x', rare=_WINNOW_RARE.format(x='x'))}
 """,
 )
+
+
+def _run_table_columns(spark, sf_dir):
+    """`info table events columns` through the admin surface; schema
+    metadata is driver-side by nature (a catalog lookup, not a scan)."""
+    from edgelake_spark import admin as ad
+
+    register_sf_tables(spark, sf_dir)
+    return ad.info_table_columns(spark, "events").orderBy("column_name")
+
+
+# admin command gate: column listing hash-compared against DuckDB's
+# information_schema over the same registered view, with the type
+# vocabulary mapped onto Spark simpleString names
+_q(
+    "admin_table_columns",
+    _run_table_columns,
+    """
+SELECT column_name,
+       CASE upper(data_type)
+         WHEN 'BIGINT' THEN 'bigint'
+         WHEN 'INTEGER' THEN 'int'
+         WHEN 'DOUBLE' THEN 'double'
+         WHEN 'FLOAT' THEN 'float'
+         WHEN 'VARCHAR' THEN 'string'
+         WHEN 'TIMESTAMP' THEN 'timestamp'
+         WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+         ELSE lower(data_type)
+       END AS column_type
+FROM information_schema.columns
+WHERE table_name = 'events'
+ORDER BY column_name
+""",
+)
