@@ -2430,3 +2430,77 @@ WHERE table_name = 'events'
 ORDER BY column_name
 """,
 )
+
+
+#: product quantization: M subspaces x K centroids over the 64-dim
+#: embeddings. 64 floats -> M 4-bit codes packed in ONE BIGINT — the
+#: 32x compression that lets an ANN index hold 100 TB of vectors in
+#: executor memory (ADC scans the codes, not the floats). Codebook is
+#: stride-initialized from the dataset itself (deterministic; a
+#: production build would kmeans_refine each subspace codebook exactly
+#: like the IVF gate refines its coarse centroids).
+_PQ_M = 8  # subspaces (8 dims each)
+_PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+def _pq_sql(engine: str) -> str:
+    d = 64 // _PQ_M
+    if engine == "spark":
+        cids = f"SELECT explode(sequence(0, {_PQ_K - 1})) AS cid"
+        ms = f"SELECT explode(sequence(0, {_PQ_M - 1})) AS m"
+        demb = "CAST(embedding AS array<double>)"
+        sub_c = f"slice(e.demb, mm.m * {d} + 1, {d})"
+        dist = (
+            f"aggregate(zip_with(slice(e.demb, cn.m * {d} + 1, {d}), cn.sub, "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        # argmin as an aggregate: max of (-dist, -cid) == min of (dist, cid)
+        assign = (
+            f"SELECT e.vec_id, cn.m, max_by(cn.cid, struct(-({dist}), -cn.cid)) AS cid "
+            f"FROM e JOIN cents cn ON true GROUP BY e.vec_id, cn.m"
+        )
+        pack = "sum(shiftleft(CAST(cid AS BIGINT), CAST(4 * m AS INT)))"
+    else:
+        cids = f"SELECT unnest(range(0, {_PQ_K})) AS cid"
+        ms = f"SELECT unnest(range(0, {_PQ_M})) AS m"
+        demb = "CAST(embedding AS DOUBLE[])"
+        sub_c = f"(e.demb)[mm.m * {d} + 1 : mm.m * {d} + {d}]"
+        dist = (
+            f"list_sum([((e.demb)[cn.m * {d} + i] - (cn.sub)[i]) "
+            f"* ((e.demb)[cn.m * {d} + i] - (cn.sub)[i]) for i in range(1, {d + 1})])"
+        )
+        assign = f"""SELECT vec_id, m, cid FROM (
+    SELECT e.vec_id, cn.m, cn.cid,
+      row_number() OVER (PARTITION BY e.vec_id, cn.m
+                         ORDER BY {dist} ASC, cn.cid) AS rn
+    FROM e JOIN cents cn ON true) WHERE rn = 1"""
+        pack = "sum(cid << (4 * m))"
+    return f"""
+WITH e AS (SELECT vec_id, {demb} AS demb FROM embeddings),
+stride AS (SELECT CAST(floor(count(*) / {_PQ_K}.0) AS BIGINT) AS s FROM e),
+cents AS (
+  SELECT c.cid, mm.m, {sub_c} AS sub
+  FROM ({cids}) c
+  CROSS JOIN ({ms}) mm
+  JOIN stride st ON true
+  JOIN e ON e.vec_id = c.cid * st.s),
+assign AS (
+  {assign})
+SELECT vec_id, CAST({pack} AS BIGINT) AS pq_code
+FROM assign
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+# PQ code assignment: the codebook is K*M tiny rows → broadcast; the
+# N×(K·M) distance evaluation is map-side behind that broadcast, the
+# argmin is an aggregate (partial-combines, no window sort of the
+# cross product), and the pack groups on vec_id which assignment left
+# co-located. Per-subspace distances are fixed-order left folds —
+# bit-identical on both engines
+_q(
+    "emb_pq_codes",
+    _sql(_pq_sql("spark")),
+    _pq_sql("duck"),
+)
