@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "doc_top_bigram_frac",
     "doc_tfidf_topk",
     "doc_winnow_pairs",
+    # third wave: market-share conditional-sum join, profit rollup,
+    # product-quantization codes
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "emb_pq_codes",
 ]
 
 

@@ -2504,3 +2504,52 @@ _q(
     _sql(_pq_sql("spark")),
     _pq_sql("duck"),
 )
+
+
+_TPCH_Q8 = f"""
+SELECT o_year,
+       CAST(100 AS DOUBLE) * nation_vol / total_vol AS mkt_share_pct,
+       nation_vol, total_vol
+FROM (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+         {_dsum("CASE WHEN n2.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS nation_vol,
+         {_dsum('l_extendedprice * (1 - l_discount)')} AS total_vol
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+  GROUP BY o_year) shares
+ORDER BY o_year
+"""
+
+# q8 shape (market share): one conditional + one total decimal sum in
+# the SAME aggregate — the share needs no second scan or self-join;
+# nation/region/supplier dims broadcast, customer+orders are the only
+# fact-side shuffles, and the final ratio is one IEEE divide over
+# exact sums
+_q("tpch_q8ish", _sql(_TPCH_Q8), _TPCH_Q8)
+
+
+_TPCH_Q9 = f"""
+SELECT n_name AS nation,
+       CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+       {_dsum('l_extendedprice * (1 - l_discount) - l_tax * l_extendedprice')} AS amount,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, l_year
+ORDER BY nation, l_year DESC
+"""
+
+# q9 shape (profit by supplier nation and year, tax standing in for
+# the missing partsupp cost): part prunes the fact scan through the
+# broadcast probe (p_type filter applies before any shuffle), supplier
+# and nation broadcast, and the agg groups on a tiny (nation, year)
+# domain — partial aggregation does nearly all the work map-side
+_q("tpch_q9ish", _sql(_TPCH_Q9), _TPCH_Q9)
