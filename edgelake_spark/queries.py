@@ -2553,3 +2553,49 @@ ORDER BY nation, l_year DESC
 # and nation broadcast, and the agg groups on a tiny (nation, year)
 # domain — partial aggregation does nearly all the work map-side
 _q("tpch_q9ish", _sql(_TPCH_Q9), _TPCH_Q9)
+
+
+def _range_join_sql(engine: str) -> str:
+    # floor-exact epoch seconds: integer division of microseconds, never
+    # a double epoch (DuckDB's epoch()::BIGINT ROUNDS; Spark truncates —
+    # sub-second timestamps would diverge)
+    if engine == "spark":
+        sec = "unix_micros(ts) div 1000000"
+        bucket = f"({sec}) div 600"
+        probes = "explode(array(bucket - 1, bucket, bucket + 1))"
+    else:
+        sec = "epoch_us(ts) // 1000000"
+        bucket = f"({sec}) // 600"
+        probes = "unnest([bucket - 1, bucket, bucket + 1])"
+    return f"""
+WITH e AS (SELECT event_id, user_id, ts, CAST({sec} AS BIGINT) AS sec,
+                  CAST({bucket} AS BIGINT) AS bucket
+           FROM events),
+probes AS (SELECT event_id, user_id, sec, {probes} AS pb FROM e),
+counts AS (
+  SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_nearby
+  FROM probes a
+  JOIN e b ON a.pb = b.bucket
+          AND a.user_id <> b.user_id
+          AND abs(a.sec - b.sec) <= 300
+  GROUP BY a.event_id)
+SELECT e.event_id, coalesce(c.n_nearby, CAST(0 AS BIGINT)) AS n_nearby
+FROM e
+LEFT JOIN counts c ON e.event_id = c.event_id
+ORDER BY e.event_id
+"""
+
+
+# bucketized range join — the scale-safe form of an interval theta
+# join: bucket timestamps to a grain covering the range predicate, give
+# Catalyst an EQUI key (probe explodes to 3 buckets), and evaluate the
+# exact |Δt| <= 5 min residual only within colliding buckets. A naive
+# range self-join is O(n²) BroadcastNestedLoop; this is one shuffle on
+# the bucket key with 3x probe fan-out — grain trades fan-out against
+# bucket width. Each candidate pair appears exactly once (the right
+# side's bucket is unique), so no dedup pass is needed
+_q(
+    "events_range_join",
+    _sql(_range_join_sql("spark")),
+    _range_join_sql("duck"),
+)

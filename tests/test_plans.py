@@ -170,3 +170,27 @@ def test_events_rate_shared_partitioning(spark):
     # user_id — exactly one hash exchange (the other is the final sort)
     plan = plan_of(spark, "events_rate")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q8_q9_dims_broadcast(spark):
+    # q8ish: nation x2 + region + supplier broadcast; q9ish: part +
+    # supplier + nation broadcast — only fact-side joins may shuffle
+    assert plan_of(spark, "tpch_q8ish").count("BroadcastHashJoin") >= 4
+    assert plan_of(spark, "tpch_q9ish").count("BroadcastHashJoin") >= 3
+
+
+def test_pq_codebook_broadcast(spark):
+    # emb_pq_codes: the K*M codebook must broadcast against the corpus;
+    # the argmin is an aggregate (no window sort of the cross product)
+    plan = plan_of(spark, "emb_pq_codes")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "max_by" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    # events_range_join: the bucketization must give Catalyst an equi
+    # key — a naive interval theta-join becomes BroadcastNestedLoop /
+    # cartesian, which is O(n^2) at scale
+    plan = plan_of(spark, "events_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
