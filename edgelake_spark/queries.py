@@ -2599,3 +2599,35 @@ _q(
     _sql(_range_join_sql("spark")),
     _range_join_sql("duck"),
 )
+
+
+_q(
+    "el_increments_week",
+    # week buckets: parent trunc is MONTH, extract(week) is ISO
+    # week-of-year on both engines (reference increments ladder,
+    # utils_sql.py:28-36) — completes the minute/hour/month ladder ends
+    _el(
+        "select increments(week, 1, ts), count(*) as n, "
+        "cast(sum(cast(value as decimal(25,6))) as double) as sum_value from events"
+    ),
+    "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS increments_trunc, "
+    "CAST(CAST(extract(week FROM ts) AS INTEGER) // 1 AS BIGINT) AS increments_extract, "
+    "count(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+)
+
+_q(
+    "el_increments_year",
+    # year is the ladder top: extract only, no parent truncation
+    # (unify_results.py:562-583 — year has no wider unit to snap to)
+    _el(
+        "select increments(year, 1, o_orderdate), count(*) as n, "
+        "cast(sum(cast(o_totalprice as decimal(25,6))) as double) as total "
+        "from orders"
+    ),
+    "SELECT CAST(CAST(extract(year FROM o_orderdate) AS INTEGER) // 1 AS BIGINT) "
+    "AS increments_extract, count(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total "
+    "FROM orders GROUP BY 1 ORDER BY 1",
+)
