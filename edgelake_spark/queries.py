@@ -2631,3 +2631,42 @@ _q(
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total "
     "FROM orders GROUP BY 1 ORDER BY 1",
 )
+
+
+def _run_asof_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of: each click gets the same user's latest
+    purchase value, but only if it happened within the last hour —
+    staler matches are NULL (the stale-sensor semantics). Same ONE
+    (user_id) shuffle as plain as-of: the matched right time rides the
+    same carry window and the staleness gate is a map-side null-out."""
+    from edgelake_spark.functions.asof import asof_join
+
+    register_sf_tables(spark, sf_dir)
+    right = spark.sql(
+        "SELECT user_id, ts AS pt, max(value) AS last_purchase_value "
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2"
+    )
+    left = spark.sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'"
+    )
+    return asof_join(
+        left, right, on=["user_id"], left_time="ts", right_time="pt",
+        value_cols=["last_purchase_value"], tolerance_seconds=3600,
+    ).orderBy("event_id")
+
+
+_q(
+    "events_asof_tolerance",
+    _run_asof_tolerance,
+    """
+WITH p AS (SELECT user_id, ts AS pt, max(value) AS last_purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN p.pt IS NOT NULL
+             AND epoch_us(c.ts) - epoch_us(p.pt) <= 3600000000
+            THEN p.last_purchase_value END AS last_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pt
+ORDER BY c.event_id
+"""
+)
