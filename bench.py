@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "tpch_q8ish",
     "tpch_q9ish",
     "emb_pq_codes",
+    "emb_pq_adc_topk",
     "events_range_join",
 ]
 

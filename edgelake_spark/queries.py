@@ -2443,7 +2443,7 @@ _PQ_M = 8  # subspaces (8 dims each)
 _PQ_K = 16  # centroids per subspace (4-bit codes)
 
 
-def _pq_sql(engine: str) -> str:
+def _pq_sql(engine: str, prefix_only: bool = False) -> str:
     d = 64 // _PQ_M
     if engine == "spark":
         cids = f"SELECT explode(sequence(0, {_PQ_K - 1})) AS cid"
@@ -2475,8 +2475,7 @@ def _pq_sql(engine: str) -> str:
                          ORDER BY {dist} ASC, cn.cid) AS rn
     FROM e JOIN cents cn ON true) WHERE rn = 1"""
         pack = "sum(cid << (4 * m))"
-    return f"""
-WITH e AS (SELECT vec_id, {demb} AS demb FROM embeddings),
+    prefix = f"""e AS (SELECT vec_id, {demb} AS demb FROM embeddings),
 stride AS (SELECT CAST(floor(count(*) / {_PQ_K}.0) AS BIGINT) AS s FROM e),
 cents AS (
   SELECT c.cid, mm.m, {sub_c} AS sub
@@ -2485,10 +2484,14 @@ cents AS (
   JOIN stride st ON true
   JOIN e ON e.vec_id = c.cid * st.s),
 assign AS (
-  {assign})
-SELECT vec_id, CAST({pack} AS BIGINT) AS pq_code
-FROM assign
-GROUP BY vec_id
+  {assign}),
+codes AS (
+  SELECT vec_id, CAST({pack} AS BIGINT) AS pq_code
+  FROM assign
+  GROUP BY vec_id)"""
+    return prefix if prefix_only else f"""
+WITH {prefix}
+SELECT vec_id, pq_code FROM codes
 ORDER BY vec_id
 """
 
@@ -2669,4 +2672,61 @@ SELECT c.event_id, c.user_id, c.ts,
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pt
 ORDER BY c.event_id
 """
+)
+
+
+def _pq_adc_sql(engine: str) -> str:
+    """ADC (asymmetric distance computation) top-k over the PQ codes:
+    the query keeps full precision, corpus vectors exist only as codes.
+    Per-query distance TABLES to every (m, cid) centroid are 5·M·K tiny
+    rows → broadcast; each candidate's approximate distance is the sum
+    of M table lookups selected by unpacking its 4-bit code fields.
+    The M-term sum is decimal-staged so aggregation order cannot change
+    a bit; ranking breaks ties on vec_id."""
+    d = 64 // _PQ_M
+    if engine == "spark":
+        qdist = (
+            f"aggregate(zip_with(slice(q.demb, cn.m * {d} + 1, {d}), cn.sub, "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        unpack = "(shiftright(co.pq_code, CAST(4 * dt.m AS INT)) & 15)"
+    else:
+        qdist = (
+            f"list_sum([((q.demb)[cn.m * {d} + i] - (cn.sub)[i]) "
+            f"* ((q.demb)[cn.m * {d} + i] - (cn.sub)[i]) for i in range(1, {d + 1})])"
+        )
+        unpack = "((co.pq_code >> (4 * dt.m)) & 15)"
+    return f"""
+WITH {_pq_sql(engine, prefix_only=True)},
+q AS (SELECT vec_id AS query_id, demb FROM e WHERE vec_id < 5),
+dt AS (
+  SELECT q.query_id, cn.m, cn.cid, {qdist} AS dsub
+  FROM q JOIN cents cn ON true),
+adc AS (
+  SELECT dt.query_id, co.vec_id,
+         CAST(SUM(CAST(dt.dsub AS DECIMAL(25,6))) AS DOUBLE) AS adc_dist
+  FROM codes co
+  JOIN dt ON dt.cid = {unpack}
+  WHERE co.vec_id <> dt.query_id
+  GROUP BY dt.query_id, co.vec_id)
+SELECT query_id, vec_id AS neighbor_id, adc_dist
+FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id) AS rn
+  FROM adc) ranked
+WHERE rn <= 5
+ORDER BY query_id, adc_dist ASC, neighbor_id
+"""
+
+
+# ADC completes the PQ story (codes are the storage half, ADC the
+# query half): at corpus scale the scan touches ONLY the 8-byte codes
+# plus a broadcast distance table — the floats never leave cold
+# storage. The lookup join fans each code row out to M tiny dt rows
+# and the per-candidate sum groups on keys the join co-located
+_q(
+    "emb_pq_adc_topk",
+    _sql(_pq_adc_sql("spark")),
+    _pq_adc_sql("duck"),
 )
