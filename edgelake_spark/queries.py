@@ -2730,3 +2730,18 @@ _q(
     _sql(_pq_adc_sql("spark")),
     _pq_adc_sql("duck"),
 )
+
+
+_q(
+    "el_period_week",
+    # week → 7 days conversion path (unify_results.py:710-714): the
+    # one period() unit that rewrites to a different unit entirely
+    _el(
+        "select count(*) as n, min(ts) as mn, max(ts) as mx from events "
+        "where period(week, 2, '2024-01-15 00:00:00', ts)"
+    ),
+    "SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx FROM events "
+    "WHERE ts > (SELECT MAX(ts) FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')"
+    " - INTERVAL 14 DAY AND ts <= "
+    "(SELECT MAX(ts) FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')",
+)
