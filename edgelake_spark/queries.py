@@ -2745,3 +2745,58 @@ _q(
     " - INTERVAL 14 DAY AND ts <= "
     "(SELECT MAX(ts) FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')",
 )
+
+
+def _run_rows_count_estimate(spark, sf_dir):
+    """`get rows count ... estimate = true`: metadata-only counts from
+    parquet footers (admin.rows_count_estimate) — a catalog lookup, not
+    a scan. The oracle counts for real; footers must agree exactly for
+    immutable files."""
+    from edgelake_spark import admin as ad
+
+    register_sf_tables(spark, sf_dir)
+    rows = ad.rows_count_estimate(
+        sf_dir, ["customer", "events", "lineitem", "orders"]
+    )
+    return spark.createDataFrame(
+        sorted(rows), "table_name string, n_rows bigint"
+    )
+
+
+_q(
+    "rows_count_estimate",
+    _run_rows_count_estimate,
+    _ROWS_COUNT,
+)
+
+
+def _run_dml_by_value(spark, sf_dir):
+    """DML verified by VALUE, not just unit-tested: snapshot-backed
+    DELETE (NULL-safe predicate semantics — only TRUE rows die) then
+    UPDATE (RHS reads the pre-update row), then an aggregate over the
+    survivors. Copy-on-first-write views (engine._managed_snapshot)
+    mean the parquet is never touched — the reference's operator-local
+    DML (member_cmd.py:159-165) without mutating shared storage."""
+    eng = EdgeLakeEngine(spark, sf_dir, now=FIXED_NOW)
+    eng.run('sql d "delete from events where value > 400.0"')
+    eng.run("sql d \"update events set value = value * 2.0 where event_type = 'click'\"")
+    return eng.query(
+        "select event_type, count(*) as n, "
+        "cast(sum(cast(value as decimal(25,6))) as double) as sum_value "
+        "from events group by event_type order by event_type"
+    )
+
+
+_q(
+    "dml_delete_update",
+    _run_dml_by_value,
+    """
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2.0
+                          ELSE value END AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE NOT coalesce(value > 400.0, false)
+GROUP BY event_type
+ORDER BY event_type
+"""
+)
