@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "emb_pq_codes",
     "emb_pq_adc_topk",
     "events_range_join",
+    "doc_pipeline_train_set",
 ]
 
 

@@ -2800,3 +2800,50 @@ GROUP BY event_type
 ORDER BY event_type
 """
 )
+
+
+def _pipeline_sql(engine: str) -> str:
+    if engine == "spark":
+        q = tx.spark_quality_score("text")
+        fp = tx.spark_fingerprint("text")
+        u = _U_EXPR_SPARK
+        src = "documents_rep"
+    else:
+        q = tx.duck_quality_score("text")
+        fp = tx.duck_fingerprint("text")
+        u = _U_EXPR_DUCK
+        src = "documents"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars, {q} AS q, {fp} AS fp FROM {src}),
+kept AS (
+  SELECT doc_id, lang, n_chars, fp FROM scored WHERE q >= 0.44),
+deduped AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept) k
+  WHERE rn = 1),
+train AS (
+  SELECT doc_id, lang, n_chars FROM deduped WHERE {u} < 0.8)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM train
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# the whole preprocessing pipeline as ONE declarative plan: quality
+# gate (map-side) → exact-dedup keep (one fp shuffle, first-id wins) →
+# hash split (map-side) → per-language profile (tiny agg). Composition
+# is the point: Catalyst fuses the stages, pushes the quality filter
+# below the dedup window, and the corpus crosses the wire exactly once
+# — the id_checksum pins the exact surviving membership, not just
+# counts
+_q(
+    "doc_pipeline_train_set",
+    _sql(_pipeline_sql("spark"), rep=("documents",)),
+    _pipeline_sql("duck"),
+)
