@@ -210,28 +210,31 @@ def duck_hs64_expr(col: str) -> str:
     return f"[{duck_hex60('md5(t)')} for t in {toks}]"
 
 
-def spark_simhash_over(hs64: str) -> str:
-    """{SIMHASH_BITS}-bit SimHash over a pre-hashed token column: bit j
-    set iff the majority of token hashes have bit j set."""
+def spark_simhash_over(hs64: str, bits: int = SIMHASH_BITS) -> str:
+    """``bits``-wide SimHash over a pre-hashed token column: bit j set
+    iff the majority of token hashes have bit j set. Width is a
+    query-time choice: 16 for the compact gate, up to 60 (the
+    md5-derived integer width) for the wide form a large corpus needs
+    to keep band buckets selective."""
     return (
-        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, j) -> acc + "
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc + "
         f"CASE WHEN aggregate({hs64}, 0, (a, h) -> a + "
         f"CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN shiftleft(1L, j) ELSE 0L END)"
     )
 
 
-def spark_simhash_sql(table: str, where: str = "", id_col: str = "doc_id", text_col: str = "text") -> str:
+def spark_simhash_sql(table: str, where: str = "", id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS) -> str:
     """SimHash via explode + groupBy — whole-stage-codegen'd integer
     aggregation instead of interpreted nested-lambda loops (~6× faster
     at sf0.1, and the shape that scales: map, shuffle on id, combine)."""
     w = f" WHERE {where}" if where else ""
     bit_sums = ", ".join(
         f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
     combine = " + ".join(
-        f"CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END" for j in range(SIMHASH_BITS)
+        f"CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END" for j in range(bits)
     )
     return f"""
 SELECT {id_col}, CAST({combine} AS BIGINT) AS simhash
@@ -244,11 +247,11 @@ FROM (
 )"""
 
 
-def duck_simhash_over(hs64: str) -> str:
+def duck_simhash_over(hs64: str, bits: int = SIMHASH_BITS) -> str:
     return (
         f"CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((h >> j) & 1) = 1 "
         f"THEN 1 ELSE -1 END for h in {hs64}]) > 0 THEN (1::BIGINT << j) ELSE 0 END "
-        f"for j in range(0, {SIMHASH_BITS})]) AS BIGINT)"
+        f"for j in range(0, {bits})]) AS BIGINT)"
     )
 
 

@@ -2847,3 +2847,49 @@ _q(
     _sql(_pipeline_sql("spark"), rep=("documents",)),
     _pipeline_sql("duck"),
 )
+
+
+def _sh_bands_wide(engine: str, src: str, bits: int = 60, n_bands: int = 4) -> str:
+    """Bands over a wide simhash: n_bands x (bits/n_bands)-bit keys.
+    Same pigeonhole guarantee (hamming <= n_bands-1 shares a band); the
+    wide key space (2^15 per band here) is what keeps buckets selective
+    on a large corpus — the 16-bit form's 2^4 buckets saturate."""
+    bb = bits // n_bands
+    mask = (1 << bb) - 1
+    return " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_id, "
+        f"(simhash >> {j * bb}) & {mask} AS band_key FROM {src}"
+        for j in range(n_bands)
+    )
+
+
+def _run_simhash60_pairs(spark, sf_dir):
+    """The wide-simhash scale form promised by the 16-bit gate's note:
+    60-bit fingerprint (md5-derived integer width), 4x15-bit bands,
+    hamming <= 3 verify. Same plan shape — fingerprint, band keys,
+    equality join, bit_count — with band buckets that stay selective
+    as the corpus grows."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    sh = spark.sql(dd.spark_simhash_sql("documents_rep", bits=60)).localCheckpoint()
+    sh.createOrReplaceTempView("__sh60")
+    spark.sql(_sh_bands_wide("spark", "__sh60")).createOrReplaceTempView("__sh60_bands")
+    return spark.sql(
+        _SH_PAIRS_BODY.format(
+            ham="bit_count(x.simhash ^ y.simhash)", bands="__sh60_bands"
+        )
+    )
+
+
+_q(
+    "doc_simhash60_pairs",
+    _run_simhash60_pairs,
+    f"""
+WITH sh AS (
+  SELECT doc_id, {dd.duck_simhash_over('hs64', bits=60)} AS simhash
+  FROM (SELECT doc_id, {dd.duck_hs64_expr('text')} AS hs64 FROM documents)
+),
+bands AS ({_sh_bands_wide('duck', 'sh')})
+{_SH_PAIRS_BODY.format(ham="bit_count(xor(x.simhash, y.simhash))", bands="bands")}
+""",
+)
