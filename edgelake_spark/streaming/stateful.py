@@ -146,3 +146,88 @@ def session_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------- streaming anomaly
+
+ANOMALY_OUTPUT = (
+    "key string, n_total bigint, mean double, std double, "
+    "n_flagged bigint, last_flagged_value double"
+)
+#: Welford accumulators: count, running mean, M2 (sum of squared
+#: deviations) — numerically stable one-pass variance, mergeable state
+ANOMALY_STATE = "n bigint, mean double, m2 double"
+
+
+def make_anomaly_fn(z_threshold: float = 3.0, value_col: str = "value", min_n: int = 30):
+    """Per-key streaming z-score monitor: each value is scored against
+    the state BEFORE it updates the state (a point can't vouch for
+    itself), using Welford's one-pass mean/variance. Values only start
+    flagging after ``min_n`` observations so cold keys don't alarm."""
+
+    def anomaly(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        n_flagged, last_flagged = 0, None
+        for pdf in batches:
+            for v in pdf[value_col]:
+                v = float(v)
+                if n >= min_n:
+                    var = m2 / n
+                    if var > 0 and abs(v - mean) / math.sqrt(var) > z_threshold:
+                        n_flagged += 1
+                        last_flagged = v
+                # Welford update AFTER scoring
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        std = math.sqrt(m2 / n) if n else 0.0
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "n_total": n,
+                    "mean": mean,
+                    "std": std,
+                    "n_flagged": n_flagged,
+                    "last_flagged_value": last_flagged,
+                }
+            ]
+        )
+
+    return anomaly
+
+
+def anomaly_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+    min_n: int = 30,
+) -> DataFrame:
+    """Per-key streaming anomaly monitor (the alert half of the
+    reference's data-monitor ring, data_monitor.py, as a stateful
+    operator): emits per-batch flag counts against a cross-batch
+    Welford state. State is three scalars per key — bounded at any
+    stream length or key cardinality that fits a state store."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withColumn("key", F.col(key_col).cast("string"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            make_anomaly_fn(z_threshold, value_col, min_n),
+            outputStructType=ANOMALY_OUTPUT,
+            stateStructType=ANOMALY_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -278,3 +278,46 @@ def test_mapping_regex_group_in_script(spark):
     )
     row = apply_mapping_policy(spark, raw, policy).collect()[0]
     assert (row.v, row.room) == (3.5, "kitchen")
+
+
+def test_anomaly_stream_flags_after_min_n(spark, tmp_path):
+    """Streaming z-score monitor: values score against PRE-update state,
+    flagging starts only after min_n observations, and the Welford
+    state carries across batches."""
+    from edgelake_spark.streaming.stateful import anomaly_stream
+
+    src = tmp_path / "asrc"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("device", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    # batch 1: ten mild values — below min_n, nothing may flag
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"device": "d1", "value": float(v)}) for v in [10, 11, 9, 10, 12, 10, 9, 11, 10, 10])
+    )
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    out = anomaly_stream(stream, "device", "value", z_threshold=3.0, min_n=10)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("anom_out")
+        .option("checkpointLocation", str(tmp_path / "ackpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("select * from anom_out").collect()[-1]
+        assert first.n_total == 10 and first.n_flagged == 0
+
+        # batch 2: one wild outlier + one mild value -> exactly one flag,
+        # scored against the carried batch-1 state
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps({"device": "d1", "value": v}) for v in [500.0, 10.0])
+        )
+        q.processAllAvailable()
+        rows = spark.sql("select * from anom_out order by n_total").collect()
+        assert rows[-1].n_total == 12
+        assert rows[-1].n_flagged == 1
+        assert rows[-1].last_flagged_value == 500.0
+    finally:
+        q.stop()
