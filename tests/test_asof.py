@@ -56,3 +56,47 @@ def test_no_tolerance_keeps_stale_matches(spark):
         value_cols=["val"],
     ).collect()
     assert got[0].val == 5.0
+
+
+def test_forward_direction(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T09:00:00")),  # right at same instant
+            (2, 10, _ts("2024-01-01T08:00:00")),  # next right 1 h later
+            (3, 10, _ts("2024-01-01T12:00:00")),  # nothing after -> NULL
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T09:00:00"), 1.0),
+            (10, _ts("2024-01-01T11:00:00"), 2.0),
+        ],
+        "user_id int, rt timestamp, val double",
+    )
+    out = {
+        r.event_id: r.val
+        for r in asof_join(
+            left, right, on=["user_id"], left_time="ts", right_time="rt",
+            value_cols=["val"], direction="forward",
+        ).collect()
+    }
+    assert out[1] == 1.0  # equal times match forward too
+    assert out[2] == 1.0  # earliest following, not latest
+    assert out[3] is None
+
+
+def test_forward_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T08:00:00"))],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01T11:00:00"), 2.0)],
+        "user_id int, rt timestamp, val double",
+    )
+    got = asof_join(
+        left, right, on=["user_id"], left_time="ts", right_time="rt",
+        value_cols=["val"], direction="forward", tolerance_seconds=3600,
+    ).collect()
+    assert got[0].val is None  # 3 h lookahead exceeds the 1 h tolerance
