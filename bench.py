@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "emb_pq_adc_topk",
     "events_range_join",
     "doc_pipeline_train_set",
+    "doc_simhash60_pairs",
+    "events_asof_forward",
 ]
 
 

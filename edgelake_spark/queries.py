@@ -2893,3 +2893,37 @@ bands AS ({_sh_bands_wide('duck', 'sh')})
 {_SH_PAIRS_BODY.format(ham="bit_count(xor(x.simhash, y.simhash))", bands="bands")}
 """,
 )
+
+
+def _run_asof_forward(spark, sf_dir):
+    """Forward as-of: each click gets the same user's NEXT purchase
+    value (at or after the click) — the conversion-attribution shape.
+    Same one-shuffle union-and-carry, leading frame."""
+    from edgelake_spark.functions.asof import asof_join
+
+    register_sf_tables(spark, sf_dir)
+    right = spark.sql(
+        "SELECT user_id, ts AS pt, max(value) AS next_purchase_value "
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2"
+    )
+    left = spark.sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'"
+    )
+    return asof_join(
+        left, right, on=["user_id"], left_time="ts", right_time="pt",
+        value_cols=["next_purchase_value"], direction="forward",
+    ).orderBy("event_id")
+
+
+_q(
+    "events_asof_forward",
+    _run_asof_forward,
+    """
+WITH p AS (SELECT user_id, ts AS pt, max(value) AS next_purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts, p.next_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.pt
+ORDER BY c.event_id
+"""
+)
