@@ -2927,3 +2927,38 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.pt
 ORDER BY c.event_id
 """
 )
+
+
+_SET_OPS = """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+) t
+ORDER BY user_id
+"""
+
+# INTERSECT/EXCEPT (superset of the reference's include/UNION surface):
+# clicked AND purchased but never errored. Each leg is a pushed-down
+# scan of the same table; the set ops hash-partition on user_id once —
+# the funnel-membership query shape
+_q("events_set_ops", _sql(_SET_OPS), _SET_OPS)
+
+
+_ROLLUP = """
+SELECT event_type,
+       CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, bucket)
+ORDER BY event_type NULLS FIRST, bucket NULLS FIRST
+"""
+
+# ROLLUP (superset — absent in the reference): per-(type, bucket),
+# per-type, and grand-total rows from ONE scan. Spark expands rollup
+# into a single Expand + aggregate — no re-reads; the decimal-staged
+# sum keeps every level bit-identical across engines
+_q("events_rollup", _sql(_ROLLUP), _ROLLUP)
