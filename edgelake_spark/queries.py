@@ -2118,20 +2118,15 @@ _DECON_K = 4
 
 
 def _decon_sql(engine: str) -> str:
-    if engine == "spark":
-        toks, grams, distinct = (
-            tx.spark_tokens("text"),
-            dd.spark_word_grams_over("toks", _DECON_K),
-            "explode(array_distinct(grams))",
-        )
-        src = "documents_rep"
-    else:
-        toks, grams, distinct = (
-            tx.duck_tokens("text"),
-            dd.duck_word_grams_over("toks", _DECON_K),
-            "unnest(list_distinct(grams))",
-        )
-        src = "documents"
+    # duck-only: the Spark side lives in _run_decon (checkpoint-before-
+    # explode; see _ckpt_view)
+    assert engine == "duck"
+    toks, grams, distinct = (
+        tx.duck_tokens("text"),
+        dd.duck_word_grams_over("toks", _DECON_K),
+        "unnest(list_distinct(grams))",
+    )
+    src = "documents"
     return f"""
 WITH toks AS (SELECT doc_id, {toks} AS toks FROM {src}),
 gr0 AS (SELECT doc_id, {grams} AS grams FROM toks),
@@ -2196,16 +2191,12 @@ _q(
 
 
 def _bigram_frac_sql(engine: str) -> str:
-    if engine == "spark":
-        toks = tx.spark_tokens("text")
-        grams = dd.spark_word_grams_over("toks", 2)
-        unnest = "explode(grams)"
-        src = "documents_rep"
-    else:
-        toks = tx.duck_tokens("text")
-        grams = dd.duck_word_grams_over("toks", 2)
-        unnest = "unnest(grams)"
-        src = "documents"
+    # duck-only: the Spark side lives in _run_bigram_frac
+    assert engine == "duck"
+    toks = tx.duck_tokens("text")
+    grams = dd.duck_word_grams_over("toks", 2)
+    unnest = "unnest(grams)"
+    src = "documents"
     return f"""
 WITH toks AS (SELECT doc_id, {toks} AS toks FROM {src}),
 gr0 AS (SELECT doc_id, {grams} AS grams FROM toks),
@@ -2260,10 +2251,9 @@ _q(
 
 
 def _tfidf_sql(engine: str) -> str:
-    if engine == "spark":
-        toks, unnest, src = tx.spark_tokens("text"), "explode(toks)", "documents_rep"
-    else:
-        toks, unnest, src = tx.duck_tokens("text"), "unnest(toks)", "documents"
+    # duck-only: the Spark side lives in _run_tfidf
+    assert engine == "duck"
+    toks, unnest, src = tx.duck_tokens("text"), "unnest(toks)", "documents"
     return f"""
 WITH tok AS (SELECT doc_id, {unnest} AS term
              FROM (SELECT doc_id, {toks} AS toks FROM {src}) s),
