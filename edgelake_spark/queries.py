@@ -2952,3 +2952,63 @@ ORDER BY event_type NULLS FIRST, bucket NULLS FIRST
 # into a single Expand + aggregate — no re-reads; the decimal-staged
 # sum keeps every level bit-identical across engines
 _q("events_rollup", _sql(_ROLLUP), _ROLLUP)
+
+
+def _run_ivf_recall(spark, sf_dir):
+    """Recall@5 of the IVF index against brute-force ground truth,
+    per query — the ANN quality metric AS a query, so index-quality
+    regressions hash-fail instead of hiding in comments. Composes the
+    two registered pipelines; the semi join + tiny agg add nothing to
+    their plans."""
+    from pyspark.sql import functions as F
+
+    brute = SPARK_QUERIES["emb_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = SPARK_QUERIES["emb_ivf_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_matched"))
+        .join(
+            brute.groupBy("query_id").agg(F.count("*").alias("n_brute")), "query_id"
+        )
+        .select(
+            "query_id",
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.col("n_brute").cast("bigint").alias("n_brute"),
+            (F.col("n_matched").cast("double") / F.col("n_brute").cast("double")).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    brute = ORACLE_SQL["emb_cosine_topk"].strip().rstrip()
+    ivf = ORACLE_SQL["emb_ivf_topk"].strip().rstrip()
+    return f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({brute}) b),
+ivf AS (SELECT query_id, neighbor_id FROM ({ivf}) i),
+matched AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM brute b JOIN ivf USING (query_id, neighbor_id)
+  GROUP BY b.query_id),
+totals AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_brute
+  FROM brute GROUP BY query_id)
+SELECT t.query_id, m.n_matched, t.n_brute,
+       CAST(m.n_matched AS DOUBLE) / CAST(t.n_brute AS DOUBLE) AS recall
+FROM totals t JOIN matched m USING (query_id)
+ORDER BY t.query_id
+"""
+
+
+_q(
+    "emb_ivf_recall",
+    _run_ivf_recall,
+    _ivf_recall_oracle(),
+)
