@@ -236,6 +236,10 @@ SF1_FAMILIES = [
     "doc_winnow_fp",
     "events_sessionize",
     "events_asof_orders",
+    # round-3 families: bucketized range join (longer stream, constant
+    # density — see replicate()), and the fused corpus pipeline
+    "events_range_join",
+    "doc_pipeline_train_set",
 ]
 
 
@@ -265,10 +269,23 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
     reps = spark.range(replicas).select(F.col("id").alias("__r"))
 
     def replicate(df, shifts: dict, text_tag: str | None = None):
-        """shifts: col → stride; each replica r adds r*stride."""
+        """shifts: col → stride; each replica r adds r*stride. Timestamp
+        columns take their stride in SECONDS (shifting ts makes the sf1
+        stream LONGER at the same event density — the production axis;
+        leaving ts unshifted would instead multiply temporal density and
+        turn any time-range join quadratic by construction)."""
         out = df.crossJoin(F.broadcast(reps))
         for c, stride in shifts.items():
-            out = out.withColumn(c, F.col(c) + F.col("__r") * F.lit(stride))
+            if dict(df.dtypes).get(c) == "timestamp":
+                out = out.withColumn(
+                    c,
+                    F.timestamp_micros(
+                        F.unix_micros(F.col(c))
+                        + F.col("__r") * F.lit(int(stride) * 1_000_000)
+                    ),
+                )
+            else:
+                out = out.withColumn(c, F.col(c) + F.col("__r") * F.lit(stride))
         if text_tag:
             # Suffix EVERY token with a per-replica marker (separator run
             # → "q<r> "), so replicas share zero word-shingles and LSH
@@ -308,7 +325,7 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
         # user_id joins orders.o_custkey (events_asof_orders), so it must
         # shift by the SAME stride as o_custkey or replica-r events would
         # probe replica-0's orders only.
-        "events": replicate(ev, {"event_id": ev_stride, "user_id": cust_stride}),
+        "events": replicate(ev, {"event_id": ev_stride, "user_id": cust_stride, "ts": 35 * 86400}),
         "documents": replicate(
             docs, {"doc_id": doc_stride}, text_tag="text"
         ).withColumn("n_chars", F.length("text").cast("long")),
