@@ -3037,3 +3037,30 @@ _q(
     _run_ivf_recall,
     _ivf_recall_oracle(),
 )
+
+
+_q(
+    "el_casting_timediff",
+    # ::timediff — HH:MM:SS.f distance to another timestamp (reference
+    # ret_time_diff, utils_columns.py:1902). Every arithmetic step
+    # (exact integer micros → one double divide → fmod/floor ladder)
+    # is replicated operation-for-operation in the oracle, so the
+    # formatted strings are bit-identical
+    _el(
+        "select event_id, ts::timediff('2024-01-15 00:00:00') as td "
+        "from events where event_id < 40 order by event_id"
+    ),
+    """
+SELECT event_id,
+       printf('%02d:%02d:%02d.%d',
+              CAST(floor(d / 3600) AS BIGINT),
+              CAST(floor((d % 3600) / 60) AS BIGINT),
+              CAST(floor(d % 60) AS BIGINT),
+              CAST(floor((d % 1) * 100000) AS BIGINT)) AS td
+FROM (SELECT event_id,
+             abs(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+             / 1000000.0 AS d
+      FROM events WHERE event_id < 40) t
+ORDER BY event_id
+"""
+)
