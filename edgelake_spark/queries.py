@@ -3064,3 +3064,22 @@ FROM (SELECT event_id,
 ORDER BY event_id
 """
 )
+
+
+_RETENTION = """
+WITH uw AS (SELECT DISTINCT user_id,
+                   CAST(extract(week FROM ts) AS BIGINT) AS w
+            FROM events)
+SELECT a.w,
+       CAST(count(*) AS BIGINT) AS retained
+FROM uw a
+JOIN uw b ON a.user_id = b.user_id AND b.w = a.w + 1
+GROUP BY a.w
+ORDER BY a.w
+"""
+
+# weekly cohort retention (users active in week w AND w+1): one
+# distinct pass produces the (user, week) activity table, the
+# self-join keys on user_id — both sides share the partitioning the
+# distinct already created, and the result domain is weeks, not users
+_q("events_retention", _sql(_RETENTION), _RETENTION)
