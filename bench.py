@@ -254,9 +254,18 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
 
     from pyspark.sql import functions as F
 
+    # generation-scheme version in the marker: a scheme change (e.g. the
+    # ts-shift in r3 that keeps temporal density constant) must
+    # invalidate a previously synthesized directory, or stale data
+    # silently benchmarks the old premise
+    gen = f"gen=v2-ts-shift replicas={replicas}\n"
     marker = os.path.join(dst_dir, "_SF1_READY")
     if os.path.exists(marker):
-        return
+        with open(marker) as fh:
+            if fh.read() == gen:
+                return
+        print("# sf1 cache is from an older generation scheme — rebuilding",
+              file=sys.stderr)
     print(f"# synthesizing sf1 dataset at {dst_dir} ...", file=sys.stderr)
     shutil.rmtree(dst_dir, ignore_errors=True)
     os.makedirs(dst_dir, exist_ok=True)
@@ -344,7 +353,7 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
             else:
                 shutil.copy(p, dst)
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        fh.write(gen)
     print("# sf1 dataset ready", file=sys.stderr)
 
 

@@ -39,9 +39,13 @@ def asof_join(
     ``tolerance_seconds`` bounds staleness (backward) / lookahead
     (forward): a match further than the tolerance is treated as no
     match (values NULL) — the "mark stale sensors missing" semantics.
-    Implemented by carrying the matched right TIME alongside the values
-    (same window, no extra shuffle) and null-gating on the exact
-    integer-microsecond difference.
+
+    The matched row travels as ONE struct (right_time + values) carried
+    by a single last/first(ignorenulls) window, so the staleness gate
+    and every projected value always come from the SAME right row —
+    matching ASOF semantics when right-side values contain NULLs (an
+    in-tolerance row with a NULL value yields NULL, never an older
+    row's value).
 
     ``right`` should be unique per (on, right_time) — pre-aggregate if
     not, or ties resolve arbitrarily (same as other engines).
@@ -59,8 +63,12 @@ def asof_join(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(r_side).alias("__side"),
-        F.col(right_time).alias("__rt"),
-        *value_cols,
+        # one struct per right row: non-NULL exactly for right rows, so
+        # a single ignorenulls carry keeps time+values row-atomic
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__m"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
     w = Window.partitionBy(*on).orderBy("__t", "__side")
@@ -69,19 +77,13 @@ def asof_join(
         if back
         else w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    pick = (lambda c: F.last(c, ignorenulls=True)) if back else (
-        lambda c: F.first(c, ignorenulls=True)
-    )
-    carry = list(value_cols) + (["__rt"] if tolerance_seconds is not None else [])
-    for c in carry:
-        u = u.withColumn(c, pick(c).over(w))
+    pick = F.last if back else F.first
+    u = u.withColumn("__m", pick("__m", ignorenulls=True).over(w))
     out = u.filter(F.col("__side") == l_side)
+    m = F.col("__m")
     if tolerance_seconds is not None:
-        gap = F.unix_micros(F.col("__rt")) - F.unix_micros(F.col("__t"))
+        gap = F.unix_micros(m["__rt"]) - F.unix_micros(F.col("__t"))
         if back:
             gap = -gap
-        for c in value_cols:
-            out = out.withColumn(
-                c, F.when(gap <= F.lit(tolerance_seconds * 1_000_000), F.col(c))
-            )
-    return out.select(*left_cols, *value_cols)
+        m = F.when(gap <= F.lit(tolerance_seconds * 1_000_000), F.col("__m"))
+    return out.select(*left_cols, *[m[c].alias(c) for c in value_cols])

@@ -1628,26 +1628,30 @@ _q("tpch_q17ish", _sql(_TPCH_Q17), _TPCH_Q17)
 
 
 _TPCH_Q18 = f"""
-SELECT c_name, c_custkey, o_orderkey,
-       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
-       {_dsum('l_quantity')} AS sum_qty
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON o_orderkey = l_orderkey
-WHERE o_orderkey IN (
-  SELECT l_orderkey FROM lineitem
+WITH oq AS (
+  SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+  FROM lineitem
   GROUP BY l_orderkey
   HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 160)
-GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+       sum_qty
+FROM oq
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
 
-# large-volume orders: the IN-subquery is a semi join against a
-# pre-aggregated lineitem (HAVING on an exact decimal sum — no float
-# boundary risk); the outer agg re-groups on the order grain it just
-# semi-filtered, so the orderkey partitioning is reused; DESC LIMIT has
-# a unique o_orderkey tie-break
+# large-volume orders: ONE lineitem aggregation (exact decimal sum, no
+# float boundary risk at the HAVING cut) serves as both the filter and
+# the projected quantity — the classic q18 IN-subquery form aggregates
+# the fact table twice (r3 plan showed the identical groupBy subtree
+# scanned+shuffled twice); since the order-grain columns are
+# functionally dependent on o_orderkey, joining the pre-agg to orders/
+# customer is equivalent and halves the fact-table work. The surviving
+# order set is small → both joins broadcast it; DESC LIMIT keeps a
+# unique o_orderkey tie-break
 _q("tpch_q18ish", _sql(_TPCH_Q18), _TPCH_Q18)
 
 
@@ -2076,12 +2080,16 @@ WITH stats AS (
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS mu,
          CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS m2
   FROM events
-  GROUP BY event_type)
+  GROUP BY event_type),
+sd AS (
+  SELECT event_type, mu,
+         CASE WHEN m2 - mu * mu > 0 THEN sqrt(m2 - mu * mu) END AS sd
+  FROM stats)
 SELECT event_id, e.event_type, value,
-       (value - mu) / sqrt(m2 - mu * mu) AS z
+       (value - mu) / sd AS z
 FROM events e
-JOIN stats s ON e.event_type = s.event_type
-WHERE abs((value - mu) / sqrt(m2 - mu * mu)) > 2.0
+JOIN sd s ON e.event_type = s.event_type
+WHERE abs((value - mu) / sd) > 2.0
 ORDER BY event_id
 """
 
@@ -2089,7 +2097,11 @@ ORDER BY event_id
 # exact decimal sums (one shuffle on the tiny event_type domain), the
 # stats broadcast back onto the stream, and z is IEEE-deterministic
 # (sqrt is correctly rounded per IEEE-754) — the same rows flag on any
-# engine and any partition order
+# engine and any partition order. The CASE guards the constant-group
+# case where FP rounding drives the variance operand slightly negative:
+# Spark's sqrt returns NaN there but DuckDB raises OutOfRange, so
+# without it the oracle run can hard-fail on unlucky data; sd = NULL
+# makes z NULL on both engines and the WHERE drops those rows
 _q("events_anomaly_z", _sql(_EVENTS_ANOMALY), _EVENTS_ANOMALY)
 
 
@@ -2710,28 +2722,40 @@ ORDER BY query_id, adc_dist ASC, neighbor_id
 """
 
 
-#: encoded codes per dataset — like the IVF centroid cache, encoding
-#: is the OFFLINE half (a persisted code table in production); caching
-#: cannot change any hash (deterministic), it only drops the encode
-#: pass from the per-query path so the gate measures what a query
-#: actually costs: ADC over codes
-_PQ_CODES_CACHE: dict = {}
+def _pq_codes_path(sf_dir: str) -> str:
+    """Deterministic on-disk location for a dataset's PQ code table,
+    keyed by the source embeddings' identity (path + mtime + size) so a
+    regenerated dataset invalidates the codes."""
+    import hashlib
+    import os as _os
+
+    src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+    st = _os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:M{_PQ_M}K{_PQ_K}".encode()
+    ).hexdigest()[:12]
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    return _os.path.join(repo, "spark-warehouse", f"pq_codes_{tag}")
 
 
 def _run_pq_adc(spark, sf_dir):
+    """Encoding is the OFFLINE half of PQ: the encode job writes the
+    code table straight from executors to parquet ONCE per dataset, and
+    the query path reads codes from storage — no driver materialization
+    anywhere (at 1B vectors a collect() would stage 8+ GB on the
+    driver; the executor-side write streams). Persisting cannot change
+    any hash (encoding is deterministic); it only keeps the per-query
+    cost at what ADC actually costs: a scan of the 8-byte codes."""
     import os as _os
 
     register_sf_tables(spark, sf_dir)
-    key = _os.path.abspath(sf_dir)
-    if key not in _PQ_CODES_CACHE:
-        rows = spark.sql(
+    path = _pq_codes_path(sf_dir)
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        spark.sql(
             f"WITH {_pq_sql('spark', prefix_only=True)} "
             f"SELECT vec_id, pq_code FROM codes"
-        ).collect()
-        _PQ_CODES_CACHE[key] = [(r.vec_id, r.pq_code) for r in rows]
-    spark.createDataFrame(
-        _PQ_CODES_CACHE[key], "vec_id bigint, pq_code bigint"
-    ).createOrReplaceTempView("__pq_codes")
+        ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("__pq_codes")
     return spark.sql(_pq_adc_sql("spark", codes_src="__pq_codes"))
 
 
@@ -2864,11 +2888,13 @@ _q(
 )
 
 
-def _sh_bands_wide(engine: str, src: str, bits: int = 60, n_bands: int = 4) -> str:
+def _sh_bands_wide(src: str, bits: int = 60, n_bands: int = 4) -> str:
     """Bands over a wide simhash: n_bands x (bits/n_bands)-bit keys.
     Same pigeonhole guarantee (hamming <= n_bands-1 shares a band); the
     wide key space (2^15 per band here) is what keeps buckets selective
-    on a large corpus — the 16-bit form's 2^4 buckets saturate."""
+    on a large corpus — the 16-bit form's 2^4 buckets saturate. The
+    `>>`/`&` expression is dialect-shared (identical in Spark and
+    DuckDB), so unlike _sh_bands there is no engine parameter."""
     bb = bits // n_bands
     mask = (1 << bb) - 1
     return " UNION ALL ".join(
@@ -2888,7 +2914,7 @@ def _run_simhash60_pairs(spark, sf_dir):
     _rep_view(spark, "documents")
     sh = spark.sql(dd.spark_simhash_sql("documents_rep", bits=60)).localCheckpoint()
     sh.createOrReplaceTempView("__sh60")
-    spark.sql(_sh_bands_wide("spark", "__sh60")).createOrReplaceTempView("__sh60_bands")
+    spark.sql(_sh_bands_wide("__sh60")).createOrReplaceTempView("__sh60_bands")
     return spark.sql(
         _SH_PAIRS_BODY.format(
             ham="bit_count(x.simhash ^ y.simhash)", bands="__sh60_bands"
@@ -2904,7 +2930,7 @@ WITH sh AS (
   SELECT doc_id, {dd.duck_simhash_over('hs64', bits=60)} AS simhash
   FROM (SELECT doc_id, {dd.duck_hs64_expr('text')} AS hs64 FROM documents)
 ),
-bands AS ({_sh_bands_wide('duck', 'sh')})
+bands AS ({_sh_bands_wide('sh')})
 {_SH_PAIRS_BODY.format(ham="bit_count(xor(x.simhash, y.simhash))", bands="bands")}
 """,
 )
@@ -3066,20 +3092,30 @@ ORDER BY event_id
 )
 
 
-_RETENTION = """
+def _retention_sql(next_week: str) -> str:
+    # week key = week-start DATE (year-aware: no 52→1 wraparound and no
+    # cross-year collision, unlike a bare extract(week)); adjacency is
+    # "this week's start + 7 days", spelled per-engine (Spark date_add
+    # vs DuckDB date + int)
+    return f"""
 WITH uw AS (SELECT DISTINCT user_id,
-                   CAST(extract(week FROM ts) AS BIGINT) AS w
+                   CAST(date_trunc('week', ts) AS DATE) AS w
             FROM events)
 SELECT a.w,
        CAST(count(*) AS BIGINT) AS retained
 FROM uw a
-JOIN uw b ON a.user_id = b.user_id AND b.w = a.w + 1
+JOIN uw b ON a.user_id = b.user_id AND b.w = {next_week}
 GROUP BY a.w
 ORDER BY a.w
 """
+
 
 # weekly cohort retention (users active in week w AND w+1): one
 # distinct pass produces the (user, week) activity table, the
 # self-join keys on user_id — both sides share the partitioning the
 # distinct already created, and the result domain is weeks, not users
-_q("events_retention", _sql(_RETENTION), _RETENTION)
+_q(
+    "events_retention",
+    _sql(_retention_sql("date_add(a.w, 7)")),
+    _retention_sql("a.w + 7"),
+)
