@@ -501,7 +501,7 @@ class EdgeLakeEngine:
                 **self._meta_filters(m.group(3)),
             )
         m = _re.match(
-            r"run\s+(?:kafka\s+consumer|mqtt\s+client)\s+where\s+(.*)$",
+            r"run\s+(kafka\s+consumer|mqtt\s+client)\s+where\s+(.*)$",
             text,
             _re.IGNORECASE | _re.DOTALL,
         )
@@ -509,10 +509,13 @@ class EdgeLakeEngine:
             # registers the consumer config; BrokerConsumer.start runs
             # the stream. `run mqtt client` (mqtt_client.py:2128) and
             # `run kafka consumer` (member_cmd.py:21481) share the same
-            # topic→bring mapping semantics, so one parser serves both.
+            # topic→bring mapping semantics, so one parser serves both;
+            # the transport kind is kept so BrokerConsumer picks the
+            # MQTT socket subscriber (streaming/mqtt.py) vs Kafka source.
             from edgelake_spark.streaming.broker import parse_kafka_consumer_command
 
             cfg = parse_kafka_consumer_command(text)
+            cfg["transport"] = "mqtt" if m.group(1).lower().startswith("mqtt") else "kafka"
             # attach any conditions/monitor registered for the target
             # table, so the consumer topology picks them up at start
             tkey = f"{cfg['topic'].dbms}.{cfg['topic'].table}"

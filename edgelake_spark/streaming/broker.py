@@ -111,8 +111,10 @@ def parse_kafka_consumer_command(text: str) -> dict:
 class BrokerConsumer:
     """The consumer topology: source → bring-mapping → conditions →
     monitor → partitioned append. ``source='kafka'`` is the production
-    path; ``source='text'`` + ``source_dir`` is the in-container double
-    (same ``value`` column contract)."""
+    path; ``source='mqtt'`` runs a real MQTT 3.1.1 subscriber
+    (streaming/mqtt.py) that spools PUBLISH payloads into ``source_dir``
+    for the file source; ``source='text'`` + ``source_dir`` is the bare
+    in-container double (same ``value`` column contract)."""
 
     spark: SparkSession
     topic: TopicMapping
@@ -123,6 +125,7 @@ class BrokerConsumer:
     max_per_trigger: int = 1000  # volume threshold, in source units
     conditions: list[StreamingCondition] = field(default_factory=list)
     monitor: DataMonitor | None = None
+    mqtt_client = None  #: live MqttSubscriber when source='mqtt'
 
     def _raw_stream(self) -> DataFrame:
         if self.source == "kafka":
@@ -135,7 +138,17 @@ class BrokerConsumer:
                 .load()
                 .selectExpr("CAST(value AS STRING) AS value")
             )
-        if self.source == "text":
+        if self.source == "mqtt":
+            # real socket transport: subscribe over MQTT framing, spool
+            # payloads to source_dir, stream them as the value column
+            if self.mqtt_client is None:
+                from edgelake_spark.streaming.mqtt import MqttSubscriber
+
+                host, _, port = self.bootstrap.partition(":")
+                self.mqtt_client = MqttSubscriber(
+                    host, int(port or 1883), self.topic.name, self.source_dir
+                ).start()
+        if self.source in ("mqtt", "text"):
             return (
                 self.spark.readStream.format("text")
                 .option("maxFilesPerTrigger", self.max_per_trigger)
