@@ -3119,3 +3119,138 @@ _q(
     _sql(_retention_sql("date_add(a.w, 7)")),
     _retention_sql("a.w + 7"),
 )
+
+
+# ------------------------------------------- streaming-replay oracle gates
+# The streaming operators (SURVEY §2.10) get the same hash-verification
+# the batch surface has: replay the events table through a REAL
+# Structured Streaming query and compare the final landed/held table
+# against a batch oracle. Replaying ALL rows makes the end state
+# independent of micro-batch boundaries, so the hashes are exact.
+
+
+def _run_stream_agg(spark, sf_dir):
+    """aggregation-ingest downsampler (streaming/ingest.py; the pipeline
+    the OSS reference stubs at streaming_data.py:410-478) over a parquet
+    file-stream replay of events: 1-hour event-time windows of
+    {min,max,sum,count}. Complete-mode memory sink holds every window's
+    final value (the agg domain is hours — tiny at any corpus size);
+    the append+watermark eviction path is exercised in
+    tests/test_streaming.py. Sums are decimal-staged per the module
+    convention so streaming accumulation order cannot change a bit."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from edgelake_spark.streaming.ingest import aggregation_ingest, stream_parquet_source
+
+    register_sf_tables(spark, sf_dir)
+    stream = stream_parquet_source(
+        spark, _os.path.join(_os.path.abspath(sf_dir), "events.parquet")
+    ).withColumn("value", F.col("value").cast("decimal(25,6)"))
+    agg = aggregation_ingest(stream, "ts", "value", window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("__stream_agg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.sql(
+        """
+SELECT interval_start,
+       CAST(min_value AS DOUBLE) AS min_value,
+       CAST(max_value AS DOUBLE) AS max_value,
+       CAST(sum_value AS DOUBLE) AS sum_value,
+       CAST(count_value AS BIGINT) AS count_value,
+       CAST(sum_value AS DOUBLE) / count_value AS avg_value
+FROM __stream_agg
+ORDER BY interval_start
+"""
+    )
+
+
+_q(
+    "stream_agg_ingest",
+    _run_stream_agg,
+    """
+SELECT date_trunc('hour', ts) AS interval_start,
+       CAST(min(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS min_value,
+       CAST(max(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS max_value,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       CAST(count(value) AS BIGINT) AS count_value,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY interval_start
+""",
+)
+
+
+def _run_stream_conditions(spark, sf_dir):
+    """Streaming-conditions ingest (streaming/conditions.py; reference
+    streaming_conditions.py:31-113 `then ignore entry`) over the same
+    replay: every micro-batch passes the condition filter inside
+    foreachBatch, survivors append to a landed table, and the gate
+    aggregates the landed rows. The filter is a Column predicate with
+    SQL three-valued logic, so `WHERE NOT (value > 150)` is the exact
+    batch oracle."""
+    import os as _os
+    import tempfile
+
+    from edgelake_spark.streaming.conditions import StreamingCondition, apply_conditions
+    from edgelake_spark.streaming.ingest import stream_parquet_source
+
+    register_sf_tables(spark, sf_dir)
+    stream = stream_parquet_source(
+        spark, _os.path.join(_os.path.abspath(sf_dir), "events.parquet")
+    )
+    cond = StreamingCondition.parse("if [value] > 150 then ignore entry")
+    work = tempfile.mkdtemp(prefix="el_stream_cond_")
+    landed_dir = _os.path.join(work, "landed")
+
+    def _batch(bdf, _epoch):
+        apply_conditions(bdf, [cond]).write.mode("append").parquet(landed_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", _os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    spark.read.parquet(landed_dir).createOrReplaceTempView("__stream_kept")
+    return spark.sql(
+        f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS mn, max(value) AS mx,
+       {_dsum('value')} AS sum_value
+FROM __stream_kept
+GROUP BY event_type
+ORDER BY event_type
+"""
+    )
+
+
+_q(
+    "stream_conditions_ingest",
+    _run_stream_conditions,
+    f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS mn, max(value) AS mx,
+       {_dsum('value')} AS sum_value
+FROM events
+WHERE NOT (value > 150.0)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)

@@ -75,6 +75,40 @@ class StreamIngest:
         return writer.start()
 
 
+def stream_parquet_source(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream source over a parquet dataset, applying the same
+    timestamp[ns]→microsecond conversion ``catalog.load_parquet`` applies
+    to batch reads (the testdata ships ns timestamps, which Spark reads
+    as int64 under nanosAsLong). Lets replay/backfill pipelines stream
+    the exact bytes the batch engine queries."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from edgelake_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(path).schema
+    stream_path = path
+    if os.path.isfile(path):
+        # the file-stream source requires a directory; expose a
+        # single-file dataset through a symlink dir
+        d = tempfile.mkdtemp(prefix="el_stream_src_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        stream_path = d
+    df = spark.readStream.schema(schema).parquet(stream_path)
+    try:
+        arrow_schema = pq.read_schema(path)
+    except Exception:
+        # directory datasets (engine-written) carry real us timestamps
+        return df
+    for f_ in arrow_schema:
+        if str(f_.type).startswith("timestamp[ns") and f_.name in df.columns:
+            df = df.withColumn(f_.name, F.timestamp_micros(F.expr(f"`{f_.name}` div 1000")))
+    return df
+
+
 def dedup_stream(
     stream_df: DataFrame,
     key_cols: list[str],
