@@ -72,7 +72,9 @@ def test_broker_round_trip_qos1():
         pub = mq.MqttPublisher(broker.host, broker.port)
         pub.publish("t/a", b"one", qos=1)  # exercises PUBACK both ways
         pub.publish("t/b", b"two", qos=0)
-        pub.publish("other", b"nope", qos=0)  # filtered by topic
+        # qos=1 so the PUBACK round trip guarantees the broker has
+        # processed it before the published-count assertion below
+        pub.publish("other", b"nope", qos=1)  # filtered by topic
         assert sub.wait_for(2)
         assert received == [b"one", b"two"]
         assert broker.published == 3
