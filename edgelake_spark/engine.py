@@ -84,6 +84,11 @@ class EdgeLakeEngine:
         #: truth for the blobs store; the temp view is ONE createDataFrame
         #: over these rows (no per-store union lineage, O(1) dup checks)
         self.blob_rows: dict[tuple[str, str], dict[str, tuple]] = {}
+        #: sched_id → TaskScheduler (reference task_scheduler.py's
+        #: per-id task arrays); wake<=0 keeps schedulers tick-driven
+        #: (deterministic — tests call .tick() with an explicit now)
+        self.schedulers: dict[int, object] = {}
+        self.scheduler_wake_seconds: float = 10.0
         #: per-query audit: statement, rewritten SQL, wall seconds
         #: (reference `query status/explain` — member_cmd.py:21665,
         #: job_instance bookkeeping). Bounded ring, newest last.
@@ -565,7 +570,119 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 rows or [], "dbms string, table_name string, n_files bigint"
             )
+        # --- scheduler / script family (reference member_cmd.py:11961
+        # `run scheduler`, :11996 `schedule`, :12070 task ops, :16011
+        # `get scheduler`, :13318 `process <file>`) ---
+        m = _re.match(r"run\s+scheduler(\s+(\d+))?$", text, _re.IGNORECASE)
+        if m:
+            sched = self._get_scheduler(int(m.group(2)) if m.group(2) else 1)
+            already = sched.running
+            if not already and self.scheduler_wake_seconds > 0:
+                sched.start(self.scheduler_wake_seconds)
+            return self.spark.createDataFrame(
+                [(sched.sched_id, "already running" if already else "started")],
+                "scheduler_id int, status string",
+            )
+        m = _re.match(r"exit\s+scheduler(\s+(\d+))?$", text, _re.IGNORECASE)
+        if m:
+            sched_id = int(m.group(2)) if m.group(2) else 1
+            sched = self.schedulers.get(sched_id)
+            if sched:
+                sched.stop()
+            return self.spark.createDataFrame(
+                [(sched_id, "stopped" if sched else "not running")],
+                "scheduler_id int, status string",
+            )
+        m = _re.match(r"get\s+scheduler(\s+(\d+))?$", text, _re.IGNORECASE)
+        if m:
+            from edgelake_spark.scheduler import TaskScheduler  # noqa: F401
+
+            which = int(m.group(2)) if m.group(2) else None
+            rows = []
+            for sid, sched in sorted(self.schedulers.items()):
+                if which is not None and sid != which:
+                    continue
+                rows.extend(sched.snapshot())
+            return self.spark.createDataFrame(
+                rows or [],
+                "scheduler_id int, task_id int, mode string, name string, "
+                "run_counter bigint, run_status string, start_time string, "
+                "repeat_seconds bigint, task string",
+            )
+        m = _re.match(r"schedule\s+(.*?)\s+task\s+(.+)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            from edgelake_spark.scheduler import parse_interval_seconds
+
+            conds, task_cmd = m.group(1), m.group(2).strip()
+            tm = _re.search(
+                r"\btime\s*=\s*(\d+\s*[a-zA-Z]*)", conds, _re.IGNORECASE
+            )
+            if not tm:
+                raise ValueError("schedule: missing time = <interval>")
+            nm = _re.search(r"\bname\s*=\s*(\"[^\"]*\"|\S+)", conds, _re.IGNORECASE)
+            sm = _re.search(r"\bscheduler\s*=\s*(\d+)", conds, _re.IGNORECASE)
+            st = _re.search(r"\bstart\s*=\s*(\"[^\"]*\"|\S+)", conds, _re.IGNORECASE)
+            sched = self._get_scheduler(int(sm.group(1)) if sm else 1)
+            task = sched.add_task(
+                task_cmd,
+                parse_interval_seconds(tm.group(1)),
+                name=nm.group(1).strip('"') if nm else None,
+                start=st.group(1).strip('"') if st else None,
+            )
+            return self.spark.createDataFrame(
+                [(sched.sched_id, task.task_id, task.name or "", task.repeat_seconds)],
+                "scheduler_id int, task_id int, name string, repeat_seconds bigint",
+            )
+        m = _re.match(
+            r"task\s+(stop|resume|remove|init|run)\s+where\s+(.*)$",
+            text,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            op, conds = m.group(1).lower(), m.group(2)
+            sm = _re.search(r"\bscheduler\s*=\s*(\d+)", conds, _re.IGNORECASE)
+            nm = _re.search(r"\bname\s*=\s*(\"[^\"]*\"|\S+)", conds, _re.IGNORECASE)
+            im = _re.search(r"\bid\s*=\s*(\d+)", conds, _re.IGNORECASE)
+            st = _re.search(r"\bstart\s*=\s*(\"[^\"]*\"|\S+)", conds, _re.IGNORECASE)
+            if bool(nm) == bool(im):
+                raise ValueError("task: provide exactly one of name= or id=")
+            sched = self._get_scheduler(int(sm.group(1)) if sm else 1)
+            task = sched.change_mode(
+                op,
+                name=nm.group(1).strip('"') if nm else None,
+                task_id=int(im.group(1)) if im else None,
+                start=st.group(1).strip('"') if st else None,
+            )
+            return self.spark.createDataFrame(
+                [(sched.sched_id, task.task_id, task.name or "", task.mode)],
+                "scheduler_id int, task_id int, name string, mode string",
+            )
+        m = _re.match(r"process\s+(\S+)(\s+(.*))?$", text, _re.IGNORECASE)
+        if m and (m.group(1).startswith(("/", "./", "~")) or "." in m.group(1)):
+            from edgelake_spark.script import run_script_file
+
+            values = m.group(3).split() if m.group(3) else None
+            result = run_script_file(self.run, m.group(1), values=values)
+            if result.error:
+                raise RuntimeError(f"script failed: {result.error}")
+            rows = [
+                (ln, cmd, type(r).__name__) for ln, cmd, r in result.executed
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "line int, command string, result_type string"
+            )
         return None
+
+    def _get_scheduler(self, sched_id: int):
+        """Lazily create the task scheduler for an id (reference
+        task_scheduler.set_scheduler)."""
+        from edgelake_spark.scheduler import TaskScheduler
+
+        if sched_id not in self.schedulers:
+            self.schedulers[sched_id] = TaskScheduler(
+                sched_id, runner=self.run, clock=(lambda: self.now) if self.now else None
+            )
+        return self.schedulers[sched_id]
 
     # ------------------------------------------------------------ blobs
 
