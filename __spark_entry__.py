@@ -51,6 +51,14 @@ _DEFER = (
     "el_casting_timediff",
     "el_period_week",
     "rows_count_estimate",
+    # round-4 additions: queue behind the r3-era gates so this round's
+    # 50-slot driver window verifies the backlog first; rotate these in
+    # next round
+    "tpch_q2ish",
+    "tpch_q12ish",
+    "tpch_q16ish",
+    "tpch_q20ish",
+    "tpch_q22ish",
 )
 
 

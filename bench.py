@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "doc_pipeline_train_set",
     "doc_simhash60_pairs",
     "events_asof_forward",
+    # round 4: the last TPC-H shapes (correlated-min supplier pick,
+    # distinct-count with anti join, scalar-avg + anti-join dormants)
+    "tpch_q2ish",
+    "tpch_q16ish",
+    "tpch_q22ish",
 ]
 
 

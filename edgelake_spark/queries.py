@@ -3303,3 +3303,140 @@ GROUP BY event_type
 ORDER BY event_type
 """,
 )
+
+
+# =====================================================================
+# Round 4: the remaining TPC-H query shapes (q2/q12/q16/q20/q22-ish) —
+# completing all 22 families in the SQL-superset surface (SURVEY §2.3/
+# §2.4/§2.7). Same conventions as the round-3 block: ONE SQL text runs
+# verbatim on both engines; double sums decimal-staged; unique ORDER BY
+# tie-breaks wherever LIMIT can bind. partsupp / l_shipmode / c_phone
+# are absent from the testdata schema, so each keeps its reference
+# PLAN SHAPE (the thing that matters at scale) over the columns we have.
+# =====================================================================
+
+
+_TPCH_Q2 = """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+       l_extendedprice AS min_price
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE p_size = 3 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
+LIMIT 100
+"""
+
+# min-cost supplier (q2 shape, lineitem standing in for partsupp): the
+# correlated MIN decorrelates into a per-partkey aggregate of the SAME
+# dim-filtered join tree, re-joined on (l_partkey, price) — Catalyst
+# plans one shuffle on l_partkey reused by probe and build; all four
+# dims broadcast. DISTINCT collapses equal-min line duplicates and the
+# ORDER BY covers every projected column, so LIMIT is deterministic
+_q("tpch_q2ish", _sql(_TPCH_Q2), _TPCH_Q2)
+
+
+_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# late-shipment priority split (q12 shape, returnflag standing in for
+# shipmode): the shipdate window reaches the parquet scan as
+# PushedFilters, the conditional counts partial-combine map-side, and
+# the join shuffles both sides once on orderkey — integer counts only,
+# nothing float-ordered
+_q("tpch_q12ish", _sql(_TPCH_Q12), _TPCH_Q12)
+
+
+_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# supplier diversity per part class (q16 shape): NOT IN over a tiny,
+# provably non-NULL key set compiles to a broadcast null-aware anti
+# join; count(DISTINCT) runs as the standard two-phase expand — the
+# only fact shuffle is on the (brand, type, size, suppkey) expansion
+_q("tpch_q16ish", _sql(_TPCH_Q16), _TPCH_Q16)
+
+
+_TPCH_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'blue%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 5)
+ORDER BY s_name, s_acctbal
+"""
+
+# excess-stock suppliers (q20 shape, shipped-quantity HAVING standing
+# in for the partsupp availqty arithmetic): the IN over a grouped
+# HAVING subquery plans as agg → LeftSemi probe of the 100-row
+# supplier dim; part prefix filter broadcasts into the fact scan; the
+# quantity cut is an exact decimal sum so the boundary cannot flap
+_q("tpch_q20ish", _sql(_TPCH_Q20), _TPCH_Q20)
+
+
+_TPCH_Q22 = f"""
+SELECT cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       {_dsum('c_acctbal')} AS totacctbal
+FROM (
+  SELECT substring(c_name, 16, 2) AS cntrycode, c_acctbal
+  FROM customer c
+  WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+             / count(*)
+      FROM customer c2 WHERE c2.c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c.c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+) t
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+# dormant high-balance customers (q22 shape, name digits standing in
+# for the phone country code; "no orders at all" is empty on this data,
+# so the anti join keys on no RECENT orders — same plan): the scalar
+# AVG subquery broadcasts one row; NOT EXISTS compiles to LeftAnti on
+# o_custkey (one shuffle of the date-pruned orders keys only, thanks to
+# column pruning); the outer agg is decimal-staged. substring() is
+# 1-based with identical semantics on both engines
+_q("tpch_q22ish", _sql(_TPCH_Q22), _TPCH_Q22)
