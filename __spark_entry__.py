@@ -59,6 +59,7 @@ _DEFER = (
     "tpch_q16ish",
     "tpch_q20ish",
     "tpch_q22ish",
+    "emb_ivfpq_topk",
 )
 
 

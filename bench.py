@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "tpch_q2ish",
     "tpch_q16ish",
     "tpch_q22ish",
+    "emb_ivfpq_topk",
 ]
 
 

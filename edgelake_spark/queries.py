@@ -607,7 +607,7 @@ _q(
 )
 
 
-def _ivf_assign_cte(engine: str, n: str) -> str:
+def _ivf_assign_cte(engine: str, n: str, name: str = "assign") -> str:
     """``assign AS (…)`` — nearest-centroid assignment as an ARGMAX
     AGGREGATE, not a window: max_by/arg_max over the lexicographic
     (cos, -cid) pair picks the same centroid as ``row_number() ORDER BY
@@ -635,7 +635,7 @@ def _ivf_assign_cte(engine: str, n: str) -> str:
                          ORDER BY {cos('e', 'c')} DESC, c.cid) AS rn
     FROM {n} e JOIN centroids c ON true
   ) WHERE rn = 1"""
-    return f"assign AS (\n  {assign}\n)"
+    return f"{name} AS (\n  {assign}\n)"
 
 
 def _ivf_body(engine: str, n: str, assign_src: str | None = None) -> str:
@@ -722,11 +722,26 @@ def _run_ivf_topk(spark, sf_dir):
     what IVF actually costs: probe-list cosines over the selected
     buckets. Assignment is deterministic (lexicographic argmax), so
     persisting cannot change any hash."""
-    import os as _os
+    n = _emb_norm_view_for(spark, sf_dir)
+    _ivf_index_views(spark, sf_dir, n)
+    return spark.sql(
+        "WITH centroids AS (SELECT cid, demb, norm FROM __ivf_centroids),\n"
+        + _ivf_body("spark", n, assign_src="__ivf_assign")
+    )
 
+
+def _emb_norm_view_for(spark, sf_dir):
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "embeddings")
-    n = _emb_norm_view(spark)
+    return _emb_norm_view(spark)
+
+
+def _ivf_index_views(spark, sf_dir, n) -> tuple[str, str]:
+    """Build (or reuse) the IVF index for a dataset: trained centroids
+    as `__ivf_centroids` (in-process cache; C×dim doubles) and the
+    persisted (vec_id, cid) inverted lists as `__ivf_assign`."""
+    import os as _os
+
     key = (_os.path.realpath(sf_dir), sim.CENTROID_STRIDE)
     rows = _IVF_CENTROIDS.get(key)
     if rows is None:
@@ -751,10 +766,7 @@ def _run_ivf_topk(spark, sf_dir):
             "SELECT vec_id, cid FROM assign"
         ).write.mode("overwrite").parquet(apath)
     spark.read.parquet(apath).createOrReplaceTempView("__ivf_assign")
-    return spark.sql(
-        "WITH centroids AS (SELECT cid, demb, norm FROM __ivf_centroids),\n"
-        + _ivf_body("spark", n, assign_src="__ivf_assign")
-    )
+    return "__ivf_centroids", "__ivf_assign"
 
 
 _q(
@@ -2795,9 +2807,15 @@ def _run_pq_adc(spark, sf_dir):
     driver; the executor-side write streams). Persisting cannot change
     any hash (encoding is deterministic); it only keeps the per-query
     cost at what ADC actually costs: a scan of the 8-byte codes."""
+    register_sf_tables(spark, sf_dir)
+    _pq_codes_view(spark, sf_dir)
+    return spark.sql(_pq_adc_sql("spark", codes_src="__pq_codes"))
+
+
+def _pq_codes_view(spark, sf_dir) -> str:
+    """Build (or reuse) the persisted PQ code table as `__pq_codes`."""
     import os as _os
 
-    register_sf_tables(spark, sf_dir)
     path = _pq_codes_path(sf_dir)
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         spark.sql(
@@ -2805,7 +2823,7 @@ def _run_pq_adc(spark, sf_dir):
             f"SELECT vec_id, pq_code FROM codes"
         ).write.mode("overwrite").parquet(path)
     spark.read.parquet(path).createOrReplaceTempView("__pq_codes")
-    return spark.sql(_pq_adc_sql("spark", codes_src="__pq_codes"))
+    return "__pq_codes"
 
 
 # ADC completes the PQ story (codes are the storage half, ADC the
@@ -3440,3 +3458,111 @@ ORDER BY cntrycode
 # column pruning); the outer agg is decimal-staged. substring() is
 # 1-based with identical semantics on both engines
 _q("tpch_q22ish", _sql(_TPCH_Q22), _TPCH_Q22)
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def _ivfpq_sql(engine: str, n: str, assign_src: str, codes_src: str) -> str:
+    """IVF-PQ: the production ANN combination (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search" — IVFADC). The
+    coarse quantizer (IVF centroids) selects NPROBE probe buckets per
+    query; ADC then scores ONLY the candidates in those buckets from
+    their 8-byte PQ codes. At corpus scale the query touches the
+    centroid table (KBs, broadcast), the probed slice of the inverted
+    lists, and the codes of that slice — the full-precision vectors
+    stay in cold storage. Expects ``centroids(cid, demb, norm)``
+    prepended, plus `cents` from the PQ prefix; ``assign_src`` /
+    ``codes_src`` are the offline index tables (CTE or view).
+
+    Reference anchor: EdgeLake has no ANN surface; this extends the
+    training-data operator set (brief) with the standard scale path.
+    """
+
+    def cos(a, b):
+        return (
+            sim.spark_cosine_staged(a, b)
+            if engine == "spark"
+            else sim.duck_cosine_staged(a, b)
+        )
+
+    d = 64 // _PQ_M
+    if engine == "spark":
+        qdist = (
+            f"aggregate(zip_with(slice(q.demb, cn.m * {d} + 1, {d}), cn.sub, "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        unpack = "(shiftright(co.pq_code, CAST(4 * dt.m AS INT)) & 15)"
+    else:
+        qdist = (
+            f"list_sum([((q.demb)[cn.m * {d} + i] - (cn.sub)[i]) "
+            f"* ((q.demb)[cn.m * {d} + i] - (cn.sub)[i]) for i in range(1, {d + 1})])"
+        )
+        unpack = "((co.pq_code >> (4 * dt.m)) & 15)"
+    return f"""
+q AS (SELECT vec_id AS query_id, demb FROM {n} WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT qq.vec_id AS query_id, c.cid,
+      row_number() OVER (PARTITION BY qq.vec_id
+                         ORDER BY {cos('qq', 'c')} DESC, c.cid) AS rn
+    FROM {n} qq JOIN centroids c ON true WHERE qq.vec_id < 5
+  ) WHERE rn <= {sim.NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p
+  JOIN {assign_src} a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id),
+dt AS (
+  SELECT q.query_id, cn.m, cn.cid, {qdist} AS dsub
+  FROM q JOIN cents cn ON true),
+adc AS (
+  SELECT ca.query_id, ca.vec_id,
+         CAST(SUM(CAST(dt.dsub AS DECIMAL(25,6))) AS DOUBLE) AS adc_dist
+  FROM cand ca
+  JOIN {codes_src} co ON co.vec_id = ca.vec_id
+  JOIN dt ON dt.query_id = ca.query_id AND dt.cid = {unpack}
+  GROUP BY ca.query_id, ca.vec_id)
+SELECT query_id, vec_id AS neighbor_id, adc_dist
+FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id) AS rn
+  FROM adc) ranked
+WHERE rn <= 5
+ORDER BY query_id, adc_dist ASC, neighbor_id
+"""
+
+
+def _run_ivfpq_topk(spark, sf_dir):
+    """Spark side: both index halves come from the SAME offline builds
+    the standalone gates persist (`__ivf_assign` inverted lists,
+    `__pq_codes` code table) — the query plan reads two small parquet
+    tables and broadcasts the centroid/codebook CTEs; no full-corpus
+    cosine anywhere."""
+    n = _emb_norm_view_for(spark, sf_dir)
+    _ivf_index_views(spark, sf_dir, n)
+    _pq_codes_view(spark, sf_dir)
+    return spark.sql(
+        "WITH centroids AS (SELECT cid, demb, norm FROM __ivf_centroids),\n"
+        + _pq_sql("spark", prefix_only=True)
+        + ",\n"
+        + _ivfpq_sql("spark", n, assign_src="__ivf_assign", codes_src="__pq_codes")
+    )
+
+
+# the DuckDB twin recomputes both index halves inline (oracle speed is
+# moot); unused CTEs from the PQ prefix (its own assign/codes remain
+# referenced here) keep both texts byte-aligned with the component gates
+_q(
+    "emb_ivfpq_topk",
+    _run_ivfpq_topk,
+    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}),\n"
+    + sim.duck_kmeans_centroids_cte("n", sim.CENTROID_STRIDE)
+    + ",\n"
+    + _ivf_assign_cte("duck", "n", name="ivf_assign")
+    + ",\n"
+    + _pq_sql("duck", prefix_only=True)
+    + ",\n"
+    + _ivfpq_sql("duck", "n", assign_src="ivf_assign", codes_src="codes"),
+)
