@@ -25,6 +25,7 @@ from edgelake_spark.ingest.infer import rows_to_dataframe
 class EdgeLakeRestServer:
     def __init__(self, engine: EdgeLakeEngine, host: str = "127.0.0.1", port: int = 0):
         self.engine = engine
+        engine.rest_server = self  # surfaced by `get processes`
         self.ingested: dict[str, int] = {}
         outer = self
 
@@ -132,6 +133,7 @@ class EdgeLakeRestServer:
                 self.wfile.write(data)
 
         self._server = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
         self.port = self._server.server_port
         self._thread: threading.Thread | None = None
 

@@ -89,6 +89,8 @@ class EdgeLakeEngine:
         #: (deterministic — tests call .tick() with an explicit now)
         self.schedulers: dict[int, object] = {}
         self.scheduler_wake_seconds: float = 10.0
+        #: EdgeLakeRestServer sets this on construction (`get processes`)
+        self.rest_server = None
         #: per-query audit: statement, rewritten SQL, wall seconds
         #: (reference `query status/explain` — member_cmd.py:21665,
         #: job_instance bookkeeping). Bounded ring, newest last.
@@ -569,6 +571,57 @@ class EdgeLakeEngine:
                 rows.append((dbms, table, len(self.blob_rows.get((dbms, table), ()))))
             return self.spark.createDataFrame(
                 rows or [], "dbms string, table_name string, n_files bigint"
+            )
+        m = _re.match(r"echo\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference _echo (member_cmd.py:7484): write a message to
+            # the node console/echo queue — the scheduler examples use
+            # `task echo "..."`; here the message is the result row
+            msg = m.group(1).strip()
+            if len(msg) >= 2 and msg[0] == msg[-1] and msg[0] in "\"'":
+                msg = msg[1:-1]
+            return self.spark.createDataFrame([(msg,)], "echo string")
+        if _re.fullmatch(r"get\s+processes(\s+where\s+.*)?", text, _re.IGNORECASE):
+            # reference get_processes_stat (member_cmd.py:8521): the
+            # node's service table with Running / Not declared status.
+            # Single-engine equivalents where they exist; networking
+            # services stay "Not declared" with the README rationale
+            sc = self.spark.sparkContext
+            rows = [
+                ("Operator", "Running", f"SQL engine on {sc.master} ({sc.defaultParallelism} cores)"),
+                ("TCP", "Not declared", "single-engine build: no peer networking (README non-goals)"),
+                (
+                    "REST",
+                    "Running" if self.rest_server else "Not declared",
+                    f"http://{self.rest_server.host}:{self.rest_server.port}" if self.rest_server else "start via edgelake_spark.api.rest",
+                ),
+                ("Blockchain Sync", "Not declared", f"local policy ledger ({len(self.policy_store.policies)} policies)"),
+            ]
+            for sid, sched in sorted(self.schedulers.items()):
+                n_tasks = len([t for t in sched.tasks if t.mode != "Removed"])
+                rows.append(
+                    (f"Scheduler {sid}", "Running" if sched.running else "Declared", f"{n_tasks} task(s)")
+                )
+            if not self.schedulers:
+                rows.append(("Scheduler", "Not declared", "run scheduler"))
+            mqtt = [t for t, c in self.broker_consumers.items() if c.get("transport") == "mqtt"]
+            kafka = [t for t, c in self.broker_consumers.items() if c.get("transport") != "mqtt"]
+            rows.append(("MQTT", "Running" if mqtt else "Not declared", ", ".join(sorted(mqtt))))
+            rows.append(("Kafka Consumer", "Running" if kafka else "Not declared", ", ".join(sorted(kafka))))
+            rows.append(
+                ("Streamer", "Running" if self.stream_ingests else "Not declared",
+                 f"{len(self.stream_ingests)} ingest pipeline(s)" if self.stream_ingests else "")
+            )
+            rows.append(
+                ("Data Monitor", "Running" if self.monitors else "Not declared",
+                 ", ".join(sorted(self.monitors)) if self.monitors else "")
+            )
+            rows.append(
+                ("Blobs Store", "Running" if self.blob_views else "Not declared",
+                 f"{len(self.blob_views)} table(s)" if self.blob_views else "")
+            )
+            return self.spark.createDataFrame(
+                rows, "process string, status string, details string"
             )
         # --- scheduler / script family (reference member_cmd.py:11961
         # `run scheduler`, :11996 `schedule`, :12070 task ops, :16011

@@ -289,3 +289,27 @@ def test_scheduled_repeatable_query_to_table(engine):
     engine.schedulers[1].tick(T0)
     got = engine.spark.table("query_latest").collect()
     assert len(got) == 1 and got[0].max_ts is not None
+
+
+# ------------------------------------------------- echo / get processes
+
+
+def test_echo_and_scheduled_echo(engine):
+    assert engine.run('echo "scheduled message"').collect()[0].echo == "scheduled message"
+    engine.run('schedule time = 10 seconds and name = "e" task echo ping')
+    ran = engine.schedulers[1].tick(T0)
+    assert ran[0].last_result.collect()[0].echo == "ping"
+
+
+def test_get_processes_statuses(engine):
+    rows = {r.process: r for r in engine.run("get processes").collect()}
+    assert rows["Operator"].status == "Running"
+    assert rows["TCP"].status == "Not declared"
+    assert rows["Scheduler"].status == "Not declared"
+    engine.run("run scheduler")
+    engine.run("data monitor where dbms = iot and table = t and value_column = v")
+    rows = {r.process: r for r in engine.run("get processes").collect()}
+    # wake=0 → tick-driven, registered but no thread
+    assert rows["Scheduler 1"].status == "Declared"
+    assert rows["Data Monitor"].status == "Running"
+    assert "iot.t" in rows["Data Monitor"].details
