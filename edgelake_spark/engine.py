@@ -91,6 +91,14 @@ class EdgeLakeEngine:
         self.scheduler_wake_seconds: float = 10.0
         #: EdgeLakeRestServer sets this on construction (`get processes`)
         self.rest_server = None
+        #: the node dictionary (reference generic/params.py user_defined:
+        #: `!name` substitution in every command, `set name = value`,
+        #: `get dictionary`); seeded with the node identity like the
+        #: reference seeds ip/port at boot
+        self.params: dict[str, str] = {
+            "ip": str(self.node_identity.get("ip", "")),
+            "port": str(self.node_identity.get("port", "")),
+        }
         #: per-query audit: statement, rewritten SQL, wall seconds
         #: (reference `query status/explain` — member_cmd.py:21665,
         #: job_instance bookkeeping). Bounded ring, newest last.
@@ -133,6 +141,15 @@ class EdgeLakeEngine:
         import re as _re
 
         command = _re.sub(r"^\s*run\s+client\s*\([^)]*\)\s*", "", command)
+        # node-dictionary substitution (reference params.py
+        # get_value_if_available): known `!name` keys resolve anywhere
+        # in the command; unknown keys pass through untouched. `!=`
+        # never matches (the char after `!` must start an identifier).
+        command = _re.sub(
+            r"!([A-Za-z_]\w*)",
+            lambda m: self.params.get(m.group(1), m.group(0)),
+            command,
+        )
         admin_result = self._try_admin(command)
         if admin_result is not None:
             return admin_result
@@ -572,6 +589,30 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 rows or [], "dbms string, table_name string, n_files bigint"
             )
+        m = _re.match(r"set\s+([A-Za-z_]\w*)\s*=\s*(.*)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # node dictionary write (reference params.add_param,
+            # params.py:231): empty value removes the key. `set
+            # streaming condition ...` never reaches here (no `=` after
+            # the first word) and is handled above.
+            key, value = m.group(1), m.group(2).strip()
+            if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+                value = value[1:-1]
+            if value:
+                self.params[key] = value
+                action = "set"
+            else:
+                self.params.pop(key, None)
+                action = "removed"
+            return self.spark.createDataFrame(
+                [(key, value, action)], "key string, value string, action string"
+            )
+        if _re.fullmatch(r"get\s+dictionary(\s+where\s+.*)?", text, _re.IGNORECASE):
+            # reference member_cmd.py:17191 `get dictionary`
+            rows = sorted(self.params.items())
+            return self.spark.createDataFrame(
+                rows or [], "key string, value string"
+            )
         m = _re.match(r"echo\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
             # reference _echo (member_cmd.py:7484): write a message to
@@ -715,7 +756,9 @@ class EdgeLakeEngine:
             from edgelake_spark.script import run_script_file
 
             values = m.group(3).split() if m.group(3) else None
-            result = run_script_file(self.run, m.group(1), values=values)
+            result = run_script_file(
+                self.run, m.group(1), values=values, variables=self.params
+            )
             if result.error:
                 raise RuntimeError(f"script failed: {result.error}")
             rows = [

@@ -113,9 +113,18 @@ class ScriptRunner:
 
     # -------------------------------------------------------------- run
 
-    def run(self, text: str, values: list | None = None) -> ScriptResult:
+    def run(
+        self,
+        text: str,
+        values: list | None = None,
+        variables: dict | None = None,
+    ) -> ScriptResult:
+        """``variables`` may be a shared store (the engine passes its
+        node dictionary, so scripts read and write the same `!name`
+        space as interactive commands — reference params.py is one
+        global dict per node)."""
         lines = self._logical_lines(text)
-        res = ScriptResult()
+        res = ScriptResult(variables=variables if variables is not None else {})
 
         # preprocess labels (reference exec_script step 1)
         labels: dict[str, int] = {}
@@ -241,7 +250,9 @@ class ScriptRunner:
         }[op]
 
 
-def run_script_file(runner, path: str, values: list | None = None) -> ScriptResult:
+def run_script_file(
+    runner, path: str, values: list | None = None, variables: dict | None = None
+) -> ScriptResult:
     """`process <file>` entry (reference _process_script)."""
     with open(path) as fh:
-        return ScriptRunner(runner).run(fh.read(), values=values)
+        return ScriptRunner(runner).run(fh.read(), values=values, variables=variables)

@@ -313,3 +313,35 @@ def test_get_processes_statuses(engine):
     assert rows["Scheduler 1"].status == "Declared"
     assert rows["Data Monitor"].status == "Running"
     assert "iot.t" in rows["Data Monitor"].details
+
+
+# ------------------------------------------------------ node dictionary
+
+
+def test_set_get_dictionary_and_substitution(engine):
+    engine.run('set my_table = "events"')
+    d = {r.key: r.value for r in engine.run("get dictionary").collect()}
+    assert d["my_table"] == "events" and d["ip"] == "127.0.0.1"
+    # !name resolves inside any command (reference params substitution)
+    got = engine.run("get rows count where table = !my_table").collect()
+    assert got[0].table_name == "events" and got[0].n_rows == 1000
+    # != in SQL never matches the substitution pattern
+    n = engine.run(
+        'sql iot "SELECT count(*) AS n FROM !my_table WHERE event_type != \'click\'"'
+    ).collect()[0].n
+    assert 0 < n < 1000
+    # empty value removes the key; unknown keys pass through untouched
+    engine.run('set my_table = ""')
+    assert "my_table" not in {
+        r.key for r in engine.run("get dictionary").collect()
+    }
+
+
+def test_script_writes_node_dictionary(engine, tmp_path):
+    script = tmp_path / "vars.an"
+    script.write_text('set landing = "/tmp/x"\nn_docs = echo 42\n')
+    engine.run(f"process {script}")
+    d = {r.key: r.value for r in engine.run("get dictionary").collect()}
+    assert d["landing"] == "/tmp/x" and d["n_docs"] == "42"
+    # and interactive commands see script-written vars
+    assert engine.run("echo !landing").collect()[0].echo == "/tmp/x"
