@@ -60,6 +60,7 @@ _DEFER = (
     "tpch_q20ish",
     "tpch_q22ish",
     "emb_ivfpq_topk",
+    "doc_dup_chunk_frac",
 )
 
 

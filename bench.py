@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "tpch_q16ish",
     "tpch_q22ish",
     "emb_ivfpq_topk",
+    "doc_dup_chunk_frac",
 ]
 
 

@@ -3566,3 +3566,72 @@ _q(
     + ",\n"
     + _ivfpq_sql("duck", "n", assign_src="ivf_assign", codes_src="codes"),
 )
+
+
+# --------------------------------------------- duplicate-chunk fraction
+
+
+def _dup_chunk_sql(engine: str, docs: str, w: int = 8) -> str:
+    """Per-document duplicate-chunk fraction (the RefinedWeb/Dolma
+    "fraction of characters in duplicated n-gram windows" family, as
+    non-overlapping w-word chunks): a chunk is duplicated when its hash
+    occurs in more than one distinct document.
+
+    Scale shape: chunking is map-side array work; ONE shuffle on the
+    chunk hash computes per-hash distinct-doc counts; the count joins
+    back on the SAME key (exchange reuse) and the per-doc aggregate
+    shuffles digest-width rows. No pair generation anywhere — cost is
+    linear in corpus tokens at any scale.
+    """
+    if engine == "spark":
+        toks = tx.spark_tokens("text")
+        chunks = (
+            f"transform(sequence(0, CAST(size(toks) / {w} AS INT) - 1), "
+            f"i -> md5(concat_ws(' ', slice(toks, i * {w} + 1, {w}))))"
+        )
+        nonempty = "size(toks)"
+    else:
+        toks = tx.duck_tokens("text")
+        chunks = (
+            f"[md5(array_to_string(toks[i * {w} + 1 : i * {w} + {w}], ' ')) "
+            f"for i in range(0, CAST(len(toks) // {w} AS INT))]"
+        )
+        nonempty = "len(toks)"
+    explode = (
+        "explode(chunks)" if engine == "spark" else "unnest(chunks)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {docs}
+),
+c AS (
+  SELECT doc_id, chunks FROM (
+    SELECT doc_id, {chunks} AS chunks FROM t WHERE {nonempty} >= {w}
+  )
+),
+ch AS (
+  SELECT doc_id, {explode} AS h FROM c
+),
+freq AS (
+  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ch GROUP BY h
+),
+per_doc AS (
+  SELECT ch.doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM ch JOIN freq f ON f.h = ch.h
+  GROUP BY ch.doc_id
+)
+SELECT doc_id, n_chunks, n_dup,
+       CAST(n_dup AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS dup_frac
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_dup_chunk_frac",
+    _sql(_dup_chunk_sql("spark", "documents_rep"), rep=("documents",)),
+    _dup_chunk_sql("duck", "documents"),
+)
