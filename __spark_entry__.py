@@ -61,6 +61,9 @@ _DEFER = (
     "tpch_q22ish",
     "emb_ivfpq_topk",
     "doc_dup_chunk_frac",
+    "events_m4_downsample",
+    "emb_sq8_topk",
+    "doc_mean_token_rank",
 )
 
 

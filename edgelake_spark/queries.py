@@ -3640,3 +3640,192 @@ _q(
     _sql(_dup_chunk_sql("spark", "documents_rep"), rep=("documents",)),
     _dup_chunk_sql("duck", "documents"),
 )
+
+
+# ------------------------------------------------------ M4 downsampling
+
+
+_M4_BODY = """
+SELECT series, bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  min(value) AS min_v, max(value) AS max_v,
+  {t_min} AS t_min, {t_max} AS t_max,
+  {first_v} AS first_v, {last_v} AS last_v,
+  min(ts) AS t_first, max(ts) AS t_last
+FROM {src} GROUP BY series, bucket
+ORDER BY series, bucket
+"""
+
+
+def _m4_sql(engine: str, bucket_s: int = 900) -> str:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (series, pixel-bucket) the min/max/first/last points — the four
+    rows that make a line chart pixel-exact at any zoom, turning a
+    billion-point series into 4·pixels rows.
+
+    Scale shape: ONE shuffle on (series, bucket); every extremum is an
+    argmin/argmax AGGREGATE (min_by/max_by over lexicographic pairs),
+    so partial aggregation does the work map-side — no per-bucket sort,
+    no window. Ties break on event_id so both engines pick the same
+    point. The DuckDB oracle proves the same answer with the window
+    formulation (arg_min there lacks a composite-key overload).
+
+    Epoch bucketing is integer floor division of microseconds (DuckDB
+    epoch()::BIGINT rounds, Spark truncates — see _range_join_sql).
+    """
+    if engine == "spark":
+        sec = "unix_micros(ts) div 1000000"
+        src = (
+            f"(SELECT event_type AS series, CAST(({sec}) div {bucket_s} AS BIGINT) "
+            "AS bucket, ts, event_id, value FROM events WHERE value IS NOT NULL)"
+        )
+        return _M4_BODY.format(
+            src=src,
+            t_min="min_by(ts, struct(value, event_id))",
+            t_max="max_by(ts, struct(value, event_id))",
+            first_v="min_by(value, struct(ts, event_id))",
+            last_v="max_by(value, struct(ts, event_id))",
+        )
+    sec = "epoch_us(ts) // 1000000"
+    src = f"""(
+  SELECT *,
+    row_number() OVER (PARTITION BY series, bucket ORDER BY value, event_id) AS rn_vmin,
+    row_number() OVER (PARTITION BY series, bucket ORDER BY value DESC, event_id DESC) AS rn_vmax,
+    row_number() OVER (PARTITION BY series, bucket ORDER BY ts, event_id) AS rn_tmin,
+    row_number() OVER (PARTITION BY series, bucket ORDER BY ts DESC, event_id DESC) AS rn_tmax
+  FROM (SELECT event_type AS series, CAST(({sec}) // {bucket_s} AS BIGINT) AS bucket,
+               ts, event_id, value FROM events WHERE value IS NOT NULL)
+)"""
+    return _M4_BODY.format(
+        src=src,
+        t_min="min(CASE WHEN rn_vmin = 1 THEN ts END)",
+        t_max="min(CASE WHEN rn_vmax = 1 THEN ts END)",
+        first_v="min(CASE WHEN rn_tmin = 1 THEN value END)",
+        last_v="min(CASE WHEN rn_tmax = 1 THEN value END)",
+    )
+
+
+_q("events_m4_downsample", _sql(_m4_sql("spark")), _m4_sql("duck"))
+
+
+# ------------------------------------------- scalar-quantized (SQ8) ANN
+
+
+def _sq8_index_sql(engine: str, dims: int = 64) -> str:
+    """SQ8 scalar-quantization index build: per-dimension global
+    [min, max] → each float maps to an 8-bit code, 4x smaller than
+    float32 with no codebook training (the quantization family member
+    between raw floats and PQ). Distance is EXACT integer L2 over
+    codes, so the gate hash-matches bit-for-bit across engines.
+
+    floor(x + 0.5) instead of round(): identical half-up semantics on
+    both engines for the non-negative scaled operand.
+    """
+    if engine == "spark":
+        long_src = (
+            "SELECT vec_id, pos AS dim, CAST(v AS DOUBLE) AS v "
+            "FROM (SELECT vec_id, posexplode(embedding) AS (pos, v) "
+            "FROM embeddings_rep)"
+        )
+    else:
+        long_src = (
+            "SELECT vec_id, g.i - 1 AS dim, CAST(embedding[g.i] AS DOUBLE) AS v "
+            f"FROM embeddings CROSS JOIN generate_series(1, {dims}) g(i)"
+        )
+    return f"""
+WITH long AS ({long_src}),
+dims AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM long GROUP BY dim
+)
+SELECT l.vec_id, l.dim,
+       CAST(floor(CASE WHEN d.mx = d.mn THEN 0.0
+                       ELSE (l.v - d.mn) / (d.mx - d.mn) * 255.0 END + 0.5)
+            AS BIGINT) AS code
+FROM long l JOIN dims d ON l.dim = d.dim"""
+
+
+_SQ8_QUERY_BODY = """
+WITH q AS (SELECT * FROM {codes} WHERE vec_id < 5),
+dist AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM((q.code - c.code) * (q.code - c.code)) AS BIGINT) AS sq_dist
+  FROM q JOIN {codes} c ON q.dim = c.dim AND c.vec_id != q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, sq_dist FROM (
+  SELECT query_id, neighbor_id, sq_dist,
+    row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, neighbor_id) AS rn
+  FROM dist
+) WHERE rn <= {topk}
+ORDER BY query_id, sq_dist, neighbor_id
+"""
+
+
+def _run_sq8_topk(spark, sf_dir):
+    """Index build staged ONCE (checkpointed like the PQ/IVF offline
+    code tables — the query half reads codes, never the floats; without
+    the barrier Catalyst would inline and recompute the long/dims/codes
+    subtree for both sides of the distance join). Scale shape: the dims
+    table is 64 rows, quantization is map-side, the 5 query code-vectors
+    broadcast, and the distance partial-aggregates map-side before the
+    (5·N)-row shuffle."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    _ckpt_view(spark, _sq8_index_sql("spark"), "__sq8_codes")
+    return spark.sql(_SQ8_QUERY_BODY.format(codes="__sq8_codes", topk=5))
+
+
+_q(
+    "emb_sq8_topk",
+    _run_sq8_topk,
+    f"WITH codes AS ({_sq8_index_sql('duck')})"
+    + _SQ8_QUERY_BODY.format(codes="codes", topk=5).replace("\nWITH q AS", ", q AS", 1),
+)
+
+
+# -------------------------------------- unigram-rarity quality score
+
+
+def _token_rank_sql(engine: str, vocab_top: int = 20) -> str:
+    """CCNet-style rarity score with exact arithmetic: rank the corpus
+    vocabulary by frequency, score each document by the mean rank of
+    its tokens (common words → low rank → "fluent"; rare/garbage → high
+    rank). Out-of-vocabulary terms take rank vocab_top+1 — the bounded
+    vocabulary is what makes this scale: the rank window sorts only the
+    top-V count table (V rows after a threshold pushdown), never the
+    full vocabulary, and the rank table broadcasts to the scoring join.
+
+    Integer ranks + one final division keep the hash engine-exact (a
+    real CCNet uses LM log-probs; libm ln() is not bit-stable across
+    engines, ranks are).
+    """
+    if engine == "spark":
+        tok = f"SELECT doc_id, explode({tx.spark_tokens('text')}) AS term FROM documents_rep"
+    else:
+        tok = f"SELECT doc_id, unnest({tx.duck_tokens('text')}) AS term FROM documents"
+    return f"""
+WITH tok AS ({tok}),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY term),
+ranked AS (
+  SELECT term, rnk FROM (
+    SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM tf
+  ) WHERE rnk <= {vocab_top}
+),
+per_doc AS (
+  SELECT t.doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(coalesce(r.rnk, {vocab_top + 1})) AS BIGINT) AS sum_rank
+  FROM tok t LEFT JOIN ranked r ON t.term = r.term
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, sum_rank,
+  CAST(sum_rank AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_rank
+FROM per_doc ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_mean_token_rank",
+    _sql(_token_rank_sql("spark"), rep=("documents",)),
+    _token_rank_sql("duck"),
+)
