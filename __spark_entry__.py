@@ -64,6 +64,7 @@ _DEFER = (
     "events_m4_downsample",
     "emb_sq8_topk",
     "doc_mean_token_rank",
+    "events_gapfill_interp",
 )
 
 

@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "tpch_q22ish",
     "emb_ivfpq_topk",
     "doc_dup_chunk_frac",
+    # round 4, second wave: M4 pixel downsampling, scalar-quantized ANN,
+    # bounded-vocabulary rarity scoring
+    "events_m4_downsample",
+    "emb_sq8_topk",
+    "doc_mean_token_rank",
 ]
 
 
@@ -111,30 +116,45 @@ def main() -> None:
     from edgelake_spark import get_spark
     from edgelake_spark.queries import SPARK_QUERIES
 
-    spark = get_spark(app_name="edgelake-bench", cpus=cpus)
+    def fresh_session():
+        """(Re)build the session and warm the codegen paths. Warming is
+        cheap (sf0.001) and survives SparkContext restarts anyway — the
+        janino/JIT caches live in the JVM, which py4j keeps alive across
+        SparkContext stop/start."""
+        spark = get_spark(app_name="edgelake-bench", cpus=cpus)
+        # warm the JVM, parquet footers, and the codegen paths (HOF
+        # pipelines + window/cosine exprs) so per-query numbers measure
+        # the plans, not first-touch JIT/janino compilation.
+        # doc_winnow_fp is here by name: its nested transform(transform())
+        # lambda chain JIT was the widest spread in the r2 bench
+        warm_dir = "/root/testdata/sf0.001"
+        for warm in (
+            "rows_count",
+            "doc_quality",
+            "emb_cosine_topk",
+            "doc_simhash",
+            "doc_winnow_fp",
+            "doc_top_terms",
+            # JIT-compiles the kmeans/assign cosine folds; the sf-dir
+            # centroid cache itself stays cold here (per-dataset key)
+            "emb_ivf_topk",
+        ):
+            try:
+                SPARK_QUERIES[warm](spark, warm_dir).collect()
+            except Exception as exc:
+                print(f"# warmup {warm} failed: {exc}", file=sys.stderr)
+        # touch the TARGET dataset too: footer reads + one scan per big
+        # table, so the first timed query after a restart doesn't pay
+        # the cold-file penalty (measured ~2x on the first two samples
+        # following a SparkContext restart)
+        for warm in ("rows_count", "doc_quality"):
+            try:
+                SPARK_QUERIES[warm](spark, sf_dir).collect()
+            except Exception as exc:
+                print(f"# warmup {warm}@sf failed: {exc}", file=sys.stderr)
+        return spark
 
-    # warm the JVM, parquet footers, and the codegen paths (HOF
-    # pipelines + window/cosine exprs) so per-query numbers measure the
-    # plans, not first-touch JIT/janino compilation
-    warm_dir = "/root/testdata/sf0.001"
-    # doc_winnow_fp is here by name: its nested transform(transform())
-    # lambda chain JIT was the widest spread in the r2 bench (6.4/2.2/
-    # 3.7 s) — one sf0.001 pass compiles the chain before timing
-    for warm in (
-        "rows_count",
-        "doc_quality",
-        "emb_cosine_topk",
-        "doc_simhash",
-        "doc_winnow_fp",
-        "doc_top_terms",
-        # JIT-compiles the kmeans/assign cosine folds; the sf-dir
-        # centroid cache itself stays cold here (per-dataset key)
-        "emb_ivf_topk",
-    ):
-        try:
-            SPARK_QUERIES[warm](spark, warm_dir).collect()
-        except Exception as exc:
-            print(f"# warmup {warm} failed: {exc}", file=sys.stderr)
+    spark = fresh_session()
 
     import gc
     import statistics
@@ -156,9 +176,20 @@ def main() -> None:
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     bench_queries = [q for q in BENCH_QUERIES if not only or q in only]
 
+    # restart the SparkContext every N queries: cleanup() alone does not
+    # bound accumulated JVM state (shuffle files, block-manager and
+    # old-gen growth across a 69-query × 3-run suite), and that state —
+    # not the plans — was the measured cause of mid-suite 2-4× walls
+    # (doc_winnow_fp: [7.6, 2.0, 8.4] s at suite position ~30 vs
+    # [2.5, 1.6, 1.3, 1.4, 1.2] s in isolation, same code/plan/data)
+    restart_every = int(os.environ.get("SPARK_GRAFT_RESTART_EVERY", "18"))
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    for name in bench_queries:
+    for qi, name in enumerate(bench_queries):
+        if restart_every and qi and qi % restart_every == 0:
+            spark.stop()
+            spark = fresh_session()
         fn = SPARK_QUERIES[name]
         walls = []
         for _ in range(runs):

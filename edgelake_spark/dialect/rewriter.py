@@ -455,5 +455,16 @@ def rewrite_select(
         increments=incr_info,
         order_items=order_items,
     )
+    # dialect functions that survived rewriting are in an illegal
+    # position (e.g. period() in the SELECT list — it is a WHERE-clause
+    # range function, reference unify_results.py:695): fail with a
+    # dialect error instead of leaking an UNRESOLVED_ROUTINE from Spark
+    leftover = re.search(r"\b(period|increments)\s*\(", res.sql, re.IGNORECASE)
+    if leftover:
+        raise RewriteError(
+            f"{leftover.group(1)}() is only valid in the WHERE clause"
+            if leftover.group(1).lower() == "period"
+            else "increments() is only valid as a projection of a grouped select"
+        )
     res.pass_through = not (has_agg or final_group or ir.order_by or ir.distinct)
     return res

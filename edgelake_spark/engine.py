@@ -103,6 +103,11 @@ class EdgeLakeEngine:
         #: (reference `query status/explain` — member_cmd.py:21665,
         #: job_instance bookkeeping). Bounded ring, newest last.
         self.query_log: list[dict] = []
+        #: node event/error rings (reference generic/process_log.py):
+        #: `get event log` / `get error log`, keyword filter, dedup fold
+        from edgelake_spark.eventlog import EventLog
+
+        self.event_log = EventLog()
         self.sf_dir = sf_dir
         if sf_dir:
             catalog.register_sf_tables(spark, sf_dir)
@@ -150,12 +155,22 @@ class EdgeLakeEngine:
             lambda m: self.params.get(m.group(1), m.group(0)),
             command,
         )
-        admin_result = self._try_admin(command)
+        try:
+            admin_result = self._try_admin(command)
+        except Exception as exc:
+            # reference logs command failures to the error ring
+            # (process_log.add is called from error paths node-wide)
+            self.event_log.add("Error", f"{type(exc).__name__}: {exc}")
+            raise
         if admin_result is not None:
             return admin_result
-        cmd = parse_sql_command(command)
-        self._last_pass_through = False
-        df = self._execute(cmd)
+        try:
+            cmd = parse_sql_command(command)
+            self._last_pass_through = False
+            df = self._execute(cmd)
+        except Exception as exc:
+            self.event_log.add("Error", f"{type(exc).__name__}: {exc}")
+            raise
         if cmd.options.get("table"):
             # repeatable query → named result (reference
             # member_cmd.py:115-117, system_query.<name>)
@@ -572,9 +587,11 @@ class EdgeLakeEngine:
             )
         m = _re.match(r"file\s+store\s+where\s+(.*)$", text, _re.IGNORECASE)
         if m:
+            self.event_log.add("File", f"file store where {m.group(1)}")
             return self._file_store(m.group(1))
         m = _re.match(r"file\s+retrieve\s+where\s+(.*)$", text, _re.IGNORECASE)
         if m:
+            self.event_log.add("File", f"file retrieve where {m.group(1)}")
             return self._file_retrieve(m.group(1))
         m = _re.match(r"get\s+files\s+count(\s+where\s+(.*))?$", text, _re.IGNORECASE)
         if m:
@@ -621,7 +638,32 @@ class EdgeLakeEngine:
             msg = m.group(1).strip()
             if len(msg) >= 2 and msg[0] == msg[-1] and msg[0] in "\"'":
                 msg = msg[1:-1]
+            self.event_log.add("Event", msg)
             return self.spark.createDataFrame([(msg,)], "echo string")
+        m = _re.match(
+            r"get\s+(event|error|file|query|streaming)\s+log(\s+where\s+(.*))?$",
+            text,
+            _re.IGNORECASE,
+        )
+        if m:
+            # reference show_events (process_log.py:137): ring contents
+            # oldest-first, optional keyword filter over Type and Text
+            keys = (m.group(3) or "").split() or None
+            rows = self.event_log.show(m.group(1).lower(), keys)
+            return self.spark.createDataFrame(
+                rows or [],
+                "id long, count long, thread string, time string, "
+                "type string, text string",
+            )
+        m = _re.match(
+            r"reset\s+(event|error|file|query|streaming)\s+log$", text, _re.IGNORECASE
+        )
+        if m:
+            # reference reset_events (process_log.py:201)
+            n = self.event_log.reset(m.group(1).lower())
+            return self.spark.createDataFrame(
+                [(m.group(1).lower(), n)], "log string, entries_cleared long"
+            )
         if _re.fullmatch(r"get\s+processes(\s+where\s+.*)?", text, _re.IGNORECASE):
             # reference get_processes_stat (member_cmd.py:8521): the
             # node's service table with Running / Not declared status.
@@ -995,6 +1037,10 @@ class EdgeLakeEngine:
             }
         )
         del self.query_log[:-200]  # bounded
+        # mirror into the node query-log ring (`get query log` — the
+        # reference routes query messages through process_log with the
+        # "Query" info type)
+        self.event_log.add("Query", cmd.statement)
 
         per_column = cmd.options.get("per_column")
         if per_column and cmd.options.get("limit"):

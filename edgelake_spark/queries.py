@@ -3829,3 +3829,90 @@ _q(
     _sql(_token_rank_sql("spark"), rep=("documents",)),
     _token_rank_sql("duck"),
 )
+
+
+# ------------------------------------------ linear-interpolation gapfill
+
+
+def _interp_body(engine: str) -> str:
+    """Time-spine gap fill with LINEAR INTERPOLATION — the `interpolate`
+    half of the TimescaleDB locf/interpolate pair (events_gapfill is the
+    locf half). Empty buckets take pv + (nv-pv) * elapsed-fraction
+    between the nearest known buckets; slots before the first / after
+    the last known value stay NULL (no extrapolation).
+
+    prev/next ride ONE struct per direction (named_struct of bucket time
+    + value carried by a single last/first(ignorenulls) window), so the
+    anchor time and value always come from the same row — the as-of
+    struct-carry idiom. The elapsed fraction divides exact integer
+    microseconds, so both engines emit identical doubles.
+
+    Scale shape: identical to events_gapfill — generated spine, one
+    co-partitioned left join, two frames over the same (event_type, ts)
+    window partitioning (one Exchange feeds both)."""
+    if engine == "spark":
+        spine = (
+            "SELECT t.event_type, s.ts FROM (SELECT DISTINCT event_type FROM events) t "
+            "CROSS JOIN (SELECT explode(sequence(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-01 05:59:00', INTERVAL 1 MINUTE)) AS ts) s"
+        )
+        prev = (
+            "last(CASE WHEN h.a IS NOT NULL THEN named_struct('t', h.ts, 'v', h.a) END, true) "
+            "OVER (PARTITION BY sp.event_type ORDER BY sp.ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        nxt = (
+            "first(CASE WHEN h.a IS NOT NULL THEN named_struct('t', h.ts, 'v', h.a) END, true) "
+            "OVER (PARTITION BY sp.event_type ORDER BY sp.ts "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        )
+        us = "unix_micros"
+    else:
+        spine = (
+            "SELECT t.event_type, s.ts FROM (SELECT DISTINCT event_type FROM events) t, "
+            "(SELECT unnest(range(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-01 06:00:00', INTERVAL 1 MINUTE)) AS ts) s"
+        )
+        prev = (
+            "last_value(CASE WHEN h.a IS NOT NULL THEN {'t': h.ts, 'v': h.a} END IGNORE NULLS) "
+            "OVER (PARTITION BY sp.event_type ORDER BY sp.ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        nxt = (
+            "first_value(CASE WHEN h.a IS NOT NULL THEN {'t': h.ts, 'v': h.a} END IGNORE NULLS) "
+            "OVER (PARTITION BY sp.event_type ORDER BY sp.ts "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        )
+        us = "epoch_us"
+    return f"""
+WITH spine AS ({spine}),
+perminute AS (
+  SELECT event_type, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ts,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value) AS a
+  FROM events WHERE ts >= '2024-01-01' AND ts < '2024-01-01 06:00:00'
+  GROUP BY 1, 2
+),
+carried AS (
+  SELECT sp.event_type, sp.ts, coalesce(h.n, 0) AS n, h.a AS a,
+         {prev} AS prev, {nxt} AS nxt
+  FROM spine sp LEFT JOIN perminute h ON h.event_type = sp.event_type AND h.ts = sp.ts
+)
+SELECT event_type, ts, n,
+  CASE
+    WHEN a IS NOT NULL THEN a
+    WHEN prev IS NULL OR nxt IS NULL THEN NULL
+    ELSE prev.v + (nxt.v - prev.v)
+         * (CAST({us}(ts) - {us}(prev.t) AS DOUBLE)
+            / CAST({us}(nxt.t) - {us}(prev.t) AS DOUBLE))
+  END AS avg_interp
+FROM carried
+ORDER BY event_type, ts
+"""
+
+
+_q(
+    "events_gapfill_interp",
+    _sql(_interp_body("spark")),
+    _interp_body("duck"),
+)

@@ -103,6 +103,13 @@ class TestRewriter:
         with pytest.raises(RewriteError):
             rewrite_select("select increments(ts), count(*) as n from t", now=NOW)
 
+    def test_period_in_select_list_rejected(self):
+        # period() is a WHERE-clause range function (reference
+        # unify_results.py:695); in the projection it must fail as a
+        # dialect error, not leak to Spark as UNRESOLVED_ROUTINE
+        with pytest.raises(RewriteError, match="WHERE clause"):
+            rewrite_select("select period(day, 1, now(), ts) from t", now=NOW)
+
     def test_period_rewrite(self):
         res = rewrite_select(
             "select count(*) as n from t where period(day, 3, '2024-01-15 00:00:00', ts)",
