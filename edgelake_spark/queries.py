@@ -2522,9 +2522,15 @@ def _pq_sql(engine: str, prefix_only: bool = False) -> str:
             f"aggregate(zip_with(slice(e.demb, cn.m * {d} + 1, {d}), cn.sub, "
             f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        # argmin as an aggregate: max of (-dist, -cid) == min of (dist, cid)
+        # argmin as an aggregate: max of (-dist, -cid) == min of (dist, cid).
+        # BROADCAST(cn): both sides of the keyless join fit under the
+        # broadcast threshold at bench scale and Catalyst was choosing
+        # the CORPUS as the build side — legal here, fatal at 1B vectors.
+        # The hint pins the K*M codebook as the broadcast so the corpus
+        # always streams (BENCH_EXPLAIN round-4 finding).
         assign = (
-            f"SELECT e.vec_id, cn.m, max_by(cn.cid, struct(-({dist}), -cn.cid)) AS cid "
+            f"SELECT /*+ BROADCAST(cn) */ e.vec_id, cn.m, "
+            f"max_by(cn.cid, struct(-({dist}), -cn.cid)) AS cid "
             f"FROM e JOIN cents cn ON true GROUP BY e.vec_id, cn.m"
         )
         pack = "sum(shiftleft(CAST(cid AS BIGINT), CAST(4 * m AS INT)))"
