@@ -579,7 +579,7 @@ _q(
 
 _COS_TOPK_BODY = """
 SELECT query_id, neighbor_id, cos_sim FROM (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim,
+  SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim,
     row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rn
   FROM {n} q JOIN {n} c ON q.vec_id < 5 AND c.vec_id != q.vec_id
 ) WHERE rn <= 5
