@@ -65,6 +65,8 @@ _DEFER = (
     "emb_sq8_topk",
     "doc_mean_token_rank",
     "events_gapfill_interp",
+    "doc_mix_weights",
+    "doc_pack_sequences",
 )
 
 

@@ -98,10 +98,14 @@ BENCH_QUERIES = [
     "emb_ivfpq_topk",
     "doc_dup_chunk_frac",
     # round 4, second wave: M4 pixel downsampling, scalar-quantized ANN,
-    # bounded-vocabulary rarity scoring
+    # bounded-vocabulary rarity scoring, interpolation gapfill, domain
+    # mixing, sequence packing
     "events_m4_downsample",
     "emb_sq8_topk",
     "doc_mean_token_rank",
+    "events_gapfill_interp",
+    "doc_mix_weights",
+    "doc_pack_sequences",
 ]
 
 

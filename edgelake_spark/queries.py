@@ -3922,3 +3922,118 @@ _q(
     _sql(_interp_body("spark")),
     _interp_body("duck"),
 )
+
+
+# -------------------------------------------------- domain mix weights
+
+
+def _mix_weights_sql(engine: str) -> str:
+    """Domain-mixing reweighting (the DoReMi/Pile-style "sampling
+    weights to hit a target domain distribution" op, with a uniform
+    target): per-source token mass → weight = target_share /
+    actual_share → expected post-sampling token count. The op a
+    pretraining pipeline runs before building its sampler.
+
+    Scale shape: one narrow (source) shuffle of partial token sums —
+    everything upstream is map-side token counting; the source domain
+    is tiny, the totals cross-join is a 1-row broadcast. All doubles
+    come from single identical divisions of exact BIGINTs, so the hash
+    is engine-exact.
+    """
+    count = (
+        tx.spark_bpe_count("text") if engine == "spark" else tx.duck_bpe_count("text")
+    )
+    docs = "documents_rep" if engine == "spark" else "documents"
+    return f"""
+WITH per_doc AS (
+  SELECT source, {count} AS n_tok FROM {docs}
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per_src
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+  CAST(s.n_tokens AS DOUBLE) / CAST(t.all_tokens AS DOUBLE) AS actual_share,
+  (CAST(1 AS DOUBLE) / CAST(t.n_sources AS DOUBLE))
+    / (CAST(s.n_tokens AS DOUBLE) / CAST(t.all_tokens AS DOUBLE)) AS weight,
+  CAST(s.n_tokens AS DOUBLE)
+    * ((CAST(1 AS DOUBLE) / CAST(t.n_sources AS DOUBLE))
+       / (CAST(s.n_tokens AS DOUBLE) / CAST(t.all_tokens AS DOUBLE))) AS expected_tokens
+FROM per_src s CROSS JOIN tot t
+ORDER BY s.source
+"""
+
+
+_q(
+    "doc_mix_weights",
+    _sql(_mix_weights_sql("spark"), rep=("documents",)),
+    _mix_weights_sql("duck"),
+)
+
+
+# ------------------------------------------------- sequence packing
+
+
+def _pack_sql(engine: str, ctx: int = 512) -> str:
+    """Concat-then-chunk sequence packing (the GPT-style pretraining
+    batcher: concatenate documents in doc_id order, slice into
+    fixed-size context windows): per-document start/end window, whether
+    the document crosses a window boundary, and per-source packing
+    stats. Exact integers end to end.
+
+    Scale note: the running token offset is a global prefix sum —
+    expressed here as ONE unpartitioned window (fine to ~100M docs; the
+    sort key is already doc_id). At full corpus scale you run the
+    standard two-pass scan: per-partition token subtotals (a few KB)
+    broadcast back as partition base offsets — same arithmetic, no
+    global sort. The single-window form is the oracle-checkable
+    semantics of that plan.
+    """
+    count = (
+        tx.spark_bpe_count("text") if engine == "spark" else tx.duck_bpe_count("text")
+    )
+    docs = "documents_rep" if engine == "spark" else "documents"
+    # integer floor division, never `/`-then-CAST: `/` yields DOUBLE on
+    # both engines but CAST(double AS BIGINT) ROUNDS in DuckDB and
+    # truncates in Spark
+    intdiv = "div" if engine == "spark" else "//"
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, source, {count} AS n_tok FROM {docs}
+),
+placed AS (
+  SELECT doc_id, source, n_tok,
+    CAST(sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         AS BIGINT) AS start_off
+  FROM per_doc
+),
+spans AS (
+  SELECT doc_id, source, n_tok,
+    CAST(start_off {intdiv} {ctx} AS BIGINT) AS start_win,
+    CAST((start_off + n_tok - 1) {intdiv} {ctx} AS BIGINT) AS end_win
+  FROM placed WHERE n_tok > 0
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN end_win > start_win THEN 1 ELSE 0 END) AS BIGINT)
+    AS boundary_crossers,
+  CAST(sum(end_win - start_win + 1) AS BIGINT) AS window_touches,
+  CAST(max(end_win) AS BIGINT) AS last_window
+FROM spans GROUP BY source
+ORDER BY source
+"""
+
+
+_q(
+    "doc_pack_sequences",
+    _sql(_pack_sql("spark"), rep=("documents",)),
+    _pack_sql("duck"),
+)
