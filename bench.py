@@ -282,6 +282,10 @@ SF1_FAMILIES = [
     # density — see replicate()), and the fused corpus pipeline
     "events_range_join",
     "doc_pipeline_train_set",
+    # round-4 families: argmin-aggregate downsampling and the global
+    # prefix-sum packer (the one deliberate single-partition window)
+    "events_m4_downsample",
+    "doc_pack_sequences",
 ]
 
 

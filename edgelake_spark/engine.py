@@ -427,11 +427,13 @@ class EdgeLakeEngine:
                 "table_key string, interval int, count bigint, min double, max double, sum double",
             )
         if _re.fullmatch(r"get\s+status", text, _re.IGNORECASE):
-            # reference `get status` node liveness probe — single-engine
-            # answer includes the Spark app coordinates
+            # reference `get status` liveness probe (member_cmd.py:15830
+            # reply "<node name> running") — single-engine answer keeps
+            # the Spark app coordinates as extra columns
             sc = self.spark.sparkContext
+            name = self.params.get("node_name", "edgelake-spark")
             return self.spark.createDataFrame(
-                [("running", sc.appName, sc.master, sc.defaultParallelism)],
+                [(f"{name} running", sc.appName, sc.master, sc.defaultParallelism)],
                 "status string, app string, master string, parallelism int",
             )
         m = _re.match(r"query\s+(status|explain)(\s+(\S+))?$", text, _re.IGNORECASE)
@@ -640,6 +642,27 @@ class EdgeLakeEngine:
                 msg = msg[1:-1]
             self.event_log.add("Event", msg)
             return self.spark.createDataFrame([(msg,)], "echo string")
+        m = _re.match(r"get\s+status\s+where\s+(.*)$", text, _re.IGNORECASE)
+        if m:
+            # reference member_cmd.py:15855 get_status where-form:
+            # `format = json` returns the status struct with `include =`
+            # dictionary pulls. The reference writes `include = !key`;
+            # here the engine's global `!name` substitution runs before
+            # dispatch, so the bare-key form `include = key` is
+            # canonical (a `!key` for an UNDEFINED key also works)
+            name = self.params.get("node_name", "edgelake-spark")
+            opts = m.group(1)
+            fm = _re.search(r"format\s*=\s*(\S+)", opts)
+            if fm and fm.group(1) != "json":
+                raise ValueError(
+                    "Wrong format in 'get status' command (use 'json')"
+                )
+            reply = {"assigned_name": name, "status": "running"}
+            for key in _re.findall(r"include\s*=\s*!?(\w+)", opts):
+                reply[key] = self.params.get(key, "")
+            import json as _json
+
+            return _json.dumps(reply)
         m = _re.match(
             r"get\s+(event|error|file|query|streaming)\s+log(\s+where\s+(.*))?$",
             text,

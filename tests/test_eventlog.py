@@ -84,3 +84,19 @@ def test_engine_echo_lands_in_event_log(eng):
     eng.run('echo "hello node"')
     rows = eng.run("get event log where hello").collect()
     assert len(rows) == 1 and rows[0]["text"] == "hello node"
+
+
+def test_get_status_plain_and_json(eng):
+    row = eng.run("get status").collect()[0]
+    assert row["status"] == "edgelake-spark running"
+    eng.run("set node_name = op-node-1")
+    assert eng.run("get status").collect()[0]["status"] == "op-node-1 running"
+    import json
+
+    reply = json.loads(eng.run("get status where format = json and include = company"))
+    assert reply["assigned_name"] == "op-node-1"
+    assert reply["status"] == "running"
+    assert reply["company"] == ""  # undefined dictionary key -> empty
+    eng.run("set company = acme")
+    reply = json.loads(eng.run("get status where format = json and include = company"))
+    assert reply["company"] == "acme"
