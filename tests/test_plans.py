@@ -194,3 +194,53 @@ def test_range_join_is_equi_not_nested_loop(spark):
     plan = plan_of(spark, "events_range_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Cartesian" not in plan
+
+
+def test_m4_single_shuffle_argmin_aggregate(spark):
+    plan = plan_of(spark, "events_m4_downsample")
+    # all four extrema ride ONE (series, bucket) aggregation: a single
+    # hash exchange plus the presentation range sort — no per-bucket
+    # window, no second data shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "min_by" in plan and "max_by" in plan
+    assert "partial_min_by" in plan  # map-side combine of the argmin
+    assert "Window" not in plan
+    assert "PushedFilters: [IsNotNull(value)]" in plan
+
+
+def test_sq8_codes_staged_once_no_nested_loop(spark):
+    plan = plan_of(spark, "emb_sq8_topk")
+    # quantize once behind a checkpoint: the distance join reads the
+    # staged code table on an equi key (dim) — no keyless join anywhere
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one scan subtree family: the checkpointed codes RDD
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert "FileScan parquet" not in plan  # floats never re-read at query time
+
+
+def test_pq_codebook_is_build_side(spark):
+    df = SPARK_QUERIES["emb_pq_codes"](spark, SF_DIR_MED)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    # the keyless corpus x codebook join must build (broadcast) the
+    # codebook so the corpus streams — the BROADCAST(cn) hint pins
+    # BuildRight; a BuildLeft here would broadcast the corpus
+    import re
+
+    outer = re.findall(r"BroadcastNestedLoopJoin (BuildLeft|BuildRight), Inner", plan)
+    assert "BuildRight" in outer, plan[:500]
+
+
+def test_cosine_query_side_is_build_side(spark):
+    df = SPARK_QUERIES["emb_cosine_topk"](spark, SF_DIR_MED)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    # BuildLeft = the 5-row query set (hinted); the corpus streams
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan
+
+
+def test_gapfill_interp_shares_window_exchange(spark):
+    plan = plan_of(spark, "events_gapfill_interp")
+    # prev and next carries share one (event_type) window partitioning;
+    # the spine build and equi join add no fact-table shuffle beyond it
+    assert plan.count("Window") <= 2  # leading + trailing frame nodes
+    assert "CartesianProduct" not in plan
