@@ -67,6 +67,8 @@ _DEFER = (
     "events_gapfill_interp",
     "doc_mix_weights",
     "doc_pack_sequences",
+    "emb_pq_recall",
+    "emb_sq8_recall",
 )
 
 

@@ -4037,3 +4037,75 @@ _q(
     _sql(_pack_sql("spark"), rep=("documents",)),
     _pack_sql("duck"),
 )
+
+
+# ------------------------------------------------ PQ / SQ8 recall gates
+
+
+def _run_recall_of(ann_name: str):
+    """Recall@5 of an ANN gate against brute-force ground truth — the
+    index-quality metric AS a query (same composition as
+    _run_ivf_recall, parametrized over the ANN pipeline). Zero-match
+    queries KEEP their row (left join + coalesce 0): a 4-bit PQ code
+    legitimately misses everything for some queries, and that is the
+    fact the gate exists to pin."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        brute = SPARK_QUERIES["emb_cosine_topk"](spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        ann = SPARK_QUERIES[ann_name](spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        matched = (
+            brute.join(ann, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_matched"))
+        )
+        return (
+            brute.groupBy("query_id")
+            .agg(F.count("*").alias("n_brute"))
+            .join(matched, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce(F.col("n_matched"), F.lit(0)).cast("bigint").alias("n_matched"),
+                F.col("n_brute").cast("bigint").alias("n_brute"),
+                (
+                    F.coalesce(F.col("n_matched"), F.lit(0)).cast("double")
+                    / F.col("n_brute").cast("double")
+                ).alias("recall"),
+            )
+            .orderBy("query_id")
+        )
+
+    return run
+
+
+def _recall_oracle_of(ann_name: str) -> str:
+    brute = ORACLE_SQL["emb_cosine_topk"].strip()
+    ann = ORACLE_SQL[ann_name].strip()
+    return f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({brute}) b),
+ann AS (SELECT query_id, neighbor_id FROM ({ann}) i),
+matched AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM brute b JOIN ann USING (query_id, neighbor_id)
+  GROUP BY b.query_id),
+totals AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_brute
+  FROM brute GROUP BY query_id)
+SELECT t.query_id, CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       t.n_brute,
+       CAST(coalesce(m.n_matched, 0) AS DOUBLE) / CAST(t.n_brute AS DOUBLE) AS recall
+FROM totals t LEFT JOIN matched m USING (query_id)
+ORDER BY t.query_id
+"""
+
+
+# quantization loses precision by design; these gates pin HOW MUCH, so
+# a codebook/packing regression hash-fails instead of silently
+# degrading retrieval
+_q("emb_pq_recall", _run_recall_of("emb_pq_adc_topk"), _recall_oracle_of("emb_pq_adc_topk"))
+_q("emb_sq8_recall", _run_recall_of("emb_sq8_topk"), _recall_oracle_of("emb_sq8_topk"))
