@@ -231,3 +231,110 @@ def anomaly_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------ streaming LSH dedup
+
+
+def minhash_band_keys_py(text: str) -> list:
+    """Pure-Python twin of the batch MinHash-LSH band keys
+    (functions/dedup.py spark_minhash_sig_sql + spark_band_key):
+    identical tokenization, word-3-shingles (the same partial shingle
+    for docs shorter than SHINGLE_WORDS), 60/56-bit md5 splits, the
+    h1 + i*h2 double-hash minima, and the md5('a|b|c|d') band digests —
+    so a document fingerprinted on the stream lands in EXACTLY the
+    buckets the batch sweep would put it in (asserted against the batch
+    SQL in test_streaming). Empty docs produce no shingles and no
+    bands, like the batch groupBy."""
+    import hashlib
+    import re
+
+    from edgelake_spark.functions.dedup import (
+        BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        SHINGLE_WORDS,
+    )
+
+    toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+    if not toks:
+        return []
+    shingles = [
+        " ".join(toks[j : j + SHINGLE_WORDS])
+        for j in range(0, max(len(toks) - SHINGLE_WORDS, 0) + 1)
+    ]
+    sig = [None] * NUM_HASHES
+    for s in shingles:
+        h = hashlib.md5(s.encode()).hexdigest()
+        h1 = int(h[0:15], 16)
+        h2 = int(h[16:30], 16)
+        for i in range(NUM_HASHES):
+            v = h1 + i * h2
+            if sig[i] is None or v < sig[i]:
+                sig[i] = v
+    return [
+        hashlib.md5(
+            "|".join(str(x) for x in sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]).encode()
+        ).hexdigest()
+        for b in range(BANDS)
+    ]
+
+
+LSH_BAND_OUTPUT = "band_key string, doc_id bigint, dup boolean"
+LSH_BAND_STATE = "claimed_by bigint"
+
+
+def _band_claim(key, batches, state: "GroupState"):
+    """First arrival claims the band bucket; every later doc sharing it
+    is flagged. Docs inside one micro-batch order by doc_id so the
+    verdict is deterministic regardless of partition arrival order."""
+    claimed = state.get[0] if state.exists else None
+    rows = []
+    doc_ids = sorted(
+        {int(d) for pdf in batches for d in pdf["doc_id"]}
+    )
+    for d in doc_ids:
+        dup = claimed is not None and claimed != d
+        if claimed is None:
+            claimed = d
+        rows.append({"band_key": key[0], "doc_id": d, "dup": dup})
+    state.update((claimed,))
+    yield pd.DataFrame(rows)
+
+
+def lsh_dedup_stream(
+    stream_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: fingerprint each
+    incoming document map-side (Arrow-batched pandas_udf — the same
+    band keys as the batch sweep), explode to (band_key, doc) and claim
+    buckets in per-band state. A document is a near-duplicate when ANY
+    of its bands emits dup=true — the greedy keep-first-arrival policy
+    a streaming crawl pipeline runs, where the batch gate
+    doc_minhash_pairs is the offline sweep.
+
+    Scale shape: fingerprinting is stateless map work; the only shuffle
+    is the band_key grouping (same key as the batch band join); state
+    is ONE bigint per distinct band bucket, so the store grows with
+    corpus novelty, not stream length. Aggregate the per-band verdicts
+    with max(dup) per doc in the sink (foreachBatch) — band state stays
+    band-local, no cross-key coordination."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def band_keys_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: minhash_band_keys_py(t or ""))
+
+    exploded = (
+        stream_df.withColumn("doc_id", F.col(id_col).cast("bigint"))
+        .withColumn("band_key", F.explode(band_keys_udf(F.col(text_col))))
+        .select("band_key", "doc_id")
+    )
+    return exploded.groupBy("band_key").applyInPandasWithState(
+        _band_claim,
+        outputStructType=LSH_BAND_OUTPUT,
+        stateStructType=LSH_BAND_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -222,3 +222,84 @@ def test_dedup_stream_drops_rearrivals(spark, tmp_path):
     assert [h for h, _ in got] == ["h1", "h2", "h3"]
     # first arrival wins
     assert ("h1", "a") in got and ("h2", "b") in got
+
+
+def test_lsh_band_keys_match_batch_sql(spark):
+    # the streaming fingerprinter must land every doc in EXACTLY the
+    # buckets the batch sweep computes — compare per-doc band-key sets
+    # against the registered batch SQL at sf0.001
+    from edgelake_spark.catalog import register_sf_tables
+    from edgelake_spark.functions import dedup as dd
+    from edgelake_spark.streaming.stateful import minhash_band_keys_py
+
+    register_sf_tables(spark, "/root/testdata/sf0.001")
+    sig_sql = dd.spark_minhash_sig_sql("documents", where="doc_id < 30")
+    bands = ", ".join(
+        f"{dd.spark_band_key('sig', b)} AS b{b}" for b in range(dd.BANDS)
+    )
+    batch = {
+        r["doc_id"]: [r[f"b{b}"] for b in range(dd.BANDS)]
+        for r in spark.sql(f"SELECT doc_id, {bands} FROM ({sig_sql})").collect()
+    }
+    docs = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id < 30").collect()
+    assert len(batch) == len(docs) > 0
+    for r in docs:
+        assert minhash_band_keys_py(r["text"]) == batch[r["doc_id"]], r["doc_id"]
+
+
+def test_lsh_dedup_stream_flags_near_dups_across_batches(spark, tmp_path):
+    from edgelake_spark.streaming.stateful import lsh_dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    novel = (
+        "completely different content about spark partitions shuffles "
+        "and broadcast joins at terabyte scale clusters"
+    )
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    # batch 1: original + one exact re-text under a new id + a novel doc
+    rows1 = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},
+        {"doc_id": 3, "text": novel},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    flagged = lsh_dedup_stream(
+        spark.readStream.format("json").schema(schema).load(str(src))
+    )
+    q = (
+        flagged.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("lsh_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 arrives later: a near-dup of doc 1 (one word changed)
+        # and another novel doc — state must remember batch-1 buckets
+        near = base.replace("tonight", "tomorrow")
+        rows2 = [
+            {"doc_id": 10, "text": near},
+            {"doc_id": 11, "text": "unrelated text about minhash lsh banding"},
+        ]
+        (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        q.processAllAvailable()
+        verdicts = {}
+        for r in spark.sql("select doc_id, max(dup) d from lsh_out group by doc_id").collect():
+            verdicts[r["doc_id"]] = bool(r["d"])
+    finally:
+        q.stop()
+    assert verdicts[1] is False  # first arrival keeps
+    assert verdicts[2] is True  # exact re-text shares every band
+    assert verdicts[3] is False  # novel
+    assert verdicts[10] is True  # near-dup caught across the batch gap
+    assert verdicts[11] is False
