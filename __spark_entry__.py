@@ -17,9 +17,13 @@ from edgelake_spark.queries import ORACLE_SQL, SPARK_QUERIES
 
 #: The driver's correctness run verifies only the FIRST 50 entries of
 #: queries(). Round 3 verified the 50 gates then-declared first (the
-#: keys of CORRECTNESS_r03.json, listed here); this round rotates the
+#: keys of CORRECTNESS_r03.json, listed here); later rounds rotate the
 #: never-driver-verified gates into the window so every gate gets an
 #: independent DuckDB check, not just the local parity replica.
+#: _verified_from_disk() extends this set from every CORRECTNESS_r*.json
+#: present, so the rotation is automatic from round 5 on — a gate that
+#: went green in ANY driver run yields its window slot to one that
+#: has not.
 _R03_VERIFIED = frozenset({
     "el_basic_where", "el_agg", "el_avg_group", "el_range_distinct",
     "el_distinct_col", "el_group_order_desc", "el_increments_hour",
@@ -72,9 +76,37 @@ _DEFER = (
 )
 
 
+def _verified_from_disk() -> frozenset:
+    """Union of gates that went fully green (rows+schema+hash) in any
+    recorded driver correctness run — they queue BEHIND never-verified
+    gates in the 50-slot window."""
+    import glob
+    import json
+    import os
+
+    names = set(_R03_VERIFIED)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for gate, res in data.items():
+            if (
+                isinstance(res, dict)
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+            ):
+                names.add(gate)
+    return frozenset(names)
+
+
 def _window_order(names) -> list[str]:
+    verified = _verified_from_disk()
     rank = {n: 1 for n in _DEFER}
-    return sorted(names, key=lambda n: 2 if n in _R03_VERIFIED else rank.get(n, 0))
+    return sorted(names, key=lambda n: 2 if n in verified else rank.get(n, 0))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "events_gapfill_interp",
     "doc_mix_weights",
     "doc_pack_sequences",
+    "emb_pq_recall",
+    "emb_sq8_recall",
 ]
 
 
