@@ -73,6 +73,10 @@ _DEFER = (
     "doc_pack_sequences",
     "emb_pq_recall",
     "emb_sq8_recall",
+    "doc_gopher_rules",
+    "doc_pii_redact",
+    "doc_chunk_overlap",
+    "doc_remove_dup_chunks",
 )
 
 

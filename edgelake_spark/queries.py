@@ -4109,3 +4109,241 @@ ORDER BY t.query_id
 # degrading retrieval
 _q("emb_pq_recall", _run_recall_of("emb_pq_adc_topk"), _recall_oracle_of("emb_pq_adc_topk"))
 _q("emb_sq8_recall", _run_recall_of("emb_sq8_topk"), _recall_oracle_of("emb_sq8_topk"))
+
+# =====================================================================
+# Round-4 third wave: training-data filter/transform passes
+# =====================================================================
+
+
+def _gopher_rules_sql(engine: str, docs: str) -> str:
+    """Gopher-style rule-based quality filter (Rae et al. 2021, table
+    A1, thresholds adapted to the synthetic corpus): token-count bounds,
+    mean-token-length band, alphabetic-token fraction, and a distinct-
+    stopword requirement. The keep decision is the conjunction.
+
+    Scale shape: pure map-side expression work over codegen'd built-ins
+    (no UDFs, no shuffle except the presentation sort) — the cheapest
+    possible corpus pass, which is exactly why rule filters run FIRST
+    in production pipelines, ahead of dedup/ANN.
+
+    Flags emit as INT (0/1) so the cross-engine value-hash never
+    depends on boolean canonicalization.
+    """
+    if engine == "spark":
+        toks = tx.spark_tokens("text")
+        n = f"size({toks})"
+        tok_chars = f"aggregate({toks}, 0L, (a, x) -> a + length(x))"
+        alpha = f"size(filter({toks}, x -> x rlike '[a-z]'))"
+        arr = "array(" + ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"]) + ")"
+        nstop = f"size(array_intersect({toks}, {arr}))"
+    else:
+        toks = tx.duck_tokens("text")
+        n = f"len({toks})"
+        tok_chars = f"list_sum(list_transform({toks}, x -> length(x)))"
+        alpha = f"len(list_filter({toks}, x -> regexp_matches(x, '[a-z]')))"
+        arr = "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"]) + "]"
+        nstop = f"len(list_intersect({toks}, {arr}))"
+    mean_len = f"CAST({tok_chars} AS DOUBLE) / CAST(greatest({n}, 1) AS DOUBLE)"
+    alpha_frac = f"CAST({alpha} AS DOUBLE) / CAST(greatest({n}, 1) AS DOUBLE)"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST({n} AS BIGINT) AS n_tokens,
+         {mean_len} AS mean_tok_len,
+         {alpha_frac} AS alpha_frac,
+         CAST({nstop} AS BIGINT) AS n_stop_distinct
+  FROM {docs}
+)
+SELECT doc_id, n_tokens, mean_tok_len, alpha_frac, n_stop_distinct,
+  CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS INT) AS r_count,
+  CAST(CASE WHEN mean_tok_len >= 4.0 AND mean_tok_len <= 10.0 THEN 1 ELSE 0 END AS INT) AS r_len,
+  CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS INT) AS r_alpha,
+  CAST(CASE WHEN n_stop_distinct >= 1 THEN 1 ELSE 0 END AS INT) AS r_stop,
+  CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000
+             AND mean_tok_len >= 4.0 AND mean_tok_len <= 10.0
+             AND alpha_frac >= 0.8 AND n_stop_distinct >= 1
+        THEN 1 ELSE 0 END AS INT) AS keep
+FROM f
+ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_gopher_rules",
+    _sql(_gopher_rules_sql("spark", "documents_rep"), rep=("documents",)),
+    _gopher_rules_sql("duck", "documents"),
+)
+
+
+# --------------------------------------------------- PII scrub / redact
+
+#: escape-free regexes (char classes instead of backslash escapes, so
+#: the SAME literal survives Spark's and DuckDB's string parsing)
+_PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PII_PHONE_RE = "555-[0-9]{4}"
+_PII_IP_RE = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+
+
+def _pii_redact_sql(engine: str, docs: str) -> str:
+    """PII detection + redaction pass (emails / NANP-555 phones / IPv4
+    addresses): the standard pre-training scrub. The corpus is
+    synthetic word soup, so a deterministic `aug` CTE plants PII derived
+    from doc_id in 3 of every 4 documents — the SAME augmented text on
+    both engines — and the pass then counts and redacts it.
+
+    Scale shape: map-side regexp work per document, zero shuffles
+    beyond the presentation sort; regex classes are ASCII-only so Java
+    regex (Spark) and RE2 (DuckDB) agree.
+    """
+    g = ", 'g'" if engine == "duck" else ""
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{_PII_EMAIL_RE}', '[EMAIL]'{g}), "
+        f"'{_PII_PHONE_RE}', '[PHONE]'{g}), "
+        f"'{_PII_IP_RE}', '[IP]'{g})"
+    )
+    if engine == "spark":
+        def cnt(pat):
+            return f"CAST(size(regexp_extract_all(text, '{pat}', 0)) AS BIGINT)"
+    else:
+        def cnt(pat):
+            return f"CAST(len(regexp_extract_all(text, '{pat}', 0)) AS BIGINT)"
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com for access'
+    WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 4, '0') || ' today'
+    WHEN 2 THEN ' from host 10.0.' || CAST(doc_id % 256 AS STRING) || '.25 port 8080'
+    ELSE '' END AS text
+  FROM {docs}
+)
+SELECT doc_id,
+  {cnt(_PII_EMAIL_RE)} AS n_email,
+  {cnt(_PII_PHONE_RE)} AS n_phone,
+  {cnt(_PII_IP_RE)} AS n_ip,
+  CAST(length({red}) AS BIGINT) AS redacted_len,
+  md5({red}) AS redacted_md5
+FROM aug
+ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_pii_redact",
+    _sql(_pii_redact_sql("spark", "documents_rep"), rep=("documents",)),
+    _pii_redact_sql("duck", "documents"),
+)
+
+
+# ------------------------------------------- sliding-window chunking
+
+_CHUNK_W = 32  #: tokens per chunk
+_CHUNK_S = 24  #: stride (8-token overlap)
+
+
+def _chunk_overlap_sql(engine: str, docs: str) -> str:
+    """Sliding-window document chunking (size 32 tokens, stride 24) —
+    the RAG/embedding-prep splitter: every token position lands in at
+    least one chunk, consecutive chunks overlap by 8 tokens so no
+    boundary context is lost.
+
+    Scale shape: chunk starts explode from a per-doc index sequence
+    (n/stride rows per doc — output-proportional, no pair joins); the
+    slice + hash is map-side array work. ONE presentation sort. At
+    corpus scale this is the map stage feeding the embedding UDF."""
+    w, s = _CHUNK_W, _CHUNK_S
+    if engine == "spark":
+        toks = tx.spark_tokens("text")
+        gen = f"explode(sequence(0, CAST((size(toks) + {s - 1}) DIV {s} AS INT) - 1))"
+        guard = "size(toks) > 0"
+        chunk = f"slice(toks, chunk_idx * {s} + 1, {w})"
+        nck = f"size({chunk})"
+        joined = f"concat_ws(' ', {chunk})"
+    else:
+        toks = tx.duck_tokens("text")
+        gen = f"unnest(range(0, (len(toks) + {s - 1}) // {s}))"
+        guard = "len(toks) > 0"
+        chunk = f"toks[chunk_idx * {s} + 1 : chunk_idx * {s} + {w}]"
+        nck = f"len({chunk})"
+        joined = f"array_to_string({chunk}, ' ')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {docs}
+),
+c AS (
+  SELECT doc_id, toks, {gen} AS chunk_idx FROM t WHERE {guard}
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {s} AS BIGINT) AS start_tok,
+       CAST({nck} AS BIGINT) AS n_chunk_toks,
+       md5({joined}) AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+_q(
+    "doc_chunk_overlap",
+    _sql(_chunk_overlap_sql("spark", "documents_rep"), rep=("documents",)),
+    _chunk_overlap_sql("duck", "documents"),
+)
+
+
+# -------------------------------------- C4-style duplicate-chunk removal
+
+
+def _remove_dup_chunks_sql(engine: str, docs: str, w: int = 8) -> str:
+    """C4-style global duplicate-span removal: non-overlapping 8-token
+    chunks, every repeated chunk keeps only its FIRST occurrence in
+    (doc_id, chunk_idx) order — the destructive sibling of
+    doc_dup_chunk_frac's measurement pass. Output pins, per document,
+    how many chunks survive plus an order-insensitive membership
+    checksum of the surviving chunk hashes (sum of 60-bit hash prefixes
+    mod 1e9+7 — exact integer arithmetic on both engines).
+
+    Scale shape: ONE shuffle on the chunk hash ranks occurrences
+    (first-occurrence window, no self-join); the per-doc aggregate
+    shuffles digest-width rows. Linear in corpus tokens."""
+    if engine == "spark":
+        toks = tx.spark_tokens("text")
+        gen = f"explode(sequence(0, CAST(size(toks) DIV {w} AS INT) - 1))"
+        guard = f"size(toks) >= {w}"
+        joined = f"concat_ws(' ', slice(toks, chunk_idx * {w} + 1, {w}))"
+        pin = dd.spark_hex60("h")
+    else:
+        toks = tx.duck_tokens("text")
+        gen = f"unnest(range(0, len(toks) // {w}))"
+        guard = f"len(toks) >= {w}"
+        joined = f"array_to_string(toks[chunk_idx * {w} + 1 : chunk_idx * {w} + {w}], ' ')"
+        pin = dd.duck_hex60("h")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {docs}
+),
+c AS (
+  SELECT doc_id, toks, {gen} AS chunk_idx FROM t WHERE {guard}
+),
+ch AS (
+  SELECT doc_id, chunk_idx, md5({joined}) AS h FROM c
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * {w} AS BIGINT) AS retained_tokens,
+  CAST(SUM(CASE WHEN rn = 1 THEN {pin} % 1000000007 ELSE 0 END) AS BIGINT) AS kept_pin
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_remove_dup_chunks",
+    _sql(_remove_dup_chunks_sql("spark", "documents_rep"), rep=("documents",)),
+    _remove_dup_chunks_sql("duck", "documents"),
+)
