@@ -77,6 +77,8 @@ _DEFER = (
     "doc_pii_redact",
     "doc_chunk_overlap",
     "doc_remove_dup_chunks",
+    "emb_bq_hamming_topk",
+    "emb_bq_recall",
 )
 
 

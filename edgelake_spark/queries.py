@@ -4347,3 +4347,102 @@ _q(
     _sql(_remove_dup_chunks_sql("spark", "documents_rep"), rep=("documents",)),
     _remove_dup_chunks_sql("duck", "documents"),
 )
+
+
+# ---------------------------------- binary-quantized (1-bit) hamming ANN
+
+
+def _bq_index_sql(engine: str) -> str:
+    """Binary-quantization index build: each dimension binarizes
+    against its global mean (exact decimal mean → identical threshold
+    bits on both engines), packing 64 dims into two BIGINTs of 32 bits
+    each (no sign-bit overflow anywhere). 32x smaller than float32 —
+    the cheapest ANN family member, one step below SQ8.
+
+    Scale shape: the dims table is 64 rows (broadcast); packing is a
+    map-side conditional-shift SUM that partial-combines, so the only
+    shuffle carries one (vec_id, lo, hi) row per vector."""
+    if engine == "spark":
+        long_src = (
+            "SELECT vec_id, pos AS dim, CAST(v AS DOUBLE) AS v "
+            "FROM (SELECT vec_id, posexplode(embedding) AS (pos, v) "
+            "FROM embeddings_rep)"
+        )
+        shift_lo = "shiftleft(1L, CAST(l.dim AS INT))"
+        shift_hi = "shiftleft(1L, CAST(l.dim - 32 AS INT))"
+    else:
+        long_src = (
+            "SELECT vec_id, g.i - 1 AS dim, CAST(embedding[g.i] AS DOUBLE) AS v "
+            "FROM embeddings CROSS JOIN generate_series(1, 64) g(i)"
+        )
+        shift_lo = "(1::BIGINT << CAST(l.dim AS INT))"
+        shift_hi = "(1::BIGINT << CAST(l.dim - 32 AS INT))"
+    return f"""
+WITH long AS ({long_src}),
+dims AS (
+  SELECT dim,
+         CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mu
+  FROM long GROUP BY dim
+)
+SELECT l.vec_id,
+  CAST(SUM(CASE WHEN l.dim < 32 AND l.v > d.mu THEN {shift_lo} ELSE 0 END) AS BIGINT) AS lo,
+  CAST(SUM(CASE WHEN l.dim >= 32 AND l.v > d.mu THEN {shift_hi} ELSE 0 END) AS BIGINT) AS hi
+FROM long l JOIN dims d ON l.dim = d.dim
+GROUP BY l.vec_id"""
+
+
+_BQ_QUERY_BODY = """
+WITH q AS (SELECT * FROM {codes} WHERE vec_id < 5),
+dist AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({ham_lo} + {ham_hi} AS BIGINT) AS hamming
+  FROM q JOIN {codes} c ON c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, hamming FROM (
+  SELECT query_id, neighbor_id, hamming,
+    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+  FROM dist
+) WHERE rn <= {topk}
+ORDER BY query_id, hamming, neighbor_id
+"""
+
+
+def _run_bq_topk(spark, sf_dir):
+    """Code table checkpointed once (the offline index build, like
+    PQ/SQ8); the query half is a broadcast of 5 two-BIGINT query codes
+    against a scan that reads 16 bytes per corpus vector — xor+popcount
+    is the entire distance kernel, the reason binary quantization is
+    the first-pass filter at billion-vector scale."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    _ckpt_view(spark, _bq_index_sql("spark"), "__bq_codes")
+    return spark.sql(
+        _BQ_QUERY_BODY.format(
+            codes="__bq_codes",
+            ham_lo="bit_count(q.lo ^ c.lo)",
+            ham_hi="bit_count(q.hi ^ c.hi)",
+            topk=5,
+        )
+    )
+
+
+_q(
+    "emb_bq_hamming_topk",
+    _run_bq_topk,
+    f"WITH codes AS ({_bq_index_sql('duck')})"
+    + _BQ_QUERY_BODY.format(
+        codes="codes",
+        ham_lo="bit_count(xor(q.lo, c.lo))",
+        ham_hi="bit_count(xor(q.hi, c.hi))",
+        topk=5,
+    ).replace("\nWITH q AS", ", q AS", 1),
+)
+
+# recall@5 of the 1-bit index vs brute force — pins how much the 32x
+# compression costs (expected well below SQ8, the point of the ladder)
+_q(
+    "emb_bq_recall",
+    _run_recall_of("emb_bq_hamming_topk"),
+    _recall_oracle_of("emb_bq_hamming_topk"),
+)
