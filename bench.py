@@ -108,6 +108,14 @@ BENCH_QUERIES = [
     "doc_pack_sequences",
     "emb_pq_recall",
     "emb_sq8_recall",
+    # round 4, third wave: rule-based quality filter, PII redaction,
+    # sliding-window chunking, C4-style dup-chunk removal, 1-bit ANN
+    "doc_gopher_rules",
+    "doc_pii_redact",
+    "doc_chunk_overlap",
+    "doc_remove_dup_chunks",
+    "emb_bq_hamming_topk",
+    "emb_bq_recall",
 ]
 
 

@@ -4395,7 +4395,7 @@ GROUP BY l.vec_id"""
 _BQ_QUERY_BODY = """
 WITH q AS (SELECT * FROM {codes} WHERE vec_id < 5),
 dist AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, c.vec_id AS neighbor_id,
          CAST({ham_lo} + {ham_hi} AS BIGINT) AS hamming
   FROM q JOIN {codes} c ON c.vec_id != q.vec_id
 )

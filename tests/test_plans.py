@@ -244,3 +244,39 @@ def test_gapfill_interp_shares_window_exchange(spark):
     # the spine build and equi join add no fact-table shuffle beyond it
     assert plan.count("Window") <= 2  # leading + trailing frame nodes
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_and_pii_are_map_side_only(spark):
+    # rule filters and regex scrubs are pure per-row expression work:
+    # zero data shuffles (only the presentation range sort)
+    for name in ("doc_gopher_rules", "doc_pii_redact"):
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 0, name
+        assert "Window" not in plan and "Join" not in plan, name
+
+
+def test_chunk_overlap_is_generate_no_shuffle(spark):
+    plan = plan_of(spark, "doc_chunk_overlap")
+    # chunk rows explode map-side from the index sequence; no join, no
+    # hash exchange — output-proportional work only
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+
+
+def test_remove_dup_chunks_two_exchanges(spark):
+    plan = plan_of(spark, "doc_remove_dup_chunks")
+    # one shuffle ranks chunk hashes (first-occurrence window), one
+    # re-groups per doc — no self-join anywhere
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_bq_query_codes_are_build_side(spark):
+    df = SPARK_QUERIES["emb_bq_hamming_topk"](spark, SF_DIR_MED)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    # BuildLeft = the 5 two-BIGINT query codes broadcast; the corpus
+    # code scan streams (16 bytes/vector) — never the reverse
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan
+    assert "FileScan parquet" not in plan  # floats never re-read at query time
