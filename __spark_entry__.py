@@ -79,6 +79,7 @@ _DEFER = (
     "doc_remove_dup_chunks",
     "emb_bq_hamming_topk",
     "emb_bq_recall",
+    "doc_bm25_topk",
 )
 
 

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "doc_remove_dup_chunks",
     "emb_bq_hamming_topk",
     "emb_bq_recall",
+    "doc_bm25_topk",
 ]
 
 

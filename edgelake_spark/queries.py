@@ -4446,3 +4446,82 @@ _q(
     _run_recall_of("emb_bq_hamming_topk"),
     _recall_oracle_of("emb_bq_hamming_topk"),
 )
+
+
+# ----------------------------------------------------- BM25 retrieval
+
+_BM25_TERMS = ("join", "vector", "customer", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql(engine: str, docs: str) -> str:
+    """BM25 keyword retrieval (Robertson/Sparck Jones): top-10 documents
+    for a fixed 4-term query — the full-text-search scoring shape on top
+    of the corpus-stats machinery (doc_tfidf_topk measures terms; this
+    gate RETRIEVES). idf stays the rational (N - df + 0.5)/(df + 0.5)
+    form — no libm ln, whose last-bit rounding differs across engines.
+
+    Determinism: per-term contributions are decimal-staged and added in
+    FIXED query-term order (an explicit + chain, not SUM over rows), so
+    the score is bit-identical on both engines.
+
+    Scale shape: per-doc term frequencies are map-side array filters
+    (no tokenize-explode-shuffle for a 4-term query); the stats CTE is
+    ONE 1-row aggregate that broadcasts back; top-10 is
+    TakeOrderedAndProject. At corpus scale this is the scan-and-score
+    plan you want when the query arrives ad hoc — an inverted index
+    (doc_tfidf_topk's tf table persisted) serves the high-QPS case."""
+    k1, b = _BM25_K1, _BM25_B
+    if engine == "spark":
+        toks = tx.spark_tokens("text")
+        def tf_of(term):
+            return f"CAST(size(filter(toks, x -> x = '{term}')) AS BIGINT)"
+        dl = "CAST(size(toks) AS BIGINT)"
+    else:
+        toks = tx.duck_tokens("text")
+        def tf_of(term):
+            return f"CAST(len(list_filter(toks, x -> x = '{term}')) AS BIGINT)"
+        dl = "CAST(len(toks) AS BIGINT)"
+    tf_cols = ", ".join(f"{tf_of(t)} AS tf_{t}" for t in _BM25_TERMS)
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+
+    def contrib(t):
+        idf = f"(CAST(s.n AS DOUBLE) - CAST(s.df_{t} AS DOUBLE) + 0.5) / (CAST(s.df_{t} AS DOUBLE) + 0.5)"
+        tf = f"CAST(t.tf_{t} AS DOUBLE)"
+        denom = f"({tf} + {k1} * (1.0 - {b} + {b} * CAST(t.dl AS DOUBLE) / s.avgdl))"
+        return (
+            f"CAST(CASE WHEN t.tf_{t} > 0 THEN {idf} * {tf} * {1.0 + k1} / {denom} "
+            f"ELSE 0.0 END AS DECIMAL(25,6))"
+        )
+
+    score = "CAST(" + " + ".join(contrib(t) for t in _BM25_TERMS) + " AS DOUBLE)"
+    matched = " + ".join(f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in _BM25_TERMS)
+    any_hit = " OR ".join(f"t.tf_{t} > 0" for t in _BM25_TERMS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {dl} AS dl, {tf_cols}
+  FROM (SELECT doc_id, {toks} AS toks FROM {docs}) base
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM t
+)
+SELECT doc_id, CAST({matched} AS BIGINT) AS n_terms_matched, {score} AS score
+FROM t CROSS JOIN s
+WHERE {any_hit}
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+_q(
+    "doc_bm25_topk",
+    _sql(_bm25_sql("spark", "documents_rep"), rep=("documents",)),
+    _bm25_sql("duck", "documents"),
+)

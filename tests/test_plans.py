@@ -280,3 +280,13 @@ def test_bq_query_codes_are_build_side(spark):
     # code scan streams (16 bytes/vector) — never the reverse
     assert "BroadcastNestedLoopJoin BuildLeft" in plan
     assert "FileScan parquet" not in plan  # floats never re-read at query time
+
+
+def test_bm25_scan_and_score_no_shuffle(spark):
+    plan = plan_of(spark, "doc_bm25_topk")
+    # per-doc term frequencies are map-side array filters; the 1-row
+    # stats aggregate broadcasts back; top-10 is TakeOrderedAndProject —
+    # no tokenize-explode shuffle for an ad-hoc 4-term query
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
