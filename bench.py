@@ -297,6 +297,10 @@ SF1_FAMILIES = [
     # prefix-sum packer (the one deliberate single-partition window)
     "events_m4_downsample",
     "doc_pack_sequences",
+    # round-4 third wave: the chunk-hash first-occurrence window (dup
+    # removal) and the scan-and-score retrieval shape
+    "doc_remove_dup_chunks",
+    "doc_bm25_topk",
 ]
 
 
