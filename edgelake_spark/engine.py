@@ -642,6 +642,30 @@ class EdgeLakeEngine:
                 msg = msg[1:-1]
             self.event_log.add("Event", msg)
             return self.spark.createDataFrame([(msg,)], "echo string")
+        m = _re.match(r"print\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference _print (member_cmd.py `print` command): console
+            # output with `!name` dictionary substitution — the global
+            # substitution above already resolved known keys
+            msg = m.group(1).strip()
+            if len(msg) >= 2 and msg[0] == msg[-1] and msg[0] in "\"'":
+                msg = msg[1:-1]
+            return self.spark.createDataFrame([(msg,)], "print string")
+        m = _re.match(r"incr\s+(\S+)(?:\s+(-?\d+))?\s*$", text, _re.IGNORECASE)
+        if m:
+            # reference _incr (member_cmd.py:12305): treat the operand as
+            # an integer, add the value (default 1). Scripts use the
+            # assignment form `x = incr !x 2`; `!x` resolves before this
+            # handler, so the operand arrives as a numeric string.
+            try:
+                base = int(m.group(1))
+            except ValueError:
+                raise ValueError(
+                    f"incr: operand is not an integer: {m.group(1)!r}"
+                )
+            return self.spark.createDataFrame(
+                [(base + int(m.group(2) or 1),)], "incr bigint"
+            )
         m = _re.match(r"get\s+status\s+where\s+(.*)$", text, _re.IGNORECASE)
         if m:
             # reference member_cmd.py:15855 get_status where-form:

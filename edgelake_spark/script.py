@@ -15,8 +15,19 @@ Reference behavior (edge_lake/cmd/member_cmd.py:13318 _process_script /
   (params.get_value_if_available);
 * ``if <lhs> <op> <rhs> then <command>`` runs the command when the
   comparison holds (reference conditional execution via _process_if);
-* ``goto name`` jumps; ``on error goto name`` arms an error handler;
-  ``end script`` stops.
+  a bare ``if <lhs> <op> <rhs>`` just records the result, and ``do
+  <command>`` / ``else <command>`` execute when the LAST if was
+  true / false (reference _process_do_else, member_cmd.py:15017 —
+  status.set_if_result / get_if_result);
+* ``goto name`` jumps; ``call name`` jumps and pushes a return
+  address; ``return`` resumes after the call (empty stack = script
+  end — reference _return_goto / _return_from_call);
+* ``wait N`` pauses N seconds; ``wait N for <cond>`` skips the pause
+  when the condition already holds (reference _wait,
+  member_cmd.py:12169 — there the poll watches other threads; this
+  engine's scripts are single-threaded, so an unmet condition simply
+  waits out the maximum);
+* ``on error goto name`` arms an error handler; ``end script`` stops.
 
 The runner executes commands through a ``callable(command_str)`` —
 normally ``EdgeLakeEngine.run`` — so scripts can mix sql, admin,
@@ -46,6 +57,12 @@ _IF_RE = re.compile(
     r"^if\s+(.+?)\s*(==|!=|>=|<=|>|<|\bcontains\b)\s*(.+?)\s+then\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_IF_BARE_RE = re.compile(
+    r"^if\s+(.+?)\s*(==|!=|>=|<=|>|<|\bcontains\b)\s*(.+?)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DO_ELSE_RE = re.compile(r"^(do|else)\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_WAIT_RE = re.compile(r"^wait\s+(\d+)(?:\s+for\s+(.+))?$", re.IGNORECASE | re.DOTALL)
 _VAR_RE = re.compile(r"!([A-Za-z_]\w*)")
 
 
@@ -76,9 +93,14 @@ def _render(result) -> str:
 class ScriptRunner:
     """Executes script text against a command runner."""
 
-    def __init__(self, runner, max_steps: int = 10_000):
+    def __init__(self, runner, max_steps: int = 10_000, sleep=None):
         self.runner = runner
         self.max_steps = max_steps
+        if sleep is None:
+            import time
+
+            sleep = time.sleep
+        self.sleep = sleep  # injectable for tests (reference seconds_sleep)
 
     # ------------------------------------------------------------ parse
 
@@ -139,6 +161,8 @@ class ScriptRunner:
         pc = 0
         steps = 0
         on_error: str | None = None
+        last_if = False  # reference status.get_if_result default
+        call_stack: list[int] = []  # return addresses for `call`
         while pc < len(lines):
             steps += 1
             if steps > self.max_steps:
@@ -166,17 +190,53 @@ class ScriptRunner:
                 lambda m_: res.variables.get(m_.group(1), m_.group(0)), cmd
             )
 
-            m = _IF_RE.match(cmd)
-            if m:
-                lhs, op, rhs, then_cmd = (
-                    _strip_quotes(m.group(1)),
-                    m.group(2).lower(),
-                    _strip_quotes(m.group(3)),
-                    m.group(4).strip(),
-                )
-                if not self._compare(lhs, op, rhs):
+            # conditional layer: if-then / bare-if / do / else may wrap
+            # another conditional (`do if … then …`), so unwrap in a loop
+            skip_line = False
+            while True:
+                m = _IF_RE.match(cmd)
+                if m:
+                    lhs, op, rhs, then_cmd = (
+                        _strip_quotes(m.group(1)),
+                        m.group(2).lower(),
+                        _strip_quotes(m.group(3)),
+                        m.group(4).strip(),
+                    )
+                    last_if = self._compare(lhs, op, rhs)
+                    if not last_if:
+                        skip_line = True
+                        break
+                    cmd = then_cmd  # branch re-enters control handling
                     continue
-                cmd = then_cmd  # the branch re-enters control handling below
+                m = _IF_BARE_RE.match(cmd)
+                if m:
+                    # bare `if` records the result for do/else
+                    last_if = self._compare(
+                        _strip_quotes(m.group(1)),
+                        m.group(2).lower(),
+                        _strip_quotes(m.group(3)),
+                    )
+                    skip_line = True
+                    break
+                m = _DO_ELSE_RE.match(cmd)
+                if m:
+                    want = m.group(1).lower() == "do"
+                    if last_if != want:
+                        skip_line = True
+                        break
+                    cmd = m.group(2).strip()
+                    continue
+                break
+            if skip_line:
+                continue
+
+            m = _WAIT_RE.match(cmd)
+            if m:
+                max_wait = int(m.group(1))
+                cond = (m.group(2) or "").strip()
+                if not cond or not self._condition(cond):
+                    self.sleep(max_wait)
+                continue
 
             if cmd.lower() == "end script":
                 res.ended_early = True
@@ -191,6 +251,22 @@ class ScriptRunner:
                     res.error = f"goto without declared label: {m.group(1)}"
                     return res
                 pc = labels[m.group(1)]
+                continue
+            m = re.match(r"^call\s+([\w.-]+)$", cmd, re.IGNORECASE)
+            if m:
+                # reference _return_goto: jump with a return address
+                if m.group(1) not in labels:
+                    res.error = f"call without declared label: {m.group(1)}"
+                    return res
+                call_stack.append(pc)
+                pc = labels[m.group(1)]
+                continue
+            if cmd.lower() == "return":
+                # reference _return_from_call: resume after the call;
+                # return from the root ends the script
+                if not call_stack:
+                    return res
+                pc = call_stack.pop()
                 continue
 
             m = _ASSIGN_RE.match(cmd)
@@ -231,6 +307,23 @@ class ScriptRunner:
                 return res
             res.executed.append((line_no, cmd, result))
         return res
+
+    def _condition(self, cond: str) -> bool:
+        """`wait N for <cond>`: a comparison, or a bare value whose
+        truth is "resolved and non-empty" (an unresolved `!name` is
+        left verbatim by substitution and counts as unmet — reference
+        _wait polls params.get_value_if_available)."""
+        m = re.match(
+            r"^(.+?)\s*(==|!=|>=|<=|>|<|\bcontains\b)\s*(.+?)$",
+            cond,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._compare(
+                _strip_quotes(m.group(1)), m.group(2).lower(), _strip_quotes(m.group(3))
+            )
+        v = _strip_quotes(cond)
+        return bool(v) and not v.startswith("!")
 
     @staticmethod
     def _compare(lhs: str, op: str, rhs: str) -> bool:

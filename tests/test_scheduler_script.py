@@ -345,3 +345,139 @@ def test_script_writes_node_dictionary(engine, tmp_path):
     assert d["landing"] == "/tmp/x" and d["n_docs"] == "42"
     # and interactive commands see script-written vars
     assert engine.run("echo !landing").collect()[0].echo == "/tmp/x"
+
+
+# ---------------------------------------------------- do / else / bare if
+
+
+def test_script_bare_if_do_else():
+    res, log = run_script(
+        [
+            "if 2 > 1",
+            "do get status",
+            "else get streaming",
+            "if 1 > 2",
+            "do get never",
+            "else get fallback",
+        ]
+    )
+    assert res.error is None
+    assert log == ["get status", "get fallback"]
+
+
+def test_script_if_then_sets_do_else_state():
+    # the then-form also records the result for a following do/else
+    res, log = run_script(
+        [
+            "if 1 == 1 then get first",
+            "do get second",
+            "if 1 == 2 then get never",
+            "else get third",
+        ]
+    )
+    assert res.error is None
+    assert log == ["get first", "get second", "get third"]
+
+
+def test_script_do_wraps_conditional_and_goto():
+    res, log = run_script(
+        [
+            "if 1 == 1",
+            "do goto done",
+            "get skipped",
+            ":done:",
+            "get end",
+        ]
+    )
+    assert res.error is None
+    assert log == ["get end"]
+
+
+# ------------------------------------------------------- call / return
+
+
+def test_script_call_and_return():
+    res, log = run_script(
+        [
+            "call sub",
+            "get after-call",
+            "end script",
+            ":sub:",
+            "get inside-sub",
+            "return",
+        ]
+    )
+    assert res.error is None
+    assert log == ["inside-sub".join(["get ", ""]), "get after-call"]
+    assert res.ended_early
+
+
+def test_script_return_from_root_ends():
+    res, log = run_script(["get one", "return", "get never"])
+    assert res.error is None
+    assert log == ["get one"]
+
+
+def test_script_call_unknown_label_errors():
+    res, _ = run_script(["call nowhere"])
+    assert res.error and "call without declared label" in res.error
+
+
+# --------------------------------------------------------------- wait
+
+
+def test_script_wait_sleeps_and_condition_skips():
+    slept = []
+    runner_log = []
+    r = ScriptRunner(lambda c: runner_log.append(c), sleep=slept.append)
+    res = r.run(
+        "\n".join(
+            [
+                "set ready = yes",
+                "wait 7",
+                "wait 5 for !ready",
+                "wait 3 for !missing",
+                "wait 4 for 2 > 1",
+            ]
+        )
+    )
+    assert res.error is None
+    # bare wait always sleeps; met conditions skip; unresolved !missing
+    # and the satisfied comparison behave per reference semantics
+    assert slept == [7, 3]
+
+
+# ------------------------------------------------------- print / incr
+
+
+def test_engine_print_and_incr(engine):
+    assert engine.run('print "hello world"').collect()[0].print == "hello world"
+    engine.run("set who = nodeA")
+    # print substitutes dictionary values like the reference _print
+    assert engine.run("print !who ready").collect()[0].print == "nodeA ready"
+    assert engine.run("incr 41").collect()[0].incr == 42
+    assert engine.run("incr 40 2").collect()[0].incr == 42
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.run("incr notanint")
+
+
+def test_script_incr_counter_loop(engine, tmp_path):
+    # the reference's canonical counter idiom: x = incr !x inside a
+    # goto loop, terminated by a bare if + do
+    script = tmp_path / "count.an"
+    script.write_text(
+        "\n".join(
+            [
+                "set n = 0",
+                ":loop:",
+                "n = incr !n",
+                "if !n < 3 then goto loop",
+                'print "done !n"',
+            ]
+        )
+    )
+    engine.run(f"process {script}")
+    d = {r.key: r.value for r in engine.run("get dictionary").collect()}
+    assert d["n"] == "3"
