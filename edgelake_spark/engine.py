@@ -521,6 +521,15 @@ class EdgeLakeEngine:
         if m:
             return self._blockchain_cmd(m.group(1).lower(), m.group(2).strip())
         m = _re.match(
+            r"create\s+policy\s+(\w+)(\s+with\s+defaults)?(?:\s+where\s+(.*))?$",
+            text,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            return self._create_policy(
+                m.group(1).lower(), bool(m.group(2)), m.group(3)
+            )
+        m = _re.match(
             r"get\s+data\s+nodes(\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL
         )
         if m:
@@ -651,6 +660,46 @@ class EdgeLakeEngine:
             if len(msg) >= 2 and msg[0] == msg[-1] and msg[0] in "\"'":
                 msg = msg[1:-1]
             return self.spark.createDataFrame([(msg,)], "print string")
+        m = _re.match(r"json\s+(.*?)(\s+test)?\s*$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference _to_json (`json [obj] [test]`): validate a JSON
+            # structure (dictionary `!name`s already substituted by the
+            # global pass). `test` returns true/false; the plain form
+            # returns the normalized JSON string (assignment form
+            # `cluster = json !my_policy` stores it).
+            import json as _json
+
+            payload, is_test = m.group(1).strip(), bool(m.group(2))
+            try:
+                normalized = _json.dumps(_json.loads(payload), separators=(",", ":"))
+            except ValueError:
+                if is_test:
+                    return self.spark.createDataFrame([("false",)], "json string")
+                raise ValueError(f"json: not a valid JSON structure: {payload[:80]!r}")
+            return self.spark.createDataFrame(
+                [("true" if is_test else normalized,)], "json string"
+            )
+        m = _re.match(r"python\s+(.+)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference _python: evaluate a Python expression over
+            # dictionary values (`new_dir = python !watch_dir.rsplit(…)`)
+            # — here SANDBOXED to pure expressions: no builtins, no
+            # dunder access, str/int/float/len/min/max/abs/round only
+            # (the reference eval()s arbitrary code; an analytics engine
+            # should not)
+            expr = m.group(1).strip()
+            if "__" in expr or "import" in expr:
+                raise ValueError("python: only pure expressions are allowed")
+            safe = {
+                "__builtins__": {},
+                "str": str, "int": int, "float": float, "len": len,
+                "min": min, "max": max, "abs": abs, "round": round,
+            }
+            try:
+                value = eval(expr, safe, {})  # noqa: S307 — sandboxed above
+            except Exception as exc:
+                raise ValueError(f"python: {exc}")
+            return self.spark.createDataFrame([(str(value),)], "python string")
         m = _re.match(r"incr\s+(\S+)(?:\s+(-?\d+))?\s*$", text, _re.IGNORECASE)
         if m:
             # reference _incr (member_cmd.py:12305): treat the operand as
@@ -959,6 +1008,48 @@ class EdgeLakeEngine:
         for k, v in _re.findall(r"\b(company|dbms|table)\s*=\s*(\S+)", where or ""):
             out[k] = v
         return out
+
+    #: per-type defaults for `create policy … with defaults` (reference
+    #: members/policies.py:212 default_values_: ip/internal_ip resolve
+    #: through the node dictionary, ports are the reference's fixed
+    #: per-role defaults)
+    _POLICY_DEFAULTS = {
+        "master": (("port", 32048), ("rest_port", 32049)),
+        "operator": (("port", 32148), ("rest_port", 32149)),
+        "query": (("port", 32348), ("rest_port", 32349)),
+        "publisher": (("port", 32248), ("rest_port", 32249)),
+    }
+
+    def _create_policy(self, ptype: str, defaults: bool, where: str | None):
+        """`create policy <type> [with defaults] where k = v and …`
+        (reference member_cmd.py:12231 create_policy): builds
+        ``{type: {k: v}}``; `with defaults` fills the per-role
+        ip/port defaults AND inserts into the ledger (id/date stamped
+        by PolicyStore.add); without defaults the policy is only
+        rendered, so the assignment form `x = create policy …` stores
+        the JSON in the node dictionary."""
+        import json as _json
+        import re as _re
+
+        inner: dict = {}
+        if where:
+            for k, v in _re.findall(
+                r"(\w+)\s*=\s*(\"[^\"]*\"|'[^']*'|\S+)", where
+            ):
+                inner[k] = v.strip("'\"")
+        if defaults:
+            for key, src in (("ip", "external_ip"), ("internal_ip", "ip")):
+                if key not in inner and self.params.get(src):
+                    inner[key] = str(self.params[src]).lower()
+            for key, value in self._POLICY_DEFAULTS.get(ptype, ()):
+                inner.setdefault(key, value)
+        policy = {ptype: inner}
+        if defaults:
+            self.policy_store.add(policy)
+            policy = self.policy_store.policies[-1]  # id/date-stamped form
+        return self.spark.createDataFrame(
+            [(_json.dumps(policy, separators=(",", ":")),)], "policy string"
+        )
 
     def _blockchain_cmd(self, verb: str, rest: str):
         """`blockchain insert/get/load/save` over the node's ledger

@@ -190,3 +190,49 @@ def test_bring_ip_port(engine):
     flat = [r[0] for r in out]
     assert any("10.0.0.1:32148" in str(v) for v in flat)
     assert any("10.0.0.2:32148" in str(v) for v in flat)
+
+
+def test_create_policy_render_and_insert(engine):
+    import json
+
+    # without defaults: rendered only, ledger unchanged
+    n0 = len(engine.policy_store.policies)
+    out = engine.run(
+        "create policy tag where company = acme and country = fr"
+    ).collect()[0].policy
+    body = json.loads(out)["tag"]
+    assert body == {"company": "acme", "country": "fr"}
+    assert len(engine.policy_store.policies) == n0
+
+    # with defaults: role ports filled, id/date stamped, ledger grows
+    out = engine.run(
+        "create policy operator with defaults where company = acme"
+    ).collect()[0].policy
+    body = json.loads(out)["operator"]
+    assert body["company"] == "acme"
+    assert body["port"] == 32148 and body["rest_port"] == 32149
+    assert body["id"] and body["date"]
+    assert len(engine.policy_store.policies) == n0 + 1
+    # and blockchain get sees it
+    got = engine.run("blockchain get operator where company = acme").collect()
+    assert any("32148" in str(r) for r in got)
+
+
+def test_json_validate_and_python_expr(engine):
+    # json: normalize / test (reference _to_json)
+    out = engine.run('json {"a": 1, "b": [2, 3]}').collect()[0].json
+    assert out == '{"a":1,"b":[2,3]}'
+    assert engine.run('json {"a": 1} test').collect()[0].json == "true"
+    assert engine.run("json not-json test").collect()[0].json == "false"
+
+    # python: sandboxed pure expressions over dictionary values
+    engine.run("set watch_dir = /data/watch/in")
+    out = engine.run("python '!watch_dir'.rsplit('/', 1)[0] + '.out'")
+    # the !name substitution happens before the handler; quotes keep it
+    # a string literal inside the expression
+    assert out.collect()[0].python == "/data/watch.out"
+    assert engine.run("python 1 + 2 * 3").collect()[0].python == "7"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.run("python __import__('os').getcwd()")
