@@ -660,6 +660,48 @@ class EdgeLakeEngine:
             if len(msg) >= 2 and msg[0] == msg[-1] and msg[0] in "\"'":
                 msg = msg[1:-1]
             return self.spark.createDataFrame([(msg,)], "print string")
+        m = _re.match(r"help(?:\s+(.*))?$", text, _re.IGNORECASE)
+        if m:
+            # reference _print_help (`help [prefix]`): command inventory
+            # with usage strings, filtered by prefix
+            prefix = (m.group(1) or "").strip().lower()
+            rows = [
+                (c, u) for c, u in _COMMAND_HELP if not prefix or c.startswith(prefix)
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "command string, usage string"
+            )
+        m = _re.match(
+            r"generate\s+insert\s+from\s+json\s+where\s+(.*)$",
+            text,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            return self._generate_insert(m.group(1))
+        m = _re.match(
+            r"config\s+from\s+policy\s+where\s+id\s*=\s*(\S+)\s*$",
+            text,
+            _re.IGNORECASE,
+        )
+        if m:
+            # reference config_from_policy: apply a config policy's
+            # key-values to the node settings (here: the dictionary,
+            # which every later command resolves through `!name`)
+            pid = m.group(1).strip("'\"")
+            for p in self.policy_store.policies:
+                ptype = next(iter(p)) if len(p) == 1 else None
+                body = p.get(ptype, {}) if ptype else {}
+                if str(body.get("id", "")) == pid:
+                    applied = []
+                    for k, v in body.items():
+                        if k in ("id", "date"):
+                            continue
+                        self.params[str(k)] = str(v)
+                        applied.append((str(k), str(v)))
+                    return self.spark.createDataFrame(
+                        applied or [], "key string, value string"
+                    )
+            raise ValueError(f"config from policy: no policy with id {pid}")
         m = _re.match(r"json\s+(.*?)(\s+test)?\s*$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
             # reference _to_json (`json [obj] [test]`): validate a JSON
@@ -1009,6 +1051,58 @@ class EdgeLakeEngine:
             out[k] = v
         return out
 
+    def _generate_insert(self, where: str):
+        """`generate insert from json where dbms_name = .. and
+        table_name = .. and json_file = .. [and sql_dir = ..]`
+        (reference member_cmd.py _map_json_to_insert /
+        json_to_sql/map_json_to_insert.py): each JSON-lines row becomes
+        an INSERT statement, typed by the same inference lattice as
+        `suggest create`; `sql_dir` also writes the .sql file the
+        reference drops for its SQL loader."""
+        import json as _json
+        import os as _os
+        import re as _re
+
+        opts = {
+            k.lower(): v.strip("'\"")
+            for k, v in _re.findall(r"(\w+)\s*=\s*(\"[^\"]*\"|'[^']*'|\S+)", where)
+        }
+        for req in ("dbms_name", "table_name", "json_file"):
+            if req not in opts:
+                raise ValueError(f"generate insert from json: missing {req} =")
+        with open(opts["json_file"]) as fh:
+            rows = [_json.loads(ln) for ln in fh if ln.strip()]
+        if not rows:
+            raise ValueError("generate insert from json: empty json file")
+        from edgelake_spark.ingest.infer import infer_schema
+
+        schema = infer_schema(rows)
+        target = f"{opts['dbms_name']}.{opts['table_name']}"
+        stmts = []
+        for row in rows:
+            cols, vals = [], []
+            for col, el_type in schema.items():
+                if col not in row or row[col] is None:
+                    continue
+                cols.append(col)
+                v = row[col]
+                if el_type in ("INT", "BIGINT", "FLOAT", "DECIMAL", "BOOLEAN"):
+                    vals.append(str(v).lower() if el_type == "BOOLEAN" else str(v))
+                else:
+                    vals.append("'" + str(v).replace("'", "''") + "'")
+            stmts.append(
+                f"INSERT INTO {target} ({', '.join(cols)}) VALUES ({', '.join(vals)});"
+            )
+        if opts.get("sql_dir"):
+            base = _os.path.splitext(_os.path.basename(opts["json_file"]))[0]
+            path = _os.path.join(opts["sql_dir"], base + ".sql")
+            _os.makedirs(opts["sql_dir"], exist_ok=True)
+            with open(path, "w") as fh:
+                fh.write("\n".join(stmts) + "\n")
+        return self.spark.createDataFrame(
+            [(s,) for s in stmts], "insert_statement string"
+        )
+
     #: per-type defaults for `create policy … with defaults` (reference
     #: members/policies.py:212 default_values_: ip/internal_ip resolve
     #: through the node dictionary, ports are the reference's fixed
@@ -1347,3 +1441,58 @@ class EdgeLakeEngine:
             if isinstance(f_.dataType, T.TimestampType):
                 df = df.withColumn(f_.name, F.from_utc_timestamp(F.col(f_.name), zone))
         return df
+
+
+#: `help [prefix]` inventory (reference _print_help): every command the
+#: engine's _try_admin/_try_dml/query surface accepts, with the usage
+#: shape. Kept flat so `help get` prefix-filters like the reference.
+_COMMAND_HELP = [
+    ("sql", 'sql <dbms> [format = ..][dest = ..][timezone = ..][extend = (..)][include = (..)][table = ..] "SELECT ..."'),
+    ("blockchain get", "blockchain get <type> [where k = v and ..] [bring[.variant] [paths]]"),
+    ("blockchain insert", "blockchain insert where policy = {..}"),
+    ("blockchain load", "blockchain load <path>"),
+    ("blockchain save", "blockchain save <path>"),
+    ("create policy", "create policy <type> [with defaults] where k = v and .."),
+    ("create view", "create view <dbms.view> (col type [as source], ..)"),
+    ("create table", "create table <dbms.table> from suggest create / DDL"),
+    ("config from policy", "config from policy where id = <policy id>"),
+    ("get rows count", "get rows count [where dbms = .. and table = .. and group = table][estimate]"),
+    ("get data nodes", "get data nodes [where company/dbms/table = ..]"),
+    ("get virtual tables", "get virtual tables [info]"),
+    ("get partitions", "get partitions [where dbms = .. and table = ..]"),
+    ("get dictionary", "get dictionary"),
+    ("get scheduler", "get scheduler [id]"),
+    ("get processes", "get processes"),
+    ("get status", "get status [where format = json and include = key]"),
+    ("get streaming", "get streaming"),
+    ("get files count", "get files count [where dbms = .. and table = ..]"),
+    ("get event log", "get event log [where keyword]  (also error/file/query/streaming log; reset .. log)"),
+    ("generate insert from json", "generate insert from json where dbms_name = .. and table_name = .. and json_file = .. [and sql_dir = ..]"),
+    ("info table", "info table <dbms.table> columns"),
+    ("suggest create", "suggest create <dbms.table> from <json file>"),
+    ("file store", "file store where dbms = .. and table = .. and file = .."),
+    ("file retrieve", "file retrieve where dbms = .. and table = .. [hash = ..][dest = ..]"),
+    ("partition", "partition <dbms> <table> using <column> by <n> <unit>"),
+    ("drop partition", "drop partition [where dbms = .. and table = ..]"),
+    ("run scheduler", "run scheduler [where wake = Ns]"),
+    ("run kafka consumer", "run kafka consumer where ip = .. and topic = (name = .. and dbms = .. and table = .. and column..)"),
+    ("run mqtt client", "run mqtt client where broker = .. and topic = (..)"),
+    ("schedule", "schedule time = <interval> [and name = ..] task <command>"),
+    ("task", "task stop|resume|remove|init|run where name = .. | id = .."),
+    ("process", "process <script file> [values..]"),
+    ("query status", "query status [all]"),
+    ("query explain", "query explain [job|last]"),
+    ("set", "set <name> = <value>  (empty value removes the key)"),
+    ("echo", "echo <message>"),
+    ("print", "print <text with !name substitution>"),
+    ("incr", "incr <int operand> [value]  (assignment form: x = incr !x 2)"),
+    ("json", "json <object> [test]"),
+    ("python", "python <pure expression>  (sandboxed: no builtins/imports)"),
+    ("wait", "wait <seconds> [for <condition>]  (scripts)"),
+    ("test table", "test table <dbms.table> where .."),
+    ("test node", "test node"),
+    ("data monitor", "data monitor where dbms = .. and intervals = .. and time = .."),
+    ("get data monitor", "get data monitor [where dbms = ..]"),
+    ("exit scheduler", "exit scheduler [id]"),
+    ("help", "help [command prefix]"),
+]

@@ -236,3 +236,45 @@ def test_json_validate_and_python_expr(engine):
 
     with _pytest.raises(Exception):
         engine.run("python __import__('os').getcwd()")
+
+
+def test_help_inventory_and_prefix(engine):
+    allrows = engine.run("help").collect()
+    assert len(allrows) > 30
+    gets = engine.run("help get").collect()
+    assert gets and all(r.command.startswith("get") for r in gets)
+    one = engine.run("help blockchain get").collect()
+    assert len(one) == 1 and "bring" in one[0].usage
+
+
+def test_generate_insert_from_json(engine, tmp_path):
+    f = tmp_path / "readings.json"
+    f.write_text(
+        '{"device": "d1", "value": 3, "ok": true}\n'
+        '{"device": "d\'2", "value": 4.5}\n'
+    )
+    out = engine.run(
+        f"generate insert from json where dbms_name = iot and "
+        f"table_name = readings and json_file = {f} and sql_dir = {tmp_path}/sql"
+    ).collect()
+    stmts = [r.insert_statement for r in out]
+    assert stmts[0] == (
+        "INSERT INTO iot.readings (device, value, ok) VALUES ('d1', 3, true);"
+    )
+    # value widened INT|FLOAT -> FLOAT applies per-row rendering of raw
+    # numbers; embedded quote doubles
+    assert "('d''2', 4.5)" in stmts[1]
+    assert (tmp_path / "sql" / "readings.sql").read_text().count("INSERT") == 2
+
+
+def test_config_from_policy(engine):
+    import json
+
+    out = engine.run(
+        "create policy config with defaults where node_name = edge-7 and threads = 12"
+    ).collect()[0].policy
+    pid = json.loads(out)["config"]["id"]
+    applied = {r.key: r.value for r in engine.run(f"config from policy where id = {pid}").collect()}
+    assert applied["node_name"] == "edge-7" and applied["threads"] == "12"
+    # the dictionary now resolves the keys in any command
+    assert engine.run("print !node_name").collect()[0].print == "edge-7"
