@@ -660,6 +660,9 @@ class EdgeLakeEngine:
             if len(msg) >= 2 and msg[0] == msg[-1] and msg[0] in "\"'":
                 msg = msg[1:-1]
             return self.spark.createDataFrame([(msg,)], "print string")
+        m = _re.match(r"time\s+file\s+(\w+)(?:\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            return self._time_file(m.group(1).lower(), (m.group(2) or "").strip())
         m = _re.match(r"help(?:\s+(.*))?$", text, _re.IGNORECASE)
         if m:
             # reference _print_help (`help [prefix]`): command inventory
@@ -1050,6 +1053,109 @@ class EdgeLakeEngine:
         for k, v in _re.findall(r"\b(company|dbms|table)\s*=\s*(\S+)", where or ""):
             out[k] = v
         return out
+
+    _TSD_SCHEMA = (
+        "tsd_table string, row_id int, dbms string, table_name string, "
+        "source string, hash string, instructions string, file_time string, "
+        "file_name string, status1 string, status2 string"
+    )
+
+    def _time_file(self, verb: str, rest: str):
+        """`time file rename/new/add/update/get/delete/drop` — TSD
+        provenance (see edgelake_spark/tsd.py; reference
+        member_cmd.py:18540). The entries are what the tsd_name/tsd_id
+        system columns on ingested rows point back to."""
+        import os as _os
+        import re as _re
+        import shlex as _shlex
+
+        from edgelake_spark import tsd as _tsd
+
+        if not hasattr(self, "tsd_store"):
+            self.tsd_store = _tsd.TsdStore()
+
+        def rows_df(entries):
+            rows = [
+                (
+                    e.table, e.row_id, e.dbms, e.table_name, e.source,
+                    e.hash, e.instructions, e.file_time, e.file_name,
+                    e.status1, e.status2,
+                )
+                for e in entries
+            ]
+            return self.spark.createDataFrame(rows or [], self._TSD_SCHEMA)
+
+        if verb == "rename":
+            m = _re.match(r"(\S+)\s+to\s+(.*)$", rest, _re.DOTALL)
+            if not m:
+                raise ValueError("time file rename <path> to dbms = .. and table = ..")
+            opts = {
+                k.lower(): v.strip("'\"")
+                for k, v in _re.findall(r"(\w+)\s*=\s*(\"[^\"]*\"|'[^']*'|\S+)", m.group(2))
+            }
+            if "dbms" not in opts or "table" not in opts:
+                raise ValueError("time file rename: dbms = and table = are required")
+            new_path = _tsd.rename_to_convention(
+                m.group(1),
+                opts["dbms"],
+                opts["table"],
+                source=opts.get("source", "0"),
+                hash_value=opts.get("hash"),
+                instructions=opts.get("instructions", "0"),
+                now=self.now,
+            )
+            return self.spark.createDataFrame([(new_path,)], "file string")
+        if verb in ("new", "add"):
+            parts = _shlex.split(rest)
+            if not parts:
+                raise ValueError(f"time file {verb} [file name] [status1] [status2]")
+            fname = parts[0]
+            if verb == "add" and not _os.path.exists(fname):
+                raise ValueError(f"time file add: file does not exist: {fname}")
+            entry = self.tsd_store.register(
+                fname,
+                status1=parts[1] if len(parts) > 1 else "",
+                status2=parts[2] if len(parts) > 2 else "",
+            )
+            return rows_df([entry])
+        if verb == "update":
+            parts = _shlex.split(rest)
+            if not parts:
+                raise ValueError("time file update [hash] [status1] [status2]")
+            n = self.tsd_store.update(
+                parts[0],
+                parts[1] if len(parts) > 1 else None,
+                parts[2] if len(parts) > 2 else None,
+            )
+            return self.spark.createDataFrame([(n,)], "updated int")
+        if verb == "delete":
+            m = _re.match(r"(\d+)\s+from\s+(\S+)$", rest)
+            if not m:
+                raise ValueError("time file delete [row id] from [tsd table]")
+            n = self.tsd_store.delete(int(m.group(1)), m.group(2))
+            return self.spark.createDataFrame([(n,)], "deleted int")
+        if verb == "drop":
+            what = rest.strip() or "all"
+            n = self.tsd_store.drop(what)
+            return self.spark.createDataFrame([(n,)], "dropped int")
+        if verb == "get":
+            entries = self.tsd_store.entries
+            m = _re.match(r"where\s+(.*)$", rest, _re.DOTALL)
+            if m:
+                flt = {
+                    k.lower(): v.strip("'\"")
+                    for k, v in _re.findall(r"(\w+)\s*=\s*(\"[^\"]*\"|'[^']*'|\S+)", m.group(1))
+                }
+                entries = [
+                    e
+                    for e in entries
+                    if all(
+                        str(getattr(e, {"table": "table_name"}.get(k, k), "")) == v
+                        for k, v in flt.items()
+                    )
+                ]
+            return rows_df(entries)
+        raise ValueError(f"time file: unknown method {verb!r}")
 
     def _generate_insert(self, where: str):
         """`generate insert from json where dbms_name = .. and
@@ -1489,6 +1595,7 @@ _COMMAND_HELP = [
     ("json", "json <object> [test]"),
     ("python", "python <pure expression>  (sandboxed: no builtins/imports)"),
     ("wait", "wait <seconds> [for <condition>]  (scripts)"),
+    ("time file", "time file rename|new|add|update|get|delete|drop .. (TSD provenance)"),
     ("test table", "test table <dbms.table> where .."),
     ("test node", "test node"),
     ("data monitor", "data monitor where dbms = .. and intervals = .. and time = .."),

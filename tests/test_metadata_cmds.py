@@ -278,3 +278,37 @@ def test_config_from_policy(engine):
     assert applied["node_name"] == "edge-7" and applied["threads"] == "12"
     # the dictionary now resolves the keys in any command
     assert engine.run("print !node_name").collect()[0].print == "edge-7"
+
+
+def test_time_file_provenance_roundtrip(engine, tmp_path):
+    # rename an arbitrary file into the TSD naming convention
+    raw = tmp_path / "batch.json"
+    raw.write_text('{"a": 1}\n')
+    new_path = engine.run(
+        f"time file rename {raw} to dbms = iot and table = readings and source = 42"
+    ).collect()[0].file
+    import os, re
+
+    assert os.path.exists(new_path) and not raw.exists()
+    base = os.path.basename(new_path)
+    assert re.match(r"iot\.readings\.42\.[0-9a-f]{32}\.0\.\d{12}\.json$", base)
+
+    # add validates existence and registers; new parses the name only
+    row = engine.run(f'time file add {new_path} "from publisher"').collect()[0]
+    assert row.tsd_table == "tsd_42" and row.row_id == 1
+    assert row.dbms == "iot" and row.table_name == "readings"
+    assert row.status1 == "from publisher"
+
+    # update by hash, get with filter, delete by row id
+    h = row.hash
+    assert engine.run(f'time file update {h} delivered archived').collect()[0].updated == 1
+    got = engine.run("time file get where dbms = iot").collect()
+    assert len(got) == 1 and got[0].status1 == "delivered" and got[0].status2 == "archived"
+    assert engine.run("time file delete 1 from tsd_42").collect()[0].deleted == 1
+    assert engine.run("time file get").collect() == []
+
+    # non-convention names are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.run("time file new not-a-convention-name.json")
