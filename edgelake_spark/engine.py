@@ -660,6 +660,54 @@ class EdgeLakeEngine:
             if len(msg) >= 2 and msg[0] == msg[-1] and msg[0] in "\"'":
                 msg = msg[1:-1]
             return self.spark.createDataFrame([(msg,)], "print string")
+        m = _re.match(
+            r"stream\s+(\{.*\}|\[.*\])\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            # reference stream_data (`stream [json] where dbms = .. and
+            # table = ..`): push rows into the table's ingest buffer —
+            # the command-line door into the same path REST PUT uses
+            # (rows type-inferred, unioned into the __ingest_<table>
+            # view the query layer resolves)
+            import json as _json
+
+            opts = {
+                k.lower(): v.strip("'\"")
+                for k, v in _re.findall(r"(\w+)\s*=\s*(\"[^\"]*\"|'[^']*'|\S+)", m.group(2))
+            }
+            if "table" not in opts:
+                raise ValueError("stream: table = is required")
+            payload = _json.loads(m.group(1))
+            rows = payload if isinstance(payload, list) else [payload]
+            from edgelake_spark.ingest.infer import rows_to_dataframe
+
+            df = rows_to_dataframe(self.spark, rows)
+            table = opts["table"]
+            name = f"{opts['dbms']}.{table}" if opts.get("dbms") else table
+            view = f"__ingest_{table}"
+            if self.spark.catalog.tableExists(view):
+                df = self.spark.table(view).unionByName(df, allowMissingColumns=True)
+            df.createOrReplaceTempView(view)
+            self.views[name] = view
+            self.views[table] = view
+            return self.spark.createDataFrame(
+                [(len(rows), name)], "ingested int, table string"
+            )
+        m = _re.match(r"from\s+(\{.*\})\s+(bring\b.*)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference _execute_from (`from [json] bring [paths] …`):
+            # the bring language over an arbitrary JSON object — the
+            # scripts' standard way to pull fields out of a policy
+            # variable (`ip_port = from !selected_operator bring
+            # ['operator']['ip'] ":" ['operator']['port']`). Reuses the
+            # ledger's bring evaluator on a one-object list.
+            import json as _json
+
+            obj = _json.loads(m.group(1))
+            result = self.policy_store.run_bring([obj], m.group(2), "*")
+            if isinstance(result, list):
+                result = "".join(str(v) for v in result)
+            return self.spark.createDataFrame([(str(result),)], "from string")
         m = _re.match(r"time\s+file\s+(\w+)(?:\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
             return self._time_file(m.group(1).lower(), (m.group(2) or "").strip())
@@ -1596,6 +1644,8 @@ _COMMAND_HELP = [
     ("python", "python <pure expression>  (sandboxed: no builtins/imports)"),
     ("wait", "wait <seconds> [for <condition>]  (scripts)"),
     ("time file", "time file rename|new|add|update|get|delete|drop .. (TSD provenance)"),
+    ("stream", "stream <json row or array> where dbms = .. and table = .."),
+    ("from", "from <json> bring [paths] \"literals\" [separator = ..]"),
     ("test table", "test table <dbms.table> where .."),
     ("test node", "test node"),
     ("data monitor", "data monitor where dbms = .. and intervals = .. and time = .."),

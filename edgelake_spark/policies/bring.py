@@ -263,6 +263,13 @@ class PolicyStore:
 
 def _pull(obj, path: list[str]) -> str | None:
     cur = obj
+    # path segments may be quoted (`['operator']['ip']` — the `from`
+    # command's idiom) or bare (`[operator][ip]`); both reference forms
+    # address the same attribute (utils_json.py pull accepts either)
+    path = [
+        s[1:-1] if len(s) >= 2 and s[0] == s[-1] and s[0] in "\"'" else s
+        for s in path
+    ]
     for idx, seg in enumerate(path):
         if seg == "":
             if not isinstance(cur, list):

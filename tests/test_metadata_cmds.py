@@ -312,3 +312,28 @@ def test_time_file_provenance_roundtrip(engine, tmp_path):
 
     with _pytest.raises(Exception):
         engine.run("time file new not-a-convention-name.json")
+
+
+def test_from_json_bring(engine):
+    engine.run(
+        'set selected_operator = {"operator": {"ip": "10.0.0.7", "port": 32148}}'
+    )
+    out = engine.run(
+        "from !selected_operator bring ['operator']['ip'] \":\" ['operator']['port']"
+    ).collect()[0]["from"]
+    assert out == "10.0.0.7:32148"
+
+
+def test_stream_command_buffers_rows(engine):
+    engine.run(
+        'stream {"device": "d1", "value": 3} where dbms = iot and table = pings'
+    )
+    out = engine.run(
+        'stream [{"device": "d2", "value": 5}, {"device": "d3", "value": 7}] '
+        "where dbms = iot and table = pings"
+    ).collect()[0]
+    assert out.ingested == 2
+    rows = engine.run(
+        'sql iot "SELECT device, value FROM pings ORDER BY device"'
+    ).collect()
+    assert [(r.device, r.value) for r in rows] == [("d1", 3), ("d2", 5), ("d3", 7)]
