@@ -661,6 +661,59 @@ class EdgeLakeEngine:
                 msg = msg[1:-1]
             return self.spark.createDataFrame([(msg,)], "print string")
         m = _re.match(
+            r"monitor\s+(\w+)\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            # reference monitor.monitor_info (`monitor <topic> where
+            # ip = .. and name = .. and info = {json}`): nodes push
+            # status structs per topic; `get monitored [topic]` reads
+            # them back with the update time
+            import json as _json
+            from datetime import datetime as _dt
+
+            topic = m.group(1).lower()
+            rest = m.group(2)
+            im = _re.search(r"info\s*=\s*(\{.*\})\s*$", rest, _re.DOTALL)
+            if not im:
+                raise ValueError("monitor: info = {json} is required")
+            info = _json.loads(im.group(1))
+            opts = {
+                k.lower(): v.strip("'\"")
+                for k, v in _re.findall(
+                    r"(\w+)\s*=\s*(\"[^\"]*\"|'[^']*'|\S+)", rest[: im.start()]
+                )
+            }
+            node = opts.get("name") or opts.get("ip") or "local"
+            if opts.get("name") and opts.get("ip"):
+                node = f"{opts['name']}@{opts['ip']}"
+            if not hasattr(self, "monitor_status"):
+                self.monitor_status = {}
+            stamp = (self.now or _dt.now()).strftime("%Y-%m-%d %H:%M:%S")
+            self.monitor_status.setdefault(topic, {})[node] = {
+                **info,
+                "Update time": stamp,
+            }
+            return self.spark.createDataFrame(
+                [(topic, node, len(info))], "topic string, node string, n_keys int"
+            )
+        m = _re.match(r"get\s+monitored(?:\s+(\w+))?$", text, _re.IGNORECASE)
+        if m:
+            import json as _json
+
+            store = getattr(self, "monitor_status", {})
+            if not m.group(1):
+                return self.spark.createDataFrame(
+                    [(t,) for t in sorted(store)] or [], "topic string"
+                )
+            topic = m.group(1).lower()
+            if topic not in store:
+                raise ValueError(f"get monitored: topic not monitored: {topic}")
+            rows = [
+                (node, _json.dumps(info, separators=(",", ":")))
+                for node, info in sorted(store[topic].items())
+            ]
+            return self.spark.createDataFrame(rows, "node string, info string")
+        m = _re.match(
             r"stream\s+(\{.*\}|\[.*\])\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL
         )
         if m:
@@ -1645,6 +1698,8 @@ _COMMAND_HELP = [
     ("wait", "wait <seconds> [for <condition>]  (scripts)"),
     ("time file", "time file rename|new|add|update|get|delete|drop .. (TSD provenance)"),
     ("stream", "stream <json row or array> where dbms = .. and table = .."),
+    ("monitor", "monitor <topic> where ip = .. and name = .. and info = {json}"),
+    ("get monitored", "get monitored [topic]"),
     ("from", "from <json> bring [paths] \"literals\" [separator = ..]"),
     ("test table", "test table <dbms.table> where .."),
     ("test node", "test node"),

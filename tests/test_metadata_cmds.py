@@ -337,3 +337,25 @@ def test_stream_command_buffers_rows(engine):
         'sql iot "SELECT device, value FROM pings ORDER BY device"'
     ).collect()
     assert [(r.device, r.value) for r in rows] == [("d1", 3), ("d2", 5), ("d3", 7)]
+
+
+def test_monitor_topics_roundtrip(engine):
+    import json
+
+    engine.run(
+        'monitor operator where ip = 10.0.0.7 and name = op1 and '
+        'info = {"total events": 1000, "events per second": 10}'
+    )
+    engine.run(
+        'monitor operator where ip = 10.0.0.8 and name = op2 and '
+        'info = {"total events": 500}'
+    )
+    topics = [r.topic for r in engine.run("get monitored").collect()]
+    assert topics == ["operator"]
+    nodes = {r.node: json.loads(r.info) for r in engine.run("get monitored operator").collect()}
+    assert nodes["op1@10.0.0.7"]["total events"] == 1000
+    assert "Update time" in nodes["op2@10.0.0.8"]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.run("get monitored nosuch")
