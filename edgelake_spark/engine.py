@@ -1035,6 +1035,19 @@ class EdgeLakeEngine:
                 [(sched.sched_id, task.task_id, task.name or "", task.mode)],
                 "scheduler_id int, task_id int, name string, mode string",
             )
+        m = _re.match(r"event\s+(\S+)(?:\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference _event_trigger: an event name resolves through
+            # the node dictionary to a script file, which runs with the
+            # event's arguments as positional values
+            import shlex as _shlex
+
+            script = self.params.get(m.group(1))
+            if not script:
+                raise ValueError(f"Missing script for event: {m.group(1)}")
+            return self.run(
+                "process " + script + (" " + " ".join(_shlex.split(m.group(2))) if m.group(2) else "")
+            )
         m = _re.match(r"process\s+(\S+)(\s+(.*))?$", text, _re.IGNORECASE)
         if m and (m.group(1).startswith(("/", "./", "~")) or "." in m.group(1)):
             from edgelake_spark.script import run_script_file
@@ -1687,6 +1700,7 @@ _COMMAND_HELP = [
     ("schedule", "schedule time = <interval> [and name = ..] task <command>"),
     ("task", "task stop|resume|remove|init|run where name = .. | id = .."),
     ("process", "process <script file> [values..]"),
+    ("event", "event <name> [args..]  (name resolves to a script via the dictionary)"),
     ("query status", "query status [all]"),
     ("query explain", "query explain [job|last]"),
     ("set", "set <name> = <value>  (empty value removes the key)"),

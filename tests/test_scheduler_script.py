@@ -481,3 +481,18 @@ def test_script_incr_counter_loop(engine, tmp_path):
     engine.run(f"process {script}")
     d = {r.key: r.value for r in engine.run("get dictionary").collect()}
     assert d["n"] == "3"
+
+
+def test_event_runs_registered_script(engine, tmp_path):
+    script = tmp_path / "on_file.an"
+    script.write_text(
+        "variables (fname)\nset last_file = !fname\n"
+    )
+    engine.run(f"set file_processed = {script}")
+    engine.run("event file_processed batch-17.json")
+    d = {r.key: r.value for r in engine.run("get dictionary").collect()}
+    assert d["last_file"] == "batch-17.json"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.run("event unknown_event")
