@@ -80,6 +80,7 @@ _DEFER = (
     "emb_bq_hamming_topk",
     "emb_bq_recall",
     "doc_bm25_topk",
+    "orders_bucketed_join",
 )
 
 

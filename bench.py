@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "emb_bq_hamming_topk",
     "emb_bq_recall",
     "doc_bm25_topk",
+    "orders_bucketed_join",
 ]
 
 

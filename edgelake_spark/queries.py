@@ -4525,3 +4525,72 @@ _q(
     _sql(_bm25_sql("spark", "documents_rep"), rep=("documents",)),
     _bm25_sql("duck", "documents"),
 )
+
+
+# ---------------------------------------------- bucketed co-located join
+
+_BUCKETED_JOIN_BODY = """
+SELECT /*+ MERGE(l) */ o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM {orders} o JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+# MERGE hint: at sf0.01 Catalyst would broadcast the filtered orders
+# side — right for tiny data, but the gate exists to pin the 100 TB
+# plan, where both fact sides exceed any broadcast threshold and the
+# bucketed layout turns the SortMergeJoin exchange-free. DuckDB reads
+# the hint as a comment.
+
+
+def _run_bucketed_join(spark, sf_dir):
+    """Fact-to-fact join over PRE-BUCKETED tables: both sides are
+    written once with bucketBy(8, orderkey) + sortBy (the offline
+    layout build — same lifecycle as the PQ/IVF index tables), after
+    which every orderkey join is co-located: SortMergeJoin with ZERO
+    Exchange on either side (plan-tested). This is the bucketing move
+    that kills the biggest shuffle in a 100 TB star join — at cluster
+    scale the layout is written by the ingest pipeline, and every
+    downstream join/aggregation on the bucket key reuses it for free.
+
+    The bucketed copies live in the session warehouse, keyed by the
+    dataset dir, and are reused across calls like the persisted ANN
+    indexes."""
+    import hashlib
+
+    register_sf_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = {}
+    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bucketed_{table}_{tag}"
+        if not spark.catalog.tableExists(name):
+            # a previous SESSION may have left the files without the
+            # (in-memory) catalog entry — clear the stale location, the
+            # bucket metadata only lives in the catalog
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+            if wh:
+                shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+            (
+                spark.table(table)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        names[table] = name
+    return spark.sql(
+        _BUCKETED_JOIN_BODY.format(orders=names["orders"], lineitem=names["lineitem"])
+    )
+
+
+_q(
+    "orders_bucketed_join",
+    _run_bucketed_join,
+    _BUCKETED_JOIN_BODY.format(orders="orders", lineitem="lineitem"),
+)

@@ -290,3 +290,15 @@ def test_bm25_scan_and_score_no_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 0
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    df = SPARK_QUERIES["orders_bucketed_join"](spark, SF_DIR_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both fact tables are pre-bucketed on the join key: the join runs
+    # co-located — no Exchange feeds the SortMergeJoin; the only hash
+    # exchange in the plan is the tiny post-join re-aggregation
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[1]
+    assert "Exchange hashpartitioning" not in join_part
+    assert "SelectedBucketsCount" in plan
