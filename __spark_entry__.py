@@ -81,6 +81,8 @@ _DEFER = (
     "emb_bq_recall",
     "doc_bm25_topk",
     "orders_bucketed_join",
+    "events_funnel",
+    "doc_pagerank3",
 )
 
 

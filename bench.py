@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "emb_bq_recall",
     "doc_bm25_topk",
     "orders_bucketed_join",
+    "events_funnel",
+    "doc_pagerank3",
 ]
 
 

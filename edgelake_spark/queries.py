@@ -4594,3 +4594,125 @@ _q(
     _run_bucketed_join,
     _BUCKETED_JOIN_BODY.format(orders="orders", lineitem="lineitem"),
 )
+
+
+# ------------------------------------------------------ funnel analysis
+
+
+def _funnel_sql(table: str) -> str:
+    """Ordered-step funnel (view → click → purchase): per user the
+    first view, the first click within 24 h after it, the first
+    purchase within 24 h after that — the product-analytics staple
+    (at sf0.01: 150 -> 60 -> 25 users). Emits one row
+    per step with the surviving-user count and the conversion rate
+    from the previous step (BIGINT division through DOUBLE — exact
+    operands, deterministic on both engines).
+
+    Scale shape: each step is a type-filtered min() aggregate on
+    user_id — the first shuffle establishes the user partitioning and
+    the step joins reuse the same key; step tables only shrink. No
+    windows, no self-join over raw events."""
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM {table}
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM {table} e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM {table} e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND e.ts <= s2.t + INTERVAL 24 HOUR GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT step, step_name, n_users,
+  CAST(n_users AS DOUBLE)
+    / CAST(greatest(lag(n_users, 1, n_users) OVER (ORDER BY step), 1) AS DOUBLE)
+    AS conv_from_prev
+FROM counts
+ORDER BY step
+"""
+
+
+_q("events_funnel", _sql(_funnel_sql("events")), _funnel_sql("events"))
+
+
+# ---------------------------------------- PageRank over the dedup graph
+
+
+def _pagerank_body(pairs: str, iters: int = 3, d: float = 0.85) -> str:
+    """PageRank (3 unrolled Jacobi iterations, damping 0.85) over the
+    UNDIRECTED MinHash near-duplicate graph — ranking duplicate-cluster
+    centrality, e.g. to pick the canonical copy. Every node has
+    degree >= 1 (nodes exist only via pairs), so there is no dangling
+    mass; the (1-d)/N teleport term keeps the distribution proper.
+
+    Determinism: the per-neighbor contribution pr/deg is an IEEE double
+    division; the neighbor SUM is decimal-staged (exact, order-free);
+    iterations are unrolled CTEs so both engines execute the identical
+    dataflow. Scale shape: edges come from the LSH band join (linear in
+    collisions), each iteration is ONE shuffle on dst joined back on a
+    co-located key; production would checkpoint each iteration, exactly
+    like functions/dedup.py's pointer-jumping CC."""
+    sql = f"""
+WITH edges AS (
+  SELECT id1 AS src, id2 AS dst FROM {pairs}
+  UNION ALL
+  SELECT id2, id1 FROM {pairs}
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+pr0 AS (
+  SELECT id, CAST(1.0 AS DOUBLE) / CAST(n.n AS DOUBLE) AS pr FROM nodes CROSS JOIN n
+)"""
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        sql += f""",
+pr{k} AS (
+  SELECT nodes.id,
+    {1.0 - d:.2f} / CAST(n.n AS DOUBLE)
+      + {d} * CAST(coalesce(s.acc, 0) AS DOUBLE) AS pr
+  FROM nodes CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS id,
+           SUM(CAST(p.pr / CAST(d2.deg AS DOUBLE) AS DECIMAL(30,15))) AS acc
+    FROM edges e
+    JOIN {prev} p ON p.id = e.src
+    JOIN deg d2 ON d2.id = e.src
+    GROUP BY e.dst
+  ) s ON s.id = nodes.id
+)"""
+        prev = f"pr{k}"
+    sql += f"""
+SELECT p.id AS doc_id, p.pr AS pagerank, deg.deg
+FROM {prev} p JOIN deg ON deg.id = p.id
+ORDER BY pagerank DESC, doc_id
+LIMIT 20
+"""
+    return sql
+
+
+def _run_pagerank(spark, sf_dir):
+    pairs = SPARK_QUERIES["doc_minhash_pairs"](spark, sf_dir)
+    pairs.localCheckpoint().createOrReplaceTempView("__pr_pairs")
+    return spark.sql(_pagerank_body("__pr_pairs"))
+
+
+_q(
+    "doc_pagerank3",
+    _run_pagerank,
+    f"WITH pairs AS ({ORACLE_SQL['doc_minhash_pairs']})"
+    + _pagerank_body("pairs").replace("\nWITH edges AS", ", edges AS", 1),
+)

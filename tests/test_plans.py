@@ -302,3 +302,14 @@ def test_bucketed_join_no_exchange(spark):
     join_part = plan.split("SortMergeJoin")[1]
     assert "Exchange hashpartitioning" not in join_part
     assert "SelectedBucketsCount" in plan
+
+
+def test_funnel_and_pagerank_no_cartesian(spark):
+    for name in ("events_funnel", "doc_pagerank3"):
+        plan = plan_of(spark, name)
+        # 1-row stat CTEs ride BroadcastNestedLoop (fine); a true
+        # CartesianProduct would mean a keyless data-sized join
+        assert "CartesianProduct" not in plan, name
+    plan = plan_of(spark, "events_funnel")
+    # the only window is the lag over the 3-row step table
+    assert plan.count("Window") <= 1
