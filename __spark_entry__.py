@@ -83,6 +83,9 @@ _DEFER = (
     "orders_bucketed_join",
     "events_funnel",
     "doc_pagerank3",
+    "doc_lang_confusion",
+    "events_seasonal",
+    "doc_minhash_calibration",
 )
 
 

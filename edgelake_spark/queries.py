@@ -4716,3 +4716,158 @@ _q(
     f"WITH pairs AS ({ORACLE_SQL['doc_minhash_pairs']})"
     + _pagerank_body("pairs").replace("\nWITH edges AS", ", edges AS", 1),
 )
+
+
+# --------------------------------------------- classifier eval matrix
+
+
+def _lang_confusion_sql(engine: str, docs: str) -> str:
+    """Confusion matrix of the stopword language-ID heuristic against
+    the labeled lang column — the evaluate-the-classifier shape every
+    filter pipeline needs before trusting a model's keep/drop calls.
+    Per (actual, predicted) cell: count and the cell's share of the
+    actual class (recall decomposition). Map-side prediction, ONE
+    narrow (lang, pred) shuffle over <= |langs|^2 cells."""
+    pred = (
+        tx.spark_language_id("text") if engine == "spark" else tx.duck_language_id("text")
+    )
+    return f"""
+WITH p AS (
+  SELECT lang, {pred} AS pred_lang FROM {docs}
+),
+cells AS (
+  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY lang, pred_lang
+),
+cls AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_class FROM cells GROUP BY lang
+)
+SELECT c.lang, c.pred_lang, c.n,
+       CAST(c.n AS DOUBLE) / CAST(cls.n_class AS DOUBLE) AS frac_of_class
+FROM cells c JOIN cls ON cls.lang = c.lang
+ORDER BY c.lang, c.pred_lang
+"""
+
+
+_q(
+    "doc_lang_confusion",
+    _sql(_lang_confusion_sql("spark", "documents_rep"), rep=("documents",)),
+    _lang_confusion_sql("duck", "documents"),
+)
+
+
+# ------------------------------------- seasonal decomposition (additive)
+
+
+def _seasonal_sql(table: str) -> str:
+    """Additive seasonal decomposition, STL-lite with EXACT arithmetic:
+    hourly value means → centered 25-hour moving-average trend →
+    mean residual per hour-of-day as the seasonal component. Every mean
+    is a decimal-staged sum over a count (order-free, engine-exact);
+    no loess/libm anywhere. Output: one row per hour-of-day with the
+    seasonal offset — the shape monitoring dashboards subtract before
+    anomaly thresholds.
+
+    Scale shape: the hourly rollup is the only full-data shuffle; the
+    trend window partitions by nothing but runs over the ~e3-row hourly
+    table (BOUNDED, whatever the raw volume — document the contrast
+    with windows over raw events); the seasonal groupBy is 24 rows."""
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / CAST(count(*) AS BIGINT) AS v
+  FROM {table} WHERE value IS NOT NULL GROUP BY date_trunc('hour', ts)
+),
+trend AS (
+  SELECT h, v,
+         CAST(SUM(CAST(v AS DECIMAL(25,6))) OVER w AS DOUBLE)
+           / CAST(count(*) OVER w AS BIGINT) AS t,
+         CAST(count(*) OVER w AS BIGINT) AS w_n
+  FROM hourly
+  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+resid AS (
+  SELECT CAST(extract(hour FROM h) AS BIGINT) AS hour_of_day, v - t AS r
+  FROM trend WHERE w_n = 25
+)
+SELECT hour_of_day,
+       CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / CAST(count(*) AS BIGINT) AS seasonal,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM resid
+GROUP BY hour_of_day
+ORDER BY hour_of_day
+"""
+
+
+_q("events_seasonal", _sql(_seasonal_sql("events")), _seasonal_sql("events"))
+
+
+# --------------------------------------- MinHash estimator calibration
+
+
+def _minhash_calibration_sql(engine: str, docs: str, pairs: str) -> str:
+    """Calibration of the MinHash signature estimator: for every LSH
+    candidate pair, the banded estimate (matching signature fraction)
+    against the EXACT word-shingle Jaccard — the same quality pin the
+    recall@5 gates give the ANN indexes. Summarizes per estimate level
+    (est_sim is k/16, so <= 17 groups): pair count, exact-Jaccard mean
+    (per-pair values scaled to integer 1e-9 grid before the sum — a
+    double->DECIMAL cast rounds half-up on one engine and half-even on
+    the other for full-precision doubles; floor(x*1e9+0.5) is the same
+    IEEE operation sequence on both), and the worst under/over-estimate. A banding or
+    signature regression shifts these and hash-fails.
+
+    Scale shape: the exact Jaccard runs ONLY on LSH candidates
+    (O(collisions)); shingle sets join back by doc_id on co-located
+    keys; the summary groupBy is 17 rows."""
+    if engine == "spark":
+        toks = tx.spark_tokens("text")
+        # jaccard is SET semantics: dedup the shingle arrays (repeated
+        # phrases would otherwise count differently across engines)
+        sh = f"array_distinct({dd.spark_shingles_over('toks')})"
+        jac = dd.spark_jaccard("a.sh", "b.sh")
+    else:
+        toks = tx.duck_tokens("text")
+        sh = f"list_distinct({dd.duck_shingles_over('toks')})"
+        jac = dd.duck_jaccard("a.sh", "b.sh")
+    return f"""
+WITH sets AS (
+  SELECT doc_id, {sh} AS sh
+  FROM (SELECT doc_id, {toks} AS toks FROM {docs}) t
+),
+scored AS (
+  SELECT p.id1, p.id2, p.est_sim, {jac} AS exact_jac
+  FROM {pairs} p
+  JOIN sets a ON a.doc_id = p.id1
+  JOIN sets b ON b.doc_id = p.id2
+)
+SELECT est_sim,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CAST(floor(exact_jac * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000000.0 / CAST(count(*) AS BIGINT) AS mean_exact,
+  min(exact_jac) AS min_exact,
+  max(exact_jac) AS max_exact
+FROM scored
+GROUP BY est_sim
+ORDER BY est_sim
+"""
+
+
+def _run_minhash_calibration(spark, sf_dir):
+    pairs = SPARK_QUERIES["doc_minhash_pairs"](spark, sf_dir)
+    pairs.localCheckpoint().createOrReplaceTempView("__cal_pairs")
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    return spark.sql(
+        _minhash_calibration_sql("spark", "documents_rep", "__cal_pairs")
+    )
+
+
+_q(
+    "doc_minhash_calibration",
+    _run_minhash_calibration,
+    f"WITH mh_pairs AS ({ORACLE_SQL['doc_minhash_pairs']})"
+    + _minhash_calibration_sql("duck", "documents", "mh_pairs").replace(
+        "\nWITH sets AS", ", sets AS", 1
+    ),
+)
