@@ -86,6 +86,8 @@ _DEFER = (
     "doc_lang_confusion",
     "events_seasonal",
     "doc_minhash_calibration",
+    "events_cusum",
+    "events_markov",
 )
 
 

@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "doc_lang_confusion",
     "events_seasonal",
     "doc_minhash_calibration",
+    "events_cusum",
+    "events_markov",
 ]
 
 

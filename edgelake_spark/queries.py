@@ -4871,3 +4871,84 @@ _q(
         "\nWITH sets AS", ", sets AS", 1
     ),
 )
+
+
+# ------------------------------------------------- CUSUM changepoint
+
+
+def _cusum_sql(table: str) -> str:
+    """CUSUM changepoint scan per event_type: cumulative sum of
+    (value - global mean) along time; the argmax |CUSUM| position is
+    the most likely single changepoint (Page 1954 / binary-seg step 1).
+    Exact arithmetic end-to-end: the mean is a decimal-staged sum over
+    a count, deviations stage through DECIMAL before the running sum,
+    and the argmax is a max_by-free two-phase window with (ts,
+    event_id) tie-break.
+
+    Scale shape: one (event_type) shuffle shared by the running-sum
+    window and the final per-type argmax aggregate; the global means
+    are a broadcast 5-row table."""
+    return f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / CAST(count(*) AS BIGINT) AS mu
+  FROM {table} WHERE value IS NOT NULL GROUP BY event_type
+),
+cusum AS (
+  SELECT e.event_type, e.ts, e.event_id,
+    CAST(SUM(CAST(e.value - s.mu AS DECIMAL(25,6)))
+           OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS c
+  FROM {table} e JOIN stats s ON s.event_type = e.event_type
+  WHERE e.value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, ts, event_id, c,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(c) DESC, ts, event_id) AS rn
+  FROM cusum
+)
+SELECT event_type, ts AS changepoint_ts, event_id, c AS cusum_peak
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+_q("events_cusum", _sql(_cusum_sql("events")), _cusum_sql("events"))
+
+
+# -------------------------------------------- Markov transition matrix
+
+
+def _markov_sql(table: str) -> str:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type) with counts — the behavioral model
+    behind next-action prediction and anomalous-session scoring.
+
+    Scale shape: ONE (user_id) shuffle feeds the lag window; the
+    (from, to) aggregate is <= |types|^2 cells with map-side partial
+    counts. Probabilities are BIGINT/BIGINT through DOUBLE — exact
+    operands, engine-identical."""
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM {table}
+),
+cells AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+totals AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM cells GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM cells c JOIN totals t ON t.from_type = c.from_type
+ORDER BY c.from_type, c.to_type
+"""
+
+
+_q("events_markov", _sql(_markov_sql("events")), _markov_sql("events"))
