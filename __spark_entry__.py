@@ -88,6 +88,8 @@ _DEFER = (
     "doc_minhash_calibration",
     "events_cusum",
     "events_markov",
+    "events_quantiles",
+    "events_profile",
 )
 
 

@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "doc_minhash_calibration",
     "events_cusum",
     "events_markov",
+    "events_quantiles",
+    "events_profile",
 ]
 
 

@@ -4952,3 +4952,75 @@ ORDER BY c.from_type, c.to_type
 
 
 _q("events_markov", _sql(_markov_sql("events")), _markov_sql("events"))
+
+
+# ----------------------------------------------- exact group quantiles
+
+
+def _quantiles_sql(table: str) -> str:
+    """EXACT p50/p95/p99 of value per event_type — the observability
+    staple — computed as order statistics (rank = ceil(q*n)) instead of
+    percentile functions, whose interpolation rules differ between
+    engines (doc_corpus_stats pioneered the trick for the median).
+
+    Scale shape: ONE (event_type) shuffle feeds both the rank window
+    and the count; the quantile pick is a filtered aggregate. At
+    production scale a t-digest sketch would replace this for
+    streaming; the exact form is the ground truth it calibrates
+    against."""
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM {table} WHERE value IS NOT NULL
+)
+SELECT event_type,
+  max(n) AS n,
+  min(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN value END) AS p50,
+  min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95,
+  min(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99,
+  min(value) AS min_v, max(value) AS max_v
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+_q("events_quantiles", _sql(_quantiles_sql("events")), _quantiles_sql("events"))
+
+
+# ---------------------------------------------- one-pass table profile
+
+
+def _profile_sql(engine: str, table: str) -> str:
+    """Single-pass data-profile of the events table (the `ANALYZE
+    TABLE`/data-quality shape): per column — null fraction, distinct
+    count, min/max — one row per column, each a conditional aggregate
+    over ONE scan (no per-column re-reads). Renders that could diverge
+    between engines are pinned: doubles go through DECIMAL(25,6),
+    timestamps render as integer epoch MICROSECONDS (a string cast
+    trims trailing zeros differently across engines)."""
+    us = "unix_micros(ts)" if engine == "spark" else "epoch_us(ts)"
+    cols = [
+        ("event_id", "CAST(event_id AS STRING)"),
+        ("ts", f"CAST({us} AS STRING)"),
+        ("user_id", "CAST(user_id AS STRING)"),
+        ("event_type", "event_type"),
+        ("value", "CAST(CAST(value AS DECIMAL(25,6)) AS STRING)"),
+    ]
+    parts = []
+    for name, render in cols:
+        parts.append(f"""
+SELECT '{name}' AS column_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+  min({render}) AS min_str,
+  max({render}) AS max_str
+FROM {table}""")
+    body = "\nUNION ALL".join(parts)
+    return f"{body}\nORDER BY column_name"
+
+
+_q("events_profile", _sql(_profile_sql("spark", "events")), _profile_sql("duck", "events"))
