@@ -50,8 +50,19 @@ def norm(v):
 
 queries = entry_mod.queries()
 oracles = entry_mod.oracle_sql()
-# timestamp-heavy + agg + join coverage; every one died in round 1
-for name in ["el_time_literals", "el_increments_grouped", "el_agg", "tpch_q3"]:
+# timestamp-heavy + agg + join coverage; every one died in round 1.
+# The round-4 tail adds this session's timestamp/interval-sensitive
+# gates (INTERVAL arithmetic, hourly trunc windows, running sums over
+# ts order) so new time logic gets the same bare-session insurance.
+for name in [
+    "el_time_literals",
+    "el_increments_grouped",
+    "el_agg",
+    "tpch_q3",
+    "events_funnel",
+    "events_seasonal",
+    "events_cusum",
+]:
     df = queries[name](spark, SF)
     cols = df.columns
     rows = [tuple(r) for r in df.collect()]
