@@ -4707,7 +4707,26 @@ LIMIT 20
 def _run_pagerank(spark, sf_dir):
     pairs = SPARK_QUERIES["doc_minhash_pairs"](spark, sf_dir)
     pairs.localCheckpoint().createOrReplaceTempView("__pr_pairs")
-    return spark.sql(_pagerank_body("__pr_pairs"))
+    # materialize the graph once: the unrolled iterations reference
+    # edges/deg repeatedly and Catalyst inlines CTEs — without the
+    # barrier each of the 3 iterations replans (and would recompute)
+    # the whole edge derivation
+    _ckpt_view(
+        spark,
+        "SELECT id1 AS src, id2 AS dst FROM __pr_pairs "
+        "UNION ALL SELECT id2, id1 FROM __pr_pairs",
+        "__pr_edges",
+    )
+    body = _pagerank_body("__pr_pairs")
+    body = body.replace(
+        """WITH edges AS (
+  SELECT id1 AS src, id2 AS dst FROM __pr_pairs
+  UNION ALL
+  SELECT id2, id1 FROM __pr_pairs
+),""",
+        "WITH edges AS (SELECT * FROM __pr_edges),",
+    )
+    return spark.sql(body)
 
 
 _q(
@@ -4994,13 +5013,16 @@ _q("events_quantiles", _sql(_quantiles_sql("events")), _quantiles_sql("events"))
 
 
 def _profile_sql(engine: str, table: str) -> str:
-    """Single-pass data-profile of the events table (the `ANALYZE
-    TABLE`/data-quality shape): per column — null fraction, distinct
-    count, min/max — one row per column, each a conditional aggregate
-    over ONE scan (no per-column re-reads). Renders that could diverge
-    between engines are pinned: doubles go through DECIMAL(25,6),
-    timestamps render as integer epoch MICROSECONDS (a string cast
-    trims trailing zeros differently across engines)."""
+    """Data-profile of the events table (the `ANALYZE TABLE` /
+    data-quality shape): per column — null count, distinct count,
+    min/max — one output row per column. The SPARK side is genuinely
+    ONE scan: a single wide aggregate (Catalyst handles the multiple
+    count-distincts with one Expand) unpivoted by stack(); the DuckDB
+    oracle keeps the readable per-column UNION (oracle cost is moot).
+    Renders that could diverge between engines are pinned: doubles go
+    through DECIMAL(25,6), timestamps render as integer epoch
+    MICROSECONDS (a string cast trims trailing zeros differently
+    across engines)."""
     us = "unix_micros(ts)" if engine == "spark" else "epoch_us(ts)"
     cols = [
         ("event_id", "CAST(event_id AS STRING)"),
@@ -5009,6 +5031,29 @@ def _profile_sql(engine: str, table: str) -> str:
         ("event_type", "event_type"),
         ("value", "CAST(CAST(value AS DECIMAL(25,6)) AS STRING)"),
     ]
+    if engine == "spark":
+        aggs, stack_args = [], []
+        for name, render in cols:
+            aggs += [
+                f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{name}",
+                f"CAST(count(DISTINCT {name}) AS BIGINT) AS d_{name}",
+                f"min({render}) AS min_{name}",
+                f"max({render}) AS max_{name}",
+            ]
+            stack_args.append(
+                f"'{name}', null_{name}, d_{name}, min_{name}, max_{name}"
+            )
+        return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows, {', '.join(aggs)}
+  FROM {table}
+)
+SELECT column_name, n_rows, n_null, n_distinct, min_str, max_str
+FROM agg
+LATERAL VIEW stack({len(cols)}, {', '.join(stack_args)})
+  AS column_name, n_null, n_distinct, min_str, max_str
+ORDER BY column_name
+"""
     parts = []
     for name, render in cols:
         parts.append(f"""

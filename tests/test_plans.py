@@ -313,3 +313,10 @@ def test_funnel_and_pagerank_no_cartesian(spark):
     plan = plan_of(spark, "events_funnel")
     # the only window is the lag over the 3-row step table
     assert plan.count("Window") <= 1
+
+
+def test_profile_single_scan(spark):
+    plan = plan_of(spark, "events_profile")
+    # the wide aggregate + stack unpivot reads events ONCE; the naive
+    # per-column UNION form would scan it five times
+    assert plan.count("FileScan parquet") == 1
