@@ -90,6 +90,8 @@ _DEFER = (
     "events_markov",
     "events_quantiles",
     "events_profile",
+    "events_ab_test",
+    "emb_drift",
 )
 
 

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "events_markov",
     "events_quantiles",
     "events_profile",
+    "events_ab_test",
+    "emb_drift",
 ]
 
 

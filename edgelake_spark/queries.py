@@ -5069,3 +5069,96 @@ FROM {table}""")
 
 
 _q("events_profile", _sql(_profile_sql("spark", "events")), _profile_sql("duck", "events"))
+
+
+# ------------------------------------------------- A/B test statistic
+
+
+def _ab_test_sql(table: str) -> str:
+    """Welch's two-sample t statistic comparing value across event-type
+    cohorts (click vs view) — the experimentation primitive. Moments
+    are decimal-staged sums (exact, order-free); the t assembly is a
+    fixed sequence of IEEE double ops (divide/subtract/sqrt are all
+    correctly rounded, so both engines produce identical bits). The
+    variance uses the m2-sum form with a greatest(...,0) guard exactly
+    like events_anomaly_z.
+
+    Scale shape: one 2-group aggregate over the filtered scan — the
+    whole test is map-side partials plus a 2-row reduce."""
+    dsum = "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
+    dsq = "CAST(SUM(CAST(value AS DECIMAL(25,6)) * CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         {dsum} / CAST(count(*) AS BIGINT) AS mu,
+         greatest(({dsq} - {dsum} * {dsum} / CAST(count(*) AS BIGINT))
+                    / CAST(count(*) - 1 AS BIGINT), 0.0) AS var_s
+  FROM {table}
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+  GROUP BY event_type
+),
+w AS (
+  SELECT
+    max(CASE WHEN event_type = 'click' THEN n END) AS n_a,
+    max(CASE WHEN event_type = 'view' THEN n END) AS n_b,
+    max(CASE WHEN event_type = 'click' THEN mu END) AS mu_a,
+    max(CASE WHEN event_type = 'view' THEN mu END) AS mu_b,
+    max(CASE WHEN event_type = 'click' THEN var_s END) AS var_a,
+    max(CASE WHEN event_type = 'view' THEN var_s END) AS var_b
+  FROM g
+)
+SELECT n_a, n_b, mu_a, mu_b, mu_a - mu_b AS diff,
+  (mu_a - mu_b) / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)) AS t_stat
+FROM w
+"""
+
+
+_q("events_ab_test", _sql(_ab_test_sql("events")), _ab_test_sql("events"))
+
+
+# --------------------------------------------- embedding drift monitor
+
+
+def _emb_drift_sql(engine: str, table: str) -> str:
+    """Embedding-drift monitor: per-dimension mean of the first corpus
+    half (vec_id < 250) vs the second — the reference/production-window
+    comparison an embedding pipeline alerts on. Output: per-dimension
+    mean shift plus the squared-L2 drift of the mean vectors, all
+    decimal-staged; the top-5 most-shifted dimensions keep the row
+    count bounded at any dim count.
+
+    Scale shape: posexplode/unnest to (vec_id, dim, v) long form —
+    linear in N*dims — then ONE (dim, half) aggregate with map-side
+    partials; the final top-k sorts |dims| rows."""
+    if engine == "spark":
+        long_src = (
+            f"SELECT vec_id, pos AS dim, CAST(v AS DOUBLE) AS v "
+            f"FROM (SELECT vec_id, posexplode(embedding) AS (pos, v) FROM {table})"
+        )
+    else:
+        long_src = (
+            f"SELECT vec_id, g.i - 1 AS dim, CAST(embedding[g.i] AS DOUBLE) AS v "
+            f"FROM {table} CROSS JOIN generate_series(1, 64) g(i)"
+        )
+    dmean = "CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / CAST(count(*) AS BIGINT)"
+    return f"""
+WITH long AS ({long_src}),
+halves AS (
+  SELECT dim,
+    {dmean.replace('v AS DECIMAL', 'CASE WHEN vec_id < 250 THEN v END AS DECIMAL').replace('count(*)', 'SUM(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END)')} AS mu_ref,
+    {dmean.replace('v AS DECIMAL', 'CASE WHEN vec_id >= 250 THEN v END AS DECIMAL').replace('count(*)', 'SUM(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END)')} AS mu_cur
+  FROM long GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, mu_ref, mu_cur, mu_cur - mu_ref AS shift
+FROM halves
+ORDER BY abs(mu_cur - mu_ref) DESC, dim
+LIMIT 5
+"""
+
+
+_q(
+    "emb_drift",
+    _sql(_emb_drift_sql("spark", "embeddings_rep"), rep=("embeddings",)),
+    _emb_drift_sql("duck", "embeddings"),
+)
