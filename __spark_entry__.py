@@ -92,6 +92,7 @@ _DEFER = (
     "events_profile",
     "events_ab_test",
     "emb_drift",
+    "emb_knn_classify",
 )
 
 

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "events_profile",
     "events_ab_test",
     "emb_drift",
+    "emb_knn_classify",
 ]
 
 

@@ -5199,3 +5199,51 @@ def _pairs_view(spark, sf_dir) -> str:
         ).parquet(path)
     spark.read.parquet(path).createOrReplaceTempView("__mh_pairs")
     return "__mh_pairs"
+
+
+# ------------------------------------------------- kNN classification
+
+_KNN_CLASSIFY_BODY = """
+WITH votes AS (
+  SELECT t.query_id, e.label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM {topk} t JOIN {emb} e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label
+),
+pred AS (
+  SELECT query_id, label AS pred_label, n_votes FROM (
+    SELECT query_id, label, n_votes,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY n_votes DESC, label) AS rn
+    FROM votes
+  ) r WHERE rn = 1
+)
+SELECT p.query_id, CAST(p.pred_label AS BIGINT) AS pred_label,
+       CAST(q.label AS BIGINT) AS true_label, p.n_votes,
+       CAST(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END AS INT) AS correct
+FROM pred p JOIN {emb} q ON q.vec_id = p.query_id
+ORDER BY p.query_id
+"""
+
+
+def _run_knn_classify(spark, sf_dir):
+    """k-NN label prediction: each query vector takes the majority
+    label of its 5 cosine neighbors (ties break to the smaller label) —
+    the similarity-search APPLICATION gate: retrieval infrastructure
+    (brute-force here; IVF/PQ at scale, same interface) turned into a
+    classifier, scored against the true labels.
+
+    Scale shape: inherits the ANN gate's shape; the vote aggregate is
+    5 rows per query and the label join broadcasts the query set."""
+    topk = SPARK_QUERIES["emb_cosine_topk"](spark, sf_dir)
+    topk.createOrReplaceTempView("__knn_topk")
+    return spark.sql(_KNN_CLASSIFY_BODY.format(topk="__knn_topk", emb="embeddings_rep"))
+
+
+_q(
+    "emb_knn_classify",
+    _run_knn_classify,
+    f"WITH cos_topk AS ({ORACLE_SQL['emb_cosine_topk']})"
+    + _KNN_CLASSIFY_BODY.format(topk="cos_topk", emb="embeddings").replace(
+        "\nWITH votes AS", ", votes AS", 1
+    ),
+)
