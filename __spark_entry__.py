@@ -93,6 +93,8 @@ _DEFER = (
     "events_ab_test",
     "emb_drift",
     "emb_knn_classify",
+    "orders_rfm",
+    "lineitem_basket",
 )
 
 

@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "events_ab_test",
     "emb_drift",
     "emb_knn_classify",
+    "orders_rfm",
+    "lineitem_basket",
 ]
 
 

@@ -5247,3 +5247,96 @@ _q(
         "\nWITH votes AS", ", votes AS", 1
     ),
 )
+
+
+# ------------------------------------------------- RFM segmentation
+
+
+def _rfm_sql(engine: str, table: str) -> str:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles) — the classic CRM cut. Recency anchors on the corpus
+    max order date (exact integer day diff), frequency is the order
+    count, monetary the decimal-staged spend; each dimension maps to
+    1-5 by ntile over a TOTAL order (custkey tie-break → deterministic
+    on both engines). Output: per (r, f, m) segment — customer count
+    and average spend. Recency is an integer microsecond diff floored
+    to days (date_diff unit syntax is engine-specific; integer floor
+    division is not).
+
+    Scale shape: one (custkey) aggregate over orders; the three ntile
+    windows sort the CUSTOMER table (1/10th the fact rows), and the
+    segment rollup is <= 125 cells."""
+    us = "unix_micros" if engine == "spark" else "epoch_us"
+    div = "div" if engine == "spark" else "//"
+    return f"""
+WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM {table}),
+cust AS (
+  SELECT o_custkey,
+    CAST(({us}(max(a.maxd)) - {us}(max(o_orderdate))) {div} 86400000000 AS BIGINT) AS recency_days,
+    CAST(count(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+  FROM {table} CROSS JOIN anchor a
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+    ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM cust
+)
+SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(monetary AS DECIMAL(25,6))) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avg_spend
+FROM scored
+GROUP BY r, f, m
+ORDER BY r, f, m
+"""
+
+
+_q("orders_rfm", _sql(_rfm_sql("spark", "orders")), _rfm_sql("duck", "orders"))
+
+
+# ------------------------------------------- market-basket co-occurrence
+
+
+def _basket_sql(table: str, min_support: int = 3) -> str:
+    """Market-basket part co-occurrence with lift (association-rule
+    mining): for part pairs ordered together in >= min_support orders,
+    lift = P(a,b) / (P(a) P(b)) from exact counts — the classic
+    affinity-analysis operator. Top-20 by lift.
+
+    Scale shape: pair generation is WITHIN-ORDER (orders hold <= ~13
+    parts, so pairs per order are bounded — never a corpus self-join);
+    one (orderkey) co-located self-join, a (part_a, part_b) aggregate,
+    and part-frequency tables that broadcast back. Lift arithmetic is
+    BIGINT counts through fixed-order double ops."""
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM {table}
+),
+n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+part_cnt AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {min_support}
+)
+SELECT p.part_a, p.part_b, p.n_both, ca.cnt AS n_a, cb.cnt AS n_b,
+  CAST(p.n_both AS DOUBLE) * CAST(n.n AS DOUBLE)
+    / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) AS lift
+FROM pairs p
+JOIN part_cnt ca ON ca.l_partkey = p.part_a
+JOIN part_cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN n_orders n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+_q("lineitem_basket", _sql(_basket_sql("lineitem")), _basket_sql("lineitem"))
