@@ -320,3 +320,17 @@ def test_profile_single_scan(spark):
     # the wide aggregate + stack unpivot reads events ONCE; the naive
     # per-column UNION form would scan it five times
     assert plan.count("FileScan parquet") == 1
+
+
+def test_rfm_and_basket_shapes(spark):
+    plan = plan_of(spark, "orders_rfm")
+    # ntile windows sort the customer table, not the fact table; the
+    # 1-row anchor rides a broadcast
+    assert "CartesianProduct" not in plan
+    plan = plan_of(spark, "lineitem_basket")
+    # within-order pair join is an equi join on the orderkey — a
+    # keyless corpus self-join would appear as a cartesian. (The one
+    # BroadcastNestedLoopJoin is the 1-row n_orders scalar riding a
+    # broadcast — benign.)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
