@@ -95,6 +95,8 @@ _DEFER = (
     "emb_knn_classify",
     "orders_rfm",
     "lineitem_basket",
+    "orders_pareto",
+    "events_dau_wau",
 )
 
 

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "emb_knn_classify",
     "orders_rfm",
     "lineitem_basket",
+    "orders_pareto",
+    "events_dau_wau",
 ]
 
 

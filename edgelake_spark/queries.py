@@ -5340,3 +5340,87 @@ LIMIT 20
 
 
 _q("lineitem_basket", _sql(_basket_sql("lineitem")), _basket_sql("lineitem"))
+
+
+# ------------------------------------------- revenue concentration
+
+
+def _pareto_sql(table: str) -> str:
+    """Revenue-concentration (Pareto) curve by customer decile: rank
+    customers by spend, bucket into deciles, and report each decile's
+    share of total revenue plus the cumulative share — the 80/20
+    check. Shares are decimal-staged sums over the grand total
+    (computed once, broadcast back); ntile is total-ordered with a
+    custkey tie-break.
+
+    Scale shape: one (custkey) aggregate over orders; the decile
+    window sorts customers (1/10th the facts); the rollup is 10 rows
+    and the cumulative window runs over those 10."""
+    return f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+  FROM {table} GROUP BY o_custkey
+),
+total AS (
+  SELECT CAST(SUM(CAST(spend AS DECIMAL(25,6))) AS DOUBLE) AS t FROM cust
+),
+deciles AS (
+  SELECT ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile, spend
+  FROM cust
+),
+per_decile AS (
+  SELECT decile,
+    CAST(count(*) AS BIGINT) AS n_customers,
+    CAST(SUM(CAST(spend AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+  FROM deciles GROUP BY decile
+)
+SELECT CAST(d.decile AS INT) AS decile, d.n_customers, d.revenue,
+  d.revenue / t.t AS share,
+  CAST(SUM(CAST(d.revenue AS DECIMAL(25,6)))
+         OVER (ORDER BY d.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE) / t.t AS cum_share
+FROM per_decile d CROSS JOIN total t
+ORDER BY decile
+"""
+
+
+_q("orders_pareto", _sql(_pareto_sql("orders")), _pareto_sql("orders"))
+
+
+# ------------------------------------------------- DAU / WAU stickiness
+
+
+def _dau_wau_sql(table: str) -> str:
+    """DAU / trailing-7-day WAU / stickiness per day — the product
+    health metric. Exact distincts: the (day, user) grid dedups once;
+    WAU joins each day to its trailing week of activity days (bounded
+    7x fanout of the DEDUPED grid, never the raw events) and
+    re-distincts. Integer epoch-day arithmetic on both engines.
+
+    Scale shape: the grid is the only fact-sized aggregate; the WAU
+    join fans the grid (users x active-days) by <= 7 on a co-located
+    user-day key space; at warehouse scale this is the standard
+    pre-aggregated activity table every growth dashboard reads."""
+    return f"""
+WITH grid AS (
+  SELECT DISTINCT CAST(CAST(ts AS DATE) AS DATE) AS d, user_id FROM {table}
+),
+days AS (SELECT DISTINCT d FROM grid),
+dau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau FROM grid GROUP BY d
+),
+wau AS (
+  SELECT days.d, CAST(count(DISTINCT g.user_id) AS BIGINT) AS wau
+  FROM days JOIN grid g
+    ON g.d <= days.d AND g.d >= days.d - 6
+  GROUP BY days.d
+)
+SELECT dau.d AS day, dau.dau, wau.wau,
+  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+ORDER BY day
+"""
+
+
+_q("events_dau_wau", _sql(_dau_wau_sql("events")), _dau_wau_sql("events"))
