@@ -37,6 +37,12 @@ class EdgeLakeEngine:
     inject a datetime for deterministic tests/oracles.
     """
 
+    #: default blob-export cap for `file retrieve` without a unique key:
+    #: exporting a whole blob table streams through the driver, so an
+    #: unbounded default is an OOM path at 1M-blob tables. An explicit
+    #: `limit = 0` opts back into unlimited (paged via toLocalIterator).
+    RETRIEVE_CAP = 1000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -1139,14 +1145,19 @@ class EdgeLakeEngine:
         if opts.get("name"):
             df = df.filter(F.col("source_name") == opts["name"])
             unique_key = True
-        limit = int(opts.get("limit", 1 if unique_key else 0))
+        # no unique key → whole-table export: cap at RETRIEVE_CAP by
+        # default so a many-blob table cannot OOM the driver; an explicit
+        # `limit = n` overrides (still bounded by the user's number)
+        limit = int(opts.get("limit", 1 if unique_key else self.RETRIEVE_CAP))
         if limit:
             df = df.limit(limit)
-        rows = df.collect()
         dest = opts.get("dest", "")
+        single_dest = bool(unique_key and dest and not os.path.isdir(dest))
         out = []
-        for r in rows:
-            if len(rows) == 1 and dest and not os.path.isdir(dest):
+        # toLocalIterator: one partition of blob rows in driver memory at
+        # a time, not the whole (capped) result set at once
+        for r in df.toLocalIterator():
+            if single_dest and not out:
                 path = dest
             else:  # multiple files (or dest is a dir): one file per blob
                 os.makedirs(dest or ".", exist_ok=True)

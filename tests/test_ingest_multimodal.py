@@ -302,3 +302,29 @@ def test_audio_non_wav_falls_back_deterministic(spark):
     b = audio_features(blobs).collect()[0]
     assert a["sample_rate"] == b["sample_rate"] and a["rms"] == b["rms"]
     assert a["sample_rate"] % 8000 == 0
+
+
+def test_file_retrieve_default_cap(spark, tmp_path, monkeypatch):
+    """Whole-table `file retrieve` (no hash/name) is capped at
+    RETRIEVE_CAP by default — an uncapped export of a 1M-blob table
+    would stream every blob through the driver. Explicit `limit = 0`
+    opts back into unlimited."""
+    from edgelake_spark.engine import EdgeLakeEngine
+
+    eng = EdgeLakeEngine(spark)
+    monkeypatch.setattr(EdgeLakeEngine, "RETRIEVE_CAP", 3)
+    for i in range(5):
+        p = tmp_path / f"b{i}.bin"
+        p.write_bytes(f"blob-{i}".encode())
+        eng.run(f"file store where dbms = d and table = t and file = {p}")
+
+    ddir = tmp_path / "capped"
+    out = eng.run(f"file retrieve where dbms = d and table = t and dest = {ddir}").collect()
+    assert len(out) == 3  # capped, not 5
+
+    ddir2 = tmp_path / "all"
+    out = eng.run(
+        f"file retrieve where dbms = d and table = t and limit = 0 and dest = {ddir2}"
+    ).collect()
+    assert len(out) == 5
+    assert (ddir2 / "b4.bin").read_bytes() == b"blob-4"
