@@ -49,6 +49,7 @@ class EdgeLakeEngine:
         sf_dir: str | None = None,
         now: datetime | None = None,
         node_identity: dict | None = None,
+        work_dir: str | None = None,
     ):
         self.spark = spark
         # harden against driver-supplied sessions missing our configs
@@ -114,6 +115,15 @@ class EdgeLakeEngine:
         from edgelake_spark.eventlog import EventLog
 
         self.event_log = EventLog()
+        #: transactional table layer (txlog.TxTable): DML and the
+        #: log-backed blob store commit versioned parquet snapshots
+        #: here. An EXPLICIT work_dir makes the node durable — a new
+        #: engine on the same work_dir reloads committed state (the
+        #: reference's operator node persists in its local SQL engine);
+        #: without one, a throwaway temp dir is created on first use.
+        self._work_dir_path = work_dir
+        self._durable = work_dir is not None
+        self.tx_tables: dict[str, object] = {}
         self.sf_dir = sf_dir
         if sf_dir:
             catalog.register_sf_tables(spark, sf_dir)
@@ -311,6 +321,28 @@ class EdgeLakeEngine:
             from edgelake_spark.admin import info_table_columns
 
             return info_table_columns(self.spark, self._resolve(m.group(2)))
+        m = _re.match(r"get\s+table\s+versions(\s+where\s+(.*))?$", text, _re.IGNORECASE)
+        if m:
+            # commit-log history of log-backed tables (txlog.py): one
+            # row per committed version (Delta `DESCRIBE HISTORY` shape)
+            flt = self._meta_filters(m.group(2))
+            rows = []
+            for key, tx in sorted(self.tx_tables.items()):
+                kind, _, name = key.partition("/")
+                if kind != "dml":
+                    continue
+                if flt.get("table") and catalog.view_name(flt["table"]) != name:
+                    continue
+                for man in tx.history():
+                    rows.append(
+                        (name, man["version"], man["op"], man["timestamp"],
+                         len(man["files"]))
+                    )
+            return self.spark.createDataFrame(
+                rows or [],
+                "table_name string, version int, op string, "
+                "committed_at string, n_files int",
+            )
         m = _re.match(r"get\s+partitions(\s+where\s+(.*))?$", text, _re.IGNORECASE)
         if m:
             from edgelake_spark.admin import get_partitions
@@ -320,11 +352,19 @@ class EdgeLakeEngine:
                 tm = _re.search(r"table\s*=\s*(\S+)", m.group(2))
                 if tm:
                     table = tm.group(1)
+            from edgelake_spark.ingest.partitions import tx_partitions
+            from edgelake_spark.txlog import TxTable
+
             rows = []
             for name, path in sorted(self.partitioned_paths.items()):
                 if table and catalog.view_name(name) != catalog.view_name(table):
                     continue
-                for bucket in get_partitions(path):
+                buckets = (
+                    tx_partitions(TxTable(path))
+                    if TxTable.exists(path)
+                    else get_partitions(path)
+                )
+                for bucket in buckets:
                     rows.append((name, bucket))
             return self.spark.createDataFrame(
                 rows or [], "table_name string, partition string"
@@ -588,16 +628,24 @@ class EdgeLakeEngine:
             _re.IGNORECASE,
         )
         if m:
-            from edgelake_spark.admin import get_partitions
-            from edgelake_spark.ingest.partitions import drop_partitions_before
+            from edgelake_spark.ingest.partitions import (
+                drop_partitions_before,
+                drop_partitions_before_tx,
+            )
+            from edgelake_spark.txlog import TxTable
 
             table, cutoff = m.group(1), m.group(2)
             path = self.partitioned_paths[table]
-            dropped = drop_partitions_before(self.spark, path, cutoff)
-            # the temp view's cached file index still lists the deleted
-            # files — refresh and re-register or the next query on the
-            # table dies with FileNotFoundException
-            self.spark.catalog.refreshByPath(path)
+            if TxTable.exists(path):
+                # log-backed dataset: the drop is a manifest edit (no
+                # file deletes); prior versions still read the buckets
+                dropped = drop_partitions_before_tx(TxTable(path), cutoff)
+            else:
+                dropped = drop_partitions_before(self.spark, path, cutoff)
+                # the temp view's cached file index still lists the
+                # deleted files — refresh or the next query on the
+                # table dies with FileNotFoundException
+                self.spark.catalog.refreshByPath(path)
             self.attach_partitioned(table, path)
             return self.spark.createDataFrame(
                 [(b,) for b in dropped] or [], "dropped_partition string"
@@ -612,6 +660,7 @@ class EdgeLakeEngine:
             return self._file_retrieve(m.group(1))
         m = _re.match(r"get\s+files\s+count(\s+where\s+(.*))?$", text, _re.IGNORECASE)
         if m:
+            self._load_all_blobs()
             flt = self._meta_filters(m.group(2))
             rows = []
             for (dbms, table), view in sorted(self.blob_views.items()):
@@ -1088,6 +1137,38 @@ class EdgeLakeEngine:
     def _blob_view(self, dbms: str, table: str) -> str:
         return f"__blobs_{dbms}_{table}".replace(".", "_")
 
+    def _load_blobs(self, dbms: str, table: str) -> None:
+        """Durable engines (explicit work_dir): lazily re-attach a blob
+        table committed by a previous engine on the same work_dir. The
+        view reads the committed parquet executor-side; only the hash
+        set (the dup-check index) is collected."""
+        if not self._durable or (dbms, table) in self.blob_views:
+            return
+        tx = self._tx_table("blobs", f"{dbms}.{table}")
+        if not tx.latest_version():
+            return
+        view = self._blob_view(dbms, table)
+        tx.read(self.spark).createOrReplaceTempView(view)
+        self.blob_views[(dbms, table)] = view
+        self.blob_rows[(dbms, table)] = {
+            r.blob_hash: None
+            for r in tx.read(self.spark).select("blob_hash").collect()
+        }
+
+    def _load_all_blobs(self) -> None:
+        """Attach every blob table present under the durable work dir
+        (for `get files count` on a freshly restarted node)."""
+        import os as _os
+
+        if not self._durable:
+            return
+        root = _os.path.join(self._work_dir(), "blobs")
+        if not _os.path.isdir(root):
+            return
+        for entry in sorted(_os.listdir(root)):
+            dbms, _, table = entry.rpartition(".")
+            self._load_blobs(dbms, table)
+
     def _file_store(self, where: str):
         """`file store where dbms = X and table = Y [and hash = H] and
         file = PATH` — insert a file into the blobs store keyed by
@@ -1102,6 +1183,7 @@ class EdgeLakeEngine:
         if "table" not in opts or "file" not in opts:
             raise ValueError("file store needs table = ... and file = ...")
         dbms, table = opts.get("dbms", ""), opts["table"]
+        self._load_blobs(dbms, table)
         row = multimodal.file_to_blob_row(opts["file"], opts.get("hash"))
         view = self._blob_view(dbms, table)
         rows = self.blob_rows.setdefault((dbms, table), {})
@@ -1115,8 +1197,18 @@ class EdgeLakeEngine:
                 )
             raise ValueError(f"duplicate blob hash {row[0]} in {dbms}.{table}")
         rows[row[0]] = row
-        df = self.spark.createDataFrame(list(rows.values()), schema=multimodal.BLOB_SCHEMA)
-        df.createOrReplaceTempView(view)
+        if self._durable:
+            # log-backed blob store: each store is an atomic O(1 blob)
+            # append commit; the view reads the committed parquet
+            # (executor-side — blob bytes never pool on the driver)
+            tx = self._tx_table("blobs", f"{dbms}.{table}")
+            tx.append(self.spark.createDataFrame([row], schema=multimodal.BLOB_SCHEMA))
+            tx.read(self.spark).createOrReplaceTempView(view)
+        else:
+            df = self.spark.createDataFrame(
+                list(rows.values()), schema=multimodal.BLOB_SCHEMA
+            )
+            df.createOrReplaceTempView(view)
         self.blob_views[(dbms, table)] = view
         return self.spark.createDataFrame(
             [(dbms, table, row[0], row[4], True)],
@@ -1134,6 +1226,7 @@ class EdgeLakeEngine:
 
         opts = {k.lower(): v for k, v in _re.findall(r"(\w+)\s*=\s*(\S+)", where)}
         dbms, table = opts.get("dbms", ""), opts.get("table", "")
+        self._load_blobs(dbms, table)
         view = self.blob_views.get((dbms, table))
         if view is None:
             raise ValueError(f"no blobs stored for {dbms}.{table}")
@@ -1422,9 +1515,17 @@ class EdgeLakeEngine:
 
     def attach_partitioned(self, name: str, path: str) -> None:
         """Register a time-partitioned dataset (written via
-        ingest.partitions.write_partitioned) under a table name."""
+        ingest.partitions.write_partitioned, or log-backed via
+        write_partitioned_tx) under a table name."""
+        from edgelake_spark.txlog import TxTable
+
         self.partitioned_paths[name] = path
-        self.spark.read.parquet(path).createOrReplaceTempView(catalog.view_name(name))
+        df = (
+            TxTable(path).read(self.spark)
+            if TxTable.exists(path)
+            else self.spark.read.parquet(path)
+        )
+        df.createOrReplaceTempView(catalog.view_name(name))
 
     # ----------------------------------------------------------- internal
 
@@ -1467,6 +1568,10 @@ class EdgeLakeEngine:
         if cmd.include or cmd.extend:
             union_view, leading_cols = self._build_union_view(cmd)
             resolver = lambda name: union_view  # noqa: E731
+        elif cmd.options.get("version") is not None or cmd.options.get("as_of"):
+            resolver = self._time_travel_resolver(
+                cmd.options.get("version"), cmd.options.get("as_of")
+            )
 
         rewritten = rewrite_select(
             cmd.statement,
@@ -1538,19 +1643,85 @@ class EdgeLakeEngine:
 
     # -------------------------------------------------------------- DML
 
+    def _time_travel_resolver(self, version, as_of: str | None):
+        """`sql <db> version = N "..."` / `as_of = <iso ts>`: resolve
+        log-backed (DML-touched) tables to the requested committed
+        snapshot instead of the latest. Tables without a commit log
+        resolve normally — time travel only exists where commits do."""
+
+        def resolve(name: str) -> str:
+            key = catalog.view_name(name)
+            tx = self.tx_tables.get(f"dml/{key}")
+            if tx is None or not tx.latest_version():
+                return self._resolve(name)
+            snap = tx.read(
+                self.spark,
+                version=int(version) if version is not None else None,
+                timestamp=as_of,
+            )
+            view = f"__dml_{key}_asof"
+            snap.createOrReplaceTempView(view)
+            return view
+
+        return resolve
+
+    def _work_dir(self) -> str:
+        if self._work_dir_path is None:
+            import tempfile
+
+            self._work_dir_path = tempfile.mkdtemp(prefix="edgelake_tx_")
+        return self._work_dir_path
+
+    def _tx_table(self, kind: str, key: str):
+        """Lazily open the TxTable for (kind, key) under the work dir."""
+        import os as _os
+
+        from edgelake_spark.txlog import TxTable
+
+        k = f"{kind}/{key}"
+        t = self.tx_tables.get(k)
+        if t is None:
+            t = TxTable(_os.path.join(self._work_dir(), kind, key))
+            self.tx_tables[k] = t
+        return t
+
     def _managed_snapshot(self, table: str) -> str:
-        """Copy-on-first-write: DML targets an engine-managed view; the
-        first write snapshots the underlying table (the reference's DML
-        runs on the operator's local DB — member_cmd.py:159-165
-        sql_commands accepts insert/update/delete)."""
+        """Copy-on-first-write onto the transactional table layer: the
+        first DML snapshots the underlying table as version 1 of a
+        log-backed TxTable (txlog.py); every DML statement is then an
+        atomic parquet commit — crash-consistent, with time travel via
+        the `version =` / `as_of =` query options and history via
+        `get table versions`. (Reference: DML runs on the operator's
+        local DB — member_cmd.py:159-165 sql_commands; durability
+        re-expressed as snapshot isolation over immutable parquet.)"""
         resolved = self._resolve(table)
         managed = f"__dml_{catalog.view_name(table)}"
+        tx = self._tx_table("dml", catalog.view_name(table))
+        if (
+            tx.latest_version() == 0
+            and resolved != managed
+            and self.spark.catalog.tableExists(resolved)
+        ):
+            tx.overwrite(self.spark.table(resolved), op="snapshot")
         if resolved != managed:
-            if self.spark.catalog.tableExists(resolved):
-                self.spark.table(resolved).createOrReplaceTempView(managed)
             self.views[table] = managed
             self.views[catalog.view_name(table)] = managed
+        if tx.latest_version():
+            tx.read(self.spark).createOrReplaceTempView(managed)
         return managed
+
+    def _tx_commit(self, table: str, df: DataFrame, op: str, append: bool = False):
+        """Commit one DML statement's result and refresh the managed
+        view. ``append`` is the O(new rows) fast path (INSERT with a
+        schema-conforming row); otherwise copy-on-write of the state."""
+        tx = self._tx_table("dml", catalog.view_name(table))
+        if append:
+            tx.append(df, meta={"op": op})
+        else:
+            tx.overwrite(df, op=op)
+        managed = f"__dml_{catalog.view_name(table)}"
+        tx.read(self.spark).createOrReplaceTempView(managed)
+        return self.spark.table(managed)
 
     def _try_dml(self, statement: str):
         import re as _re
@@ -1572,9 +1743,19 @@ class EdgeLakeEngine:
             )
             row = self.spark.sql(f"SELECT {exprs}")
             if self.spark.catalog.tableExists(view):
-                row = self.spark.table(view).unionByName(row, allowMissingColumns=True)
-            row.createOrReplaceTempView(view)
-            return self.spark.table(view)
+                base = self.spark.table(view)
+                # conform the row to the table schema (missing cols →
+                # NULL, engine-coerced types); when that reproduces the
+                # schema exactly, commit O(1 row) as an append — at a
+                # 100 TB table an INSERT must never rewrite the table
+                conformed = base.limit(0).unionByName(row, allowMissingColumns=True)
+                if conformed.schema == base.schema:
+                    return self._tx_commit(table, conformed, "insert", append=True)
+                # schema evolution (new columns): copy-on-write
+                return self._tx_commit(
+                    table, base.unionByName(row, allowMissingColumns=True), "insert"
+                )
+            return self._tx_commit(table, row, "insert", append=True)
         m = _re.match(r"delete\s+from\s+(\S+)(?:\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
             table, cond = m.group(1), m.group(2)
@@ -1583,8 +1764,7 @@ class EdgeLakeEngine:
             # keep rows where cond is false OR NULL — SQL DELETE only
             # removes rows where the predicate is true
             kept = df.filter(f"NOT coalesce(({cond}), false)") if cond else df.limit(0)
-            kept.createOrReplaceTempView(view)
-            return self.spark.table(view)
+            return self._tx_commit(table, kept, "delete")
         m = _re.match(
             r"update\s+(\S+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL
         )
@@ -1610,9 +1790,7 @@ class EdgeLakeEngine:
                     projected.append(e.alias(name))
                 else:
                     projected.append(F.col(name))
-            df = df.select(*projected)
-            df.createOrReplaceTempView(view)
-            return self.spark.table(view)
+            return self._tx_commit(table, df.select(*projected), "update")
         return None
 
     def _build_union_view(self, cmd: SqlCommand) -> tuple[str, list[str]]:

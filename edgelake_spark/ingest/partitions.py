@@ -75,6 +75,48 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _bucket_of(rel_file: str) -> str | None:
+    """Partition-bucket value embedded in a committed file's relative
+    path (``data/<stage>/_par_bucket=<v>/part-...parquet``)."""
+    marker = f"{PARTITION_COL}="
+    if marker not in rel_file:
+        return None
+    return rel_file.split(marker, 1)[1].split("/", 1)[0]
+
+
+def write_partitioned_tx(df: DataFrame, table, time_col: str, unit: str = "day",
+                         count: int = 1, mode: str = "append") -> int:
+    """Log-backed ``partition ... using <time_col> by <count> <unit>``:
+    the bucket layout of write_partitioned committed through a
+    txlog.TxTable — atomic publish, snapshot isolation, and
+    metadata-only partition drops with time travel."""
+    staged = df.withColumn(PARTITION_COL, bucket_column(time_col, unit, count))
+    if mode == "overwrite" or table.latest_version() == 0:
+        return table.overwrite(staged, partition_by=PARTITION_COL)
+    return table.append(staged, partition_by=PARTITION_COL)
+
+
+def drop_partitions_before_tx(table, cutoff_bucket: str) -> list[str]:
+    """``drop partition where date < ...`` on a log-backed table: a
+    manifest edit, not a file delete — the dropped buckets still read at
+    every prior version, and expire()+vacuum() reclaims them later."""
+    def too_old(f: str) -> bool:
+        b = _bucket_of(f)
+        return b is not None and b < cutoff_bucket
+
+    _v, removed = table.remove_files(too_old, op="drop_partition")
+    return sorted({_bucket_of(f) for f in removed})
+
+
+def tx_partitions(table) -> list[str]:
+    """`get partitions` for a log-backed dataset: bucket values present
+    in the LATEST committed manifest."""
+    if not table.latest_version():
+        return []
+    m = table.manifest(table.latest_version())
+    return sorted({b for b in (_bucket_of(f) for f in m["files"]) if b is not None})
+
+
 def drop_partitions_before(spark: SparkSession, path: str, cutoff_bucket: str) -> list[str]:
     """``drop partition where date < ...`` — delete bucket directories
     older than the cutoff (the reference drops whole par_ tables, which

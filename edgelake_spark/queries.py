@@ -2953,6 +2953,38 @@ ORDER BY event_type
 )
 
 
+def _run_dml_time_travel(spark, sf_dir):
+    """Time travel on the transactional DML layer (txlog.py — the
+    Delta/Iceberg-style north star re-expressed over plain parquet):
+    DELETE then UPDATE commit versions 2 and 3 of the log-backed events
+    table; `version = 1` reads the untouched pre-DML snapshot. The
+    oracle is the plain aggregate over the original table — a
+    hash-match proves the snapshot really is isolated from both
+    commits."""
+    eng = EdgeLakeEngine(spark, sf_dir, now=FIXED_NOW)
+    eng.run('sql d "delete from events where value > 400.0"')
+    eng.run("sql d \"update events set value = value * 2.0 where event_type = 'click'\"")
+    return eng.query(
+        "select event_type, count(*) as n, "
+        "cast(sum(cast(value as decimal(25,6))) as double) as sum_value "
+        "from events group by event_type order by event_type",
+        version=1,
+    )
+
+
+_q(
+    "dml_time_travel",
+    _run_dml_time_travel,
+    """
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+
+
 def _pipeline_sql(engine: str) -> str:
     if engine == "spark":
         q = tx.spark_quality_score("text")

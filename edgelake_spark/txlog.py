@@ -1,0 +1,274 @@
+"""Minimal transactional commit log over parquet (Delta/Iceberg-style,
+no external packages).
+
+The reference's north star names "Delta/Iceberg for edge data
+management" (BASELINE.md); the sandbox ships neither, so this module
+provides the durability semantics over plain parquet:
+
+- A **table** is a directory: immutable parquet files under ``data/``
+  plus a numbered JSON manifest per committed version under ``_txlog/``.
+- Every manifest lists the **complete** file set of its version (like a
+  Delta checkpoint, always) — a reader needs exactly one manifest.
+- **Atomic commit**: the manifest is staged as a temp file, fsync'd,
+  then published with ``os.link`` to ``v<N>.json``. ``link`` fails if
+  the name exists, which is the optimistic-concurrency check: a loser
+  re-reads the latest version and retries its file-set computation.
+  Readers only ever see fully-written manifests.
+- **Crash consistency**: data files are written BEFORE their manifest;
+  a writer killed in between leaves orphan data invisible to every
+  reader (the old snapshot reads clean). ``vacuum()`` removes orphans.
+- **Time travel**: ``read(spark, version=N)`` /
+  ``read(spark, timestamp="...")`` loads any retained snapshot.
+- **Metadata-only deletes**: ``remove_files(predicate)`` publishes a
+  manifest without the matching files — nothing is rewritten, and the
+  prior version still reads the dropped data (this is what backs
+  ``drop partition`` with time travel).
+
+Reference counterpart: EdgeLake tracks ingested-file provenance in TSD
+tables (edge_lake/dbms/tsd_info.py) and updates SQLite/Postgres in
+place; snapshot isolation over immutable parquet is the Spark-native
+re-expression (single atomic rename/link, no table server).
+
+At scale the manifest is KBs per version (file paths only); data files
+never move. The complete-file-list choice bounds reader work at one
+JSON read regardless of history length, at the cost of O(files) bytes
+per manifest — the right trade below ~100k files/table, and the
+vacuum/expire pair keeps history bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+
+
+class TxConflict(RuntimeError):
+    """Another writer published this version first (surfaced only after
+    the internal retry budget is exhausted)."""
+
+
+class TxTable:
+    """One versioned parquet table rooted at ``path``."""
+
+    #: optimistic-concurrency retries before giving up
+    MAX_RETRIES = 20
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        self.log_dir = os.path.join(self.path, _LOG_DIR)
+        self.data_dir = os.path.join(self.path, _DATA_DIR)
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ log
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.isdir(os.path.join(path, _LOG_DIR))
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v{version:012d}.json")
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        """0 = empty table (no commits yet)."""
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        return [self.manifest(v) for v in self.versions()]
+
+    # --------------------------------------------------------- commit
+
+    def _stage(self, df: DataFrame, partition_by: str | None = None) -> tuple[list[str], str]:
+        """Write ``df`` to a fresh immutable directory under data/;
+        return (relative parquet file paths, schema json). Runs entirely
+        executor-side — the driver never sees the rows."""
+        stage = uuid.uuid4().hex[:16]
+        out = os.path.join(self.data_dir, stage)
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(out)
+        files = []
+        for root, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, n), self.path)
+                    files.append(rel)
+        return sorted(files), df.schema.json()
+
+    def _publish(self, build, op: str, schema_json: str | None, meta: dict | None) -> int:
+        """Optimistic-concurrency commit loop. ``build(prev_manifest)``
+        returns the complete relative file list for the new version."""
+        for _ in range(self.MAX_RETRIES):
+            base = self.latest_version()
+            prev = self.manifest(base) if base else None
+            manifest = {
+                "version": base + 1,
+                "op": op,
+                "timestamp": datetime.now(timezone.utc).isoformat(),
+                "files": build(prev),
+                "schema": schema_json or (prev or {}).get("schema"),
+                "meta": meta or {},
+            }
+            tmp = os.path.join(self.log_dir, f"_tmp.{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, self._manifest_path(base + 1))
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race: recompute against the winner
+            os.unlink(tmp)
+            # fsync the directory so the published name survives a crash
+            dfd = os.open(self.log_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            return base + 1
+        raise TxConflict(f"gave up after {self.MAX_RETRIES} commit races at {self.path}")
+
+    def overwrite(self, df: DataFrame, op: str = "overwrite",
+                  partition_by: str | None = None, meta: dict | None = None) -> int:
+        """Replace the table contents with ``df`` (copy-on-write: new
+        files, old snapshots still readable)."""
+        files, schema = self._stage(df, partition_by)
+        return self._publish(lambda prev: files, op, schema, meta)
+
+    def append(self, df: DataFrame, partition_by: str | None = None,
+               meta: dict | None = None) -> int:
+        files, schema = self._stage(df, partition_by)
+        return self._publish(
+            lambda prev: sorted((prev or {}).get("files", []) + files),
+            "append", schema, meta,
+        )
+
+    def remove_files(self, predicate, op: str = "remove", meta: dict | None = None) -> tuple[int, list[str]]:
+        """Metadata-only delete: publish a manifest without the files
+        matching ``predicate(relative_path)``. Data stays on disk for
+        time travel until expire()+vacuum()."""
+        removed: list[str] = []
+
+        def build(prev):
+            removed.clear()
+            kept = []
+            for f in (prev or {}).get("files", []):
+                (removed if predicate(f) else kept).append(f)
+            return kept
+
+        v = self._publish(build, op, None, meta)
+        return v, sorted(removed)
+
+    # ----------------------------------------------------------- read
+
+    def _resolve_version(self, version: int | None, timestamp: str | None) -> int:
+        if version is not None:
+            if not os.path.exists(self._manifest_path(version)):
+                raise ValueError(f"version {version} does not exist at {self.path}")
+            return version
+        if timestamp is not None:
+            best = 0
+            for v in self.versions():
+                if self.manifest(v)["timestamp"] <= timestamp:
+                    best = v
+            if not best:
+                raise ValueError(f"no version at or before {timestamp}")
+            return best
+        v = self.latest_version()
+        if not v:
+            raise ValueError(f"table at {self.path} has no commits")
+        return v
+
+    def read(self, spark: SparkSession, version: int | None = None,
+             timestamp: str | None = None) -> DataFrame:
+        """Snapshot read. The stored schema is passed to the reader
+        explicitly, so partition-directory columns keep their committed
+        types and an empty version still has its schema.
+
+        Files are read per commit-stage directory (each stage is its own
+        basePath — partition dirs live INSIDE stages, so one global
+        basePath would see conflicting structures), then unioned by
+        name. Long append chains therefore deepen the scan union —
+        compact() folds them back to one stage."""
+        m = self.manifest(self._resolve_version(version, timestamp))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return spark.createDataFrame([], schema)
+        groups: dict[str, list[str]] = {}
+        for f in m["files"]:
+            stage = f.split("/", 2)[1]  # data/<stage>/...
+            groups.setdefault(stage, []).append(os.path.join(self.path, f))
+        out = None
+        for stage in sorted(groups):
+            part = (
+                spark.read.schema(schema)
+                .option("basePath", os.path.join(self.data_dir, stage))
+                .parquet(*groups[stage])
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the latest snapshot as a single stage (one scan node;
+        run after long append chains)."""
+        return self.overwrite(self.read(spark), op="compact")
+
+    # ------------------------------------------------------- cleanup
+
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Drop manifests older than the newest ``keep_last`` versions
+        (their snapshots stop being readable; run vacuum() after to
+        reclaim the files only they referenced)."""
+        vs = self.versions()
+        dropped = vs[:-keep_last] if keep_last else vs
+        for v in dropped:
+            os.unlink(self._manifest_path(v))
+        return dropped
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO retained manifest (crash
+        orphans + expired-snapshot files); prune empty stage dirs."""
+        live: set[str] = set()
+        for v in self.versions():
+            live.update(self.manifest(v)["files"])
+        removed = []
+        for root, _dirs, names in os.walk(self.data_dir):
+            for n in names:
+                p = os.path.join(root, n)
+                rel = os.path.relpath(p, self.path)
+                if n.endswith(".parquet") and rel not in live:
+                    os.unlink(p)
+                    removed.append(rel)
+        for entry in os.listdir(self.data_dir):
+            d = os.path.join(self.data_dir, entry)
+            if os.path.isdir(d) and not any(
+                ns for _r, _d, ns in os.walk(d) if any(x.endswith(".parquet") for x in ns)
+            ):
+                shutil.rmtree(d)
+        return sorted(removed)

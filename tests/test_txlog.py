@@ -1,0 +1,177 @@
+"""Transactional commit log (edgelake_spark/txlog.py): atomic commits,
+snapshot isolation, time travel, crash consistency, vacuum, and the
+optimistic-concurrency race.
+
+Reference counterpart: EdgeLake's TSD file-provenance + in-place SQL
+DML (edge_lake/dbms/tsd_info.py); here re-expressed as Delta-style
+snapshot isolation over immutable parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from edgelake_spark.txlog import TxConflict, TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_commit_read_versions(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    assert t.latest_version() == 0
+
+    v1 = t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.append(_df(spark, [(3, "c")]))
+    v3 = t.overwrite(_df(spark, [(9, "z")]))
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    assert sorted(r.k for r in t.read(spark).collect()) == [9]
+    assert sorted(r.k for r in t.read(spark, version=2).collect()) == [1, 2, 3]
+    assert sorted(r.k for r in t.read(spark, version=1).collect()) == [1, 2]
+
+    hist = t.history()
+    assert [m["op"] for m in hist] == ["overwrite", "append", "overwrite"]
+    # timestamp travel: at-or-before v2's commit time → v2's rows
+    at = hist[1]["timestamp"]
+    assert sorted(r.k for r in t.read(spark, timestamp=at).collect()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="version 7"):
+        t.read(spark, version=7)
+
+
+def test_crash_between_write_and_commit_reads_clean(spark, tmp_path):
+    """A writer killed after staging data but before publishing the
+    manifest must be invisible: the old snapshot reads clean, and
+    vacuum() reclaims the orphan."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+
+    # simulate the crash: stage files, never publish
+    orphan_files, _schema = t._stage(_df(spark, [(666, "crash")]))
+    assert orphan_files  # data really is on disk
+    assert sorted(r.k for r in t.read(spark).collect()) == [1]
+    assert t.latest_version() == 1
+
+    # a torn manifest tmp file is equally invisible
+    (tmp_path / "t" / "_txlog" / "_tmp.dead.json").write_text('{"version": 99')
+    assert t.latest_version() == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1]
+
+    removed = t.vacuum()
+    assert set(removed) == set(orphan_files)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1]
+
+
+def test_concurrent_writers_linearize(spark, tmp_path):
+    """os.link publish: when two writers race for the same version
+    number, exactly one wins and the loser recomputes — appends from
+    both survive."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(0, "base")]))
+
+    # force a race: pre-publish version 2 between t's stage and publish
+    other = TxTable(str(tmp_path / "t"))
+    real_stage = t._stage
+
+    def stage_then_interleave(df, partition_by=None):
+        out = real_stage(df, partition_by)
+        if not stage_then_interleave.done:
+            stage_then_interleave.done = True
+            other.append(_df(spark, [(100, "interloper")]))
+        return out
+
+    stage_then_interleave.done = False
+    t._stage = stage_then_interleave
+    t.append(_df(spark, [(1, "mine")]))
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 100]
+    assert t.latest_version() == 3
+
+    # exhausted retry budget surfaces TxConflict
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.overwrite(_df(spark, [(0, "x")]))
+    t2.MAX_RETRIES = 1
+    files, schema = t2._stage(_df(spark, [(1, "y")]))
+    # occupy every version t2 would try
+    TxTable(str(tmp_path / "t2")).append(_df(spark, [(50, "w")]))
+
+    real_publish_target = t2._manifest_path
+
+    def always_taken(v):  # every candidate name already exists
+        return real_publish_target(t2.latest_version())
+
+    t2._manifest_path = always_taken
+    with pytest.raises(TxConflict):
+        t2._publish(lambda prev: files, "append", schema, None)
+
+
+def test_expire_vacuum_bound_history(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.overwrite(_df(spark, [(i, "v")]))
+    all_files_v1 = t.manifest(1)["files"]
+    assert t.expire(keep_last=2) == [1, 2]
+    assert t.versions() == [3, 4]
+    removed = t.vacuum()
+    assert set(all_files_v1) <= set(removed)
+    # retained snapshots still read
+    assert [r.k for r in t.read(spark, version=3).collect()] == [2]
+    assert [r.k for r in t.read(spark, version=4).collect()] == [3]
+
+
+def test_partitioned_commits_and_metadata_only_drop(spark, tmp_path):
+    """partitionBy commit + remove_files: drop partition is a manifest
+    edit; the dropped bucket still reads at the prior version."""
+    from pyspark.sql import functions as F
+
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-02-01")],
+        "k int, _par_bucket string",
+    )
+    t.overwrite(df, partition_by="_par_bucket")
+    assert t.read(spark).filter(F.col("_par_bucket") == "2024-01-01").count() == 2
+
+    v, removed = t.remove_files(lambda f: "_par_bucket=2024-01-01" in f, op="drop_partition")
+    assert v == 2 and removed
+    assert sorted(r.k for r in t.read(spark).collect()) == [3]
+    # time travel across the drop
+    assert sorted(r.k for r in t.read(spark, version=1).collect()) == [1, 2, 3]
+    # partition column survives the explicit-schema read
+    assert dict(t.read(spark).dtypes)["_par_bucket"] == "string"
+
+
+def test_empty_table_and_schema_carries(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    v, removed = t.remove_files(lambda f: True, op="truncate")
+    out = t.read(spark)
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]
+
+
+def test_manifest_is_complete_and_json(tmp_path, spark):
+    """One manifest fully describes a version (reader needs no history
+    walk) — the scale contract of the complete-file-list choice."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    m = json.loads(open(t._manifest_path(2)).read())
+    assert m["version"] == 2
+    assert len(m["files"]) >= 2  # v1's files + v2's files, complete list
+    assert all(not os.path.isabs(f) for f in m["files"])  # relocatable
+
+
+def test_compact_folds_append_chain(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_df(spark, [(i, "x")]))
+    assert len({f.split("/", 2)[1] for f in t.manifest(5)["files"]}) == 5
+    t.compact(spark)
+    m = t.manifest(t.latest_version())
+    assert m["op"] == "compact"
+    assert len({f.split("/", 2)[1] for f in m["files"]}) == 1  # one stage
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2, 3, 4]

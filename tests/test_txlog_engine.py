@@ -1,0 +1,126 @@
+"""Engine wiring of the transactional commit log (txlog.py): log-backed
+DML with time travel, durable blob store across engine restarts, and
+metadata-only partition drops."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from edgelake_spark.engine import EdgeLakeEngine
+
+SF = "/root/testdata/sf0.001"
+NOW = datetime(2024, 2, 1)
+
+
+def test_dml_commits_versions_and_time_travel(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, SF, now=NOW, work_dir=str(tmp_path))
+    orig = eng.query("select count(*) as n from events").collect()[0].n
+
+    eng.run('sql d "delete from events where value > 100.0"')
+    eng.run("sql d \"update events set value = value * 2.0 where event_type = 'click'\"")
+    eng.run(
+        'sql d "insert into events (event_id, user_id, event_type, value, ts)'
+        " values (999999, 1, 'click', 5.0, '2024-01-05 00:00:00')\""
+    )
+
+    after = eng.query("select count(*) as n from events").collect()[0].n
+    assert after < orig + 1  # delete really removed rows
+    # commit history: snapshot → delete → update → append(insert)
+    hist = eng.run("get table versions where table = events").collect()
+    assert [(h.version, h.op) for h in hist] == [
+        (1, "snapshot"), (2, "delete"), (3, "update"), (4, "append"),
+    ]
+
+    # time travel: version 1 is the pre-DML snapshot
+    v1 = eng.query("select count(*) as n from events", version=1).collect()[0].n
+    assert v1 == orig
+    # as_of timestamp travel to the delete commit
+    at = hist[1].committed_at
+    v2 = eng.query("select count(*) as n from events", as_of=at).collect()[0].n
+    assert v2 == after - 1  # delete applied, insert not yet
+    # the option round-trips through the shell command path too
+    shell = eng.run('sql d version = 1 "select count(*) as n from events"').collect()
+    assert shell[0].n == orig
+
+
+def test_insert_is_append_commit_not_rewrite(spark, tmp_path):
+    """INSERT into an existing table must commit O(1 row), not rewrite
+    the table — the 100 TB contract."""
+    eng = EdgeLakeEngine(spark, SF, now=NOW, work_dir=str(tmp_path))
+    eng.run('sql d "delete from events where value < 0"')  # snapshot + noop delete
+    tx = eng.tx_tables["dml/events"]
+    files_before = set(tx.manifest(tx.latest_version())["files"])
+    eng.run(
+        'sql d "insert into events (event_id, user_id, event_type, value, ts)'
+        " values (999999, 1, 'click', 5.0, '2024-01-05 00:00:00')\""
+    )
+    m = tx.manifest(tx.latest_version())
+    assert m["op"] == "append"
+    new_files = set(m["files"]) - files_before
+    assert files_before <= set(m["files"])  # old files reused, not rewritten
+    assert 1 <= len(new_files) <= 2  # just the inserted row's file
+
+
+def test_durable_blob_store_survives_restart(spark, tmp_path):
+    wd = str(tmp_path / "node")
+    a = tmp_path / "img.png"
+    a.write_bytes(b"png-bytes")
+
+    eng1 = EdgeLakeEngine(spark, work_dir=wd)
+    eng1.run(f"file store where dbms = bl and table = cam and file = {a}")
+
+    # a NEW engine on the same work_dir sees the committed blobs
+    eng2 = EdgeLakeEngine(spark, work_dir=wd)
+    counts = eng2.run("get files count").collect()
+    assert [(c.dbms, c.table_name, c.n_files) for c in counts] == [("bl", "cam", 1)]
+    dest = tmp_path / "out.bin"
+    eng2.run(f"file retrieve where dbms = bl and table = cam and name = img.png and dest = {dest}")
+    assert dest.read_bytes() == b"png-bytes"
+    # dup-check index reloaded too
+    with pytest.raises(ValueError, match="duplicate"):
+        eng2.run(f"file store where dbms = bl and table = cam and file = {a}")
+
+    # non-durable engine (no work_dir) keeps the in-memory fast path
+    eng3 = EdgeLakeEngine(spark)
+    assert eng3.run("get files count").collect() == []
+
+
+def test_txlog_partition_lifecycle(spark, tmp_path):
+    """write_partitioned_tx → attach → metadata-only drop → time travel
+    recovers the dropped bucket."""
+    from edgelake_spark.ingest.partitions import tx_partitions, write_partitioned_tx
+    from edgelake_spark.txlog import TxTable
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-03 10:00:00"), (2, "2024-01-04 11:00:00"), (3, "2024-02-05 09:00:00")],
+        "k int, ts_s string",
+    ).selectExpr("k", "cast(ts_s as timestamp) as ts")
+
+    path = str(tmp_path / "pt")
+    t = TxTable(path)
+    write_partitioned_tx(df, t, "ts", unit="day")
+    assert tx_partitions(t) == ["2024-01-03", "2024-01-04", "2024-02-05"]
+
+    eng = EdgeLakeEngine(spark, now=NOW)
+    eng.attach_partitioned("mdb.readings", path)
+    assert eng.query("select count(*) as n from readings").collect()[0].n == 3
+
+    parts = eng.run("get partitions where table = readings").collect()
+    assert [p.partition for p in parts] == ["2024-01-03", "2024-01-04", "2024-02-05"]
+
+    dropped = eng.run("drop partition where table = mdb.readings and date < '2024-02'").collect()
+    assert [d.dropped_partition for d in dropped] == ["2024-01-03", "2024-01-04"]
+    assert eng.query("select count(*) as n from readings").collect()[0].n == 1
+    assert tx_partitions(t) == ["2024-02-05"]
+
+    # nothing was deleted: version 1 still reads all three buckets
+    assert t.read(spark, version=1).count() == 3
+    # append after the drop keeps working
+    more = spark.createDataFrame([(9, "2024-03-01 00:00:00")], "k int, ts_s string").selectExpr(
+        "k", "cast(ts_s as timestamp) as ts"
+    )
+    write_partitioned_tx(more, t, "ts", unit="day")
+    eng.attach_partitioned("mdb.readings", path)
+    assert eng.query("select count(*) as n from readings").collect()[0].n == 2
