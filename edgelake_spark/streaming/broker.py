@@ -15,11 +15,14 @@ pulls, so the whole consumer is a map-only stage feeding the partitioned
 append. Offsets/checkpointing come from Structured Streaming's
 checkpoint dir, replacing the reference's hand-tracked consumer offsets.
 
-The container has no broker and no kafka connector jar, so tests drive
-the identical topology through the ``text`` file source, which yields
-the same single string ``value`` column a Kafka source does — the
-mapping, conditions, monitor, and sink stages are byte-for-byte the
-production ones.
+The container has no external broker and no kafka connector jar. Tests
+drive the identical topology two ways: through the ``text`` file source
+double, and — since round 5 — over REAL Kafka wire framing via
+``source='kafka-wire'`` (streaming/kafka.py: Metadata/ListOffsets/
+Produce/Fetch against an in-process broker double, mirroring the MQTT
+socket path). Both yield the same single string ``value`` column a
+``format("kafka")`` source does — the mapping, conditions, monitor, and
+sink stages are byte-for-byte the production ones.
 """
 
 from __future__ import annotations
@@ -126,6 +129,7 @@ class BrokerConsumer:
     conditions: list[StreamingCondition] = field(default_factory=list)
     monitor: DataMonitor | None = None
     mqtt_client = None  #: live MqttSubscriber when source='mqtt'
+    kafka_client = None  #: live KafkaWireConsumer when source='kafka-wire'
 
     def _raw_stream(self) -> DataFrame:
         if self.source == "kafka":
@@ -148,7 +152,19 @@ class BrokerConsumer:
                 self.mqtt_client = MqttSubscriber(
                     host, int(port or 1883), self.topic.name, self.source_dir
                 ).start()
-        if self.source in ("mqtt", "text"):
+        if self.source == "kafka-wire":
+            # real socket transport without the connector jar: the
+            # wire-protocol consumer (streaming/kafka.py) fetches over
+            # genuine Kafka framing and spools values to source_dir
+            if self.kafka_client is None:
+                from edgelake_spark.streaming.kafka import KafkaWireConsumer
+
+                host, _, port = self.bootstrap.partition(":")
+                self.kafka_client = KafkaWireConsumer(
+                    host, int(port or 9092), self.topic.name, self.source_dir,
+                    reset=self.reset,
+                ).start()
+        if self.source in ("mqtt", "kafka-wire", "text"):
             return (
                 self.spark.readStream.format("text")
                 .option("maxFilesPerTrigger", self.max_per_trigger)
