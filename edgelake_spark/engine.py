@@ -650,6 +650,53 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 [(b,) for b in dropped] or [], "dropped_partition string"
             )
+        m = _re.match(r"run\s+blobs\s+archiver\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference alarchiver.data_archiver flags (member_cmd:
+            # `run blobs archiver where dbms = true and folder = true and
+            # compress = false and reuse_blobs = true`); tick-driven here
+            # (archiver.process_once()) like the task scheduler
+            import os as _os
+
+            from edgelake_spark.ingest.archiver import BlobArchiver
+
+            opts = {k.lower(): v for k, v in _re.findall(r"(\w+)\s*=\s*(\S+)", m.group(1))}
+
+            def flag(key: str, default: bool) -> bool:
+                return opts.get(key, str(default)).lower() in ("true", "1")
+
+            for req in ("bwatch_dir", "blobs_dir", "archive_dir"):
+                if req not in opts:
+                    raise ValueError(f"run blobs archiver needs {req} = ...")
+            self.archiver = BlobArchiver(
+                engine=self,
+                bwatch_dir=opts["bwatch_dir"],
+                blobs_dir=opts["blobs_dir"],
+                archive_dir=opts["archive_dir"],
+                watch_dir=opts.get(
+                    "watch_dir", _os.path.join(opts["archive_dir"], "..", "watch")
+                ),
+                err_dir=opts.get(
+                    "err_dir", _os.path.join(opts["archive_dir"], "..", "err")
+                ),
+                update_dbms=flag("dbms", True),
+                archive_folder=flag("folder", True),
+                compress=flag("compress", True),
+                reuse_blobs=flag("reuse_blobs", False),
+            )
+            self.event_log.add("Event", "Blobs archiver declared")
+            return self.spark.createDataFrame(
+                [(self.archiver.status(),)], "archiver string"
+            )
+        m = _re.match(r"get\s+archived\s+files(\s+([\d-]+))?\s*$", text, _re.IGNORECASE)
+        if m:
+            if getattr(self, "archiver", None) is None:
+                raise ValueError("no blobs archiver is running")
+            rows = self.archiver.archived_files(m.group(2))
+            return self.spark.createDataFrame(
+                rows or [],
+                "archive_date string, file_name string, n_bytes bigint, compressed boolean",
+            )
         m = _re.match(r"file\s+store\s+where\s+(.*)$", text, _re.IGNORECASE)
         if m:
             self.event_log.add("File", f"file store where {m.group(1)}")
@@ -1287,10 +1334,7 @@ class EdgeLakeEngine:
         import re as _re
         import shlex as _shlex
 
-        from edgelake_spark import tsd as _tsd
-
-        if not hasattr(self, "tsd_store"):
-            self.tsd_store = _tsd.TsdStore()
+        self.tsd()
 
         def rows_df(entries):
             rows = [
@@ -1643,6 +1687,16 @@ class EdgeLakeEngine:
 
     # -------------------------------------------------------------- DML
 
+    def tsd(self):
+        """The node's TSD provenance store (lazy; tsd.py — reference
+        tsd_info tables). Shared by `time file` commands and the blobs
+        archiver."""
+        from edgelake_spark import tsd as _tsd
+
+        if not hasattr(self, "tsd_store"):
+            self.tsd_store = _tsd.TsdStore()
+        return self.tsd_store
+
     def _time_travel_resolver(self, version, as_of: str | None):
         """`sql <db> version = N "..."` / `as_of = <iso ts>`: resolve
         log-backed (DML-touched) tables to the requested committed
@@ -1900,6 +1954,9 @@ _COMMAND_HELP = [
     ("python", "python <pure expression>  (sandboxed: no builtins/imports)"),
     ("wait", "wait <seconds> [for <condition>]  (scripts)"),
     ("time file", "time file rename|new|add|update|get|delete|drop .. (TSD provenance)"),
+    ("run blobs archiver", "run blobs archiver where bwatch_dir = .. and blobs_dir = .. and archive_dir = .. [dbms|folder|compress|reuse_blobs = true/false]"),
+    ("get archived files", "get archived files [YYYY-MM-DD]"),
+    ("get table versions", "get table versions [where table = ..] (commit-log history)"),
     ("stream", "stream <json row or array> where dbms = .. and table = .."),
     ("monitor", "monitor <topic> where ip = .. and name = .. and info = {json}"),
     ("get monitored", "get monitored [topic]"),
