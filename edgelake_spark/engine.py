@@ -1334,6 +1334,8 @@ class EdgeLakeEngine:
         import re as _re
         import shlex as _shlex
 
+        from edgelake_spark import tsd as _tsd
+
         self.tsd()
 
         def rows_df(entries):
