@@ -3400,6 +3400,169 @@ ORDER BY event_type
 )
 
 
+def _replay(spark, sf_dir: str, table: str):
+    """One-batch streaming replay of a testdata table (the parquet is a
+    single file, so availableNow yields exactly one micro-batch — the
+    determinism anchor of the replay gates)."""
+    import os as _os
+
+    from edgelake_spark.streaming.ingest import stream_parquet_source
+
+    register_sf_tables(spark, sf_dir)
+    return stream_parquet_source(
+        spark, _os.path.join(_os.path.abspath(sf_dir), f"{table}.parquet")
+    )
+
+
+def _drain(stream, name: str, mode: str = "update"):
+    q = (
+        stream.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def _run_stream_lsh_dedup(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup detection
+    (streaming/stateful.lsh_dedup_stream) replayed over the documents
+    corpus: fingerprint map-side (Arrow pandas_udf, band keys
+    bit-identical to the batch SQL), claim band buckets in per-band
+    state, doc is a dup when ANY band was already claimed. Replay in
+    one batch → claims resolve to min(doc_id) per bucket, which is
+    exactly the batch keep-first policy the DuckDB oracle states. At
+    scale the state is one bigint per distinct bucket (grows with
+    novelty, not stream length)."""
+    from edgelake_spark.streaming.stateful import lsh_dedup_stream
+
+    stream = _replay(spark, sf_dir, "documents")
+    _drain(lsh_dedup_stream(stream), "__stream_lsh")
+    return spark.sql(
+        """
+SELECT doc_id, max(dup) AS is_dup
+FROM __stream_lsh
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    )
+
+
+_q(
+    "stream_lsh_dedup",
+    _run_stream_lsh_dedup,
+    f"""
+WITH sig AS ({dd.duck_minhash_sig_sql('documents')}),
+x AS ({_band_unions('duck', 'sig')}),
+keep AS (SELECT band_key, min(doc_id) AS keeper FROM x GROUP BY band_key)
+SELECT x.doc_id, bool_or(x.doc_id > k.keeper) AS is_dup
+FROM x JOIN keep k ON x.band_key = k.band_key
+GROUP BY x.doc_id
+ORDER BY doc_id
+""",
+)
+
+
+def _run_stream_sessionize(spark, sf_dir):
+    """Stateful gap sessionizer (streaming/stateful.session_stream)
+    replayed over events: a session is EMITTED when a later event
+    closes it; each user's final session stays open in state. The
+    oracle is the batch lag/cumsum sessionize minus every user's last
+    session — a hash match proves the streaming operator's state
+    carry-over reproduces the batch window semantics exactly (closed
+    sessions are append-final; same contract at any stream length)."""
+    from pyspark.sql import functions as F
+
+    from edgelake_spark.streaming.stateful import session_stream
+
+    stream = _replay(spark, sf_dir, "events")
+    _drain(session_stream(stream), "__stream_sess", mode="append")
+    return spark.sql(
+        """
+SELECT CAST(user_id AS BIGINT) AS user_id, session_id,
+       CAST(n_events AS BIGINT) AS n_events, session_start, session_end
+FROM __stream_sess
+ORDER BY user_id, session_id
+"""
+    )
+
+
+_q(
+    "stream_sessionize",
+    _run_stream_sessionize,
+    f"""
+WITH s AS ({_SESSIONIZE.replace("ORDER BY user_id, session_id", "")})
+SELECT user_id, session_id, n_events, session_start, session_end
+FROM (SELECT s.*, max(session_id) OVER (PARTITION BY user_id) AS last_sid FROM s)
+WHERE session_id < last_sid
+ORDER BY user_id, session_id
+""",
+)
+
+
+def _run_stream_anomaly(spark, sf_dir):
+    """Per-key streaming z-score monitor
+    (streaming/stateful.anomaly_stream): every value is scored against
+    the Welford state of its PREDECESSORS (a point can't vouch for
+    itself), flags only after min_n observations. Replayed in
+    event-time order (order_cols), so the oracle is the exact
+    prefix-window formulation: mean/var over ROWS UNBOUNDED PRECEDING
+    TO 1 PRECEDING. The gate projects the discrete outcomes (counts +
+    the last flagged raw value) — the decision stream, which is what
+    an alerting pipeline consumes."""
+    from edgelake_spark.streaming.stateful import anomaly_stream
+
+    stream = _replay(spark, sf_dir, "events")
+    _drain(
+        anomaly_stream(
+            stream, "event_type", z_threshold=3.0, min_n=30,
+            order_cols=("ts", "event_id"),
+        ),
+        "__stream_anom",
+    )
+    return spark.sql(
+        """
+SELECT key, n_total, n_flagged, last_flagged_value
+FROM __stream_anom
+ORDER BY key
+"""
+    )
+
+
+_q(
+    "stream_anomaly",
+    _run_stream_anomaly,
+    """
+WITH scored AS (
+  SELECT event_type AS key, value,
+         count(*) OVER w AS n_prev,
+         avg(value) OVER w AS mean_prev,
+         var_pop(value) OVER w AS var_prev,
+         ts, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+flagged AS (
+  SELECT key, value, ts, event_id,
+         (n_prev >= 30 AND var_prev > 0
+          AND abs(value - mean_prev) / sqrt(var_prev) > 3.0) AS is_flag
+  FROM scored
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE is_flag) AS BIGINT) AS n_flagged,
+       last(value ORDER BY ts, event_id) FILTER (WHERE is_flag) AS last_flagged_value
+FROM flagged
+GROUP BY key
+ORDER BY key
+""",
+)
+
+
 # =====================================================================
 # Round 4: the remaining TPC-H query shapes (q2/q12/q16/q20/q22-ish) —
 # completing all 22 families in the SQL-superset surface (SURVEY §2.3/

@@ -159,11 +159,16 @@ ANOMALY_OUTPUT = (
 ANOMALY_STATE = "n bigint, mean double, m2 double"
 
 
-def make_anomaly_fn(z_threshold: float = 3.0, value_col: str = "value", min_n: int = 30):
+def make_anomaly_fn(z_threshold: float = 3.0, value_col: str = "value", min_n: int = 30,
+                    order_cols: tuple = ()):
     """Per-key streaming z-score monitor: each value is scored against
     the state BEFORE it updates the state (a point can't vouch for
     itself), using Welford's one-pass mean/variance. Values only start
-    flagging after ``min_n`` observations so cold keys don't alarm."""
+    flagging after ``min_n`` observations so cold keys don't alarm.
+    ``order_cols`` (e.g. ("ts", "event_id")) sorts each micro-batch by
+    event time before scoring — taming intra-batch shuffle disorder so
+    a replay is deterministic; cross-batch order remains arrival
+    order (streaming semantics)."""
 
     def anomaly(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -175,7 +180,10 @@ def make_anomaly_fn(z_threshold: float = 3.0, value_col: str = "value", min_n: i
         else:
             n, mean, m2 = 0, 0.0, 0.0
         n_flagged, last_flagged = 0, None
-        for pdf in batches:
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if order_cols and pdfs:
+            pdfs = [pd.concat(pdfs).sort_values(list(order_cols))]
+        for pdf in pdfs:
             for v in pdf[value_col]:
                 v = float(v)
                 if n >= min_n:
@@ -212,6 +220,7 @@ def anomaly_stream(
     value_col: str = "value",
     z_threshold: float = 3.0,
     min_n: int = 30,
+    order_cols: tuple = (),
 ) -> DataFrame:
     """Per-key streaming anomaly monitor (the alert half of the
     reference's data-monitor ring, data_monitor.py, as a stateful
@@ -224,7 +233,7 @@ def anomaly_stream(
         stream_df.withColumn("key", F.col(key_col).cast("string"))
         .groupBy("key")
         .applyInPandasWithState(
-            make_anomaly_fn(z_threshold, value_col, min_n),
+            make_anomaly_fn(z_threshold, value_col, min_n, order_cols),
             outputStructType=ANOMALY_OUTPUT,
             stateStructType=ANOMALY_STATE,
             outputMode="update",
