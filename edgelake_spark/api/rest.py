@@ -10,10 +10,19 @@
 
 A thin driver-side door into the cluster — query execution and ingest
 stay distributed; only command parsing and result rendering live here.
+
+Auth (reference http_server.py runs basic-auth/SSL behind
+``run rest server where ... and user = .. and password = ..``): pass
+``basic_auth=(user, password)`` and/or ``auth_token=<token>`` — every
+request must then carry ``Authorization: Basic ..`` or ``Bearer ..``;
+anything else is a 401 before any engine code runs. TLS termination is
+a deployment-proxy concern (no cert material in this sandbox).
 """
 
 from __future__ import annotations
 
+import base64
+import hmac
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -23,8 +32,12 @@ from edgelake_spark.ingest.infer import rows_to_dataframe
 
 
 class EdgeLakeRestServer:
-    def __init__(self, engine: EdgeLakeEngine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, engine: EdgeLakeEngine, host: str = "127.0.0.1", port: int = 0,
+                 auth_token: str | None = None,
+                 basic_auth: tuple[str, str] | None = None):
         self.engine = engine
+        self.auth_token = auth_token
+        self.basic_auth = basic_auth
         engine.rest_server = self  # surfaced by `get processes`
         self.ingested: dict[str, int] = {}
         outer = self
@@ -33,7 +46,32 @@ class EdgeLakeRestServer:
             def log_message(self, *args):  # quiet
                 pass
 
+            def _authorized(self) -> bool:
+                """401-gate every verb when auth is configured;
+                constant-time compares (no credential oracles)."""
+                if outer.auth_token is None and outer.basic_auth is None:
+                    return True
+                header = self.headers.get("Authorization", "")
+                scheme, _, cred = header.partition(" ")
+                cred = cred.strip()
+                if outer.auth_token is not None and scheme.lower() == "bearer":
+                    if hmac.compare_digest(cred, outer.auth_token):
+                        return True
+                if outer.basic_auth is not None and scheme.lower() == "basic":
+                    want = base64.b64encode(
+                        f"{outer.basic_auth[0]}:{outer.basic_auth[1]}".encode()
+                    ).decode()
+                    if hmac.compare_digest(cred, want):
+                        return True
+                self.send_response(401)
+                self.send_header("WWW-Authenticate", 'Basic realm="edgelake"')
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return False
+
             def do_GET(self) -> None:
+                if not self._authorized():
+                    return
                 command = self.headers.get("command")
                 if not command:
                     self._reply(400, {"error": "missing 'command' header"})
@@ -66,6 +104,8 @@ class EdgeLakeRestServer:
                     self._reply(400, {"error": str(exc)[:500]})
 
             def do_POST(self) -> None:
+                if not self._authorized():
+                    return
                 # POST with a `topic` header publishes messages into a
                 # registered broker consumer's mapping (reference
                 # http_server.py:1844-1930 POST+topic →
@@ -96,6 +136,8 @@ class EdgeLakeRestServer:
                     self._reply(400, {"error": str(exc)[:500]})
 
             def do_PUT(self) -> None:
+                if not self._authorized():
+                    return
                 dbms = self.headers.get("dbms", "")
                 table = self.headers.get("table", "")
                 if not table:

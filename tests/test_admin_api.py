@@ -200,3 +200,64 @@ def test_rows_count_estimate(engine):
     assert est == {"events": 1000}
     all_est = engine.run("get rows count where estimate = true").collect()
     assert len(all_est) == 10 and all(r.n_rows > 0 for r in all_est)
+
+
+def test_rest_server_auth(engine):
+    """401 gate (reference http_server basic-auth): bearer token and
+    basic credentials both admit; anything else is rejected before the
+    engine runs."""
+    import base64
+
+    from edgelake_spark.api import EdgeLakeRestServer
+
+    server = EdgeLakeRestServer(
+        engine, auth_token="s3cret", basic_auth=("ops", "pw")
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}/"
+        cmd = 'sql d format = json:list "select event_id from events order by event_id limit 1"'
+
+        def get(auth=None):
+            headers = {"command": cmd}
+            if auth:
+                headers["Authorization"] = auth
+            req = urllib.request.Request(base, headers=headers)
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as exc:
+                return exc.code
+
+        assert get() == 401  # no credentials
+        assert get("Bearer wrong") == 401
+        assert get("Basic " + base64.b64encode(b"ops:bad").decode()) == 401
+        assert get("Bearer s3cret") == 200
+        assert get("Basic " + base64.b64encode(b"ops:pw").decode()) == 200
+
+        # PUT is gated too
+        req = urllib.request.Request(
+            base, data=b"[]", method="PUT", headers={"table": "t"}
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                code = resp.status
+        except urllib.error.HTTPError as exc:
+            code = exc.code
+        assert code == 401
+    finally:
+        server.stop()
+
+
+def test_rest_server_open_when_no_auth_configured(engine):
+    from edgelake_spark.api import EdgeLakeRestServer
+
+    server = EdgeLakeRestServer(engine).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/",
+            headers={"command": "get rows count where table = events"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+    finally:
+        server.stop()
