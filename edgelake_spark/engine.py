@@ -650,6 +650,32 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 [(b,) for b in dropped] or [], "dropped_partition string"
             )
+        m = _re.match(r"run\s+rest\s+server(\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference member_cmd.py:21323 `run rest server where
+            # internal_ip = .. and internal_port = .. [user/password]`;
+            # SSL termination is a deployment-proxy concern here
+            from edgelake_spark.api.rest import EdgeLakeRestServer
+
+            opts = {
+                k.lower(): v
+                for k, v in _re.findall(r"(\w+)\s*=\s*(\S+)", m.group(2) or "")
+            }
+            basic = None
+            if "user" in opts or "password" in opts:
+                basic = (opts.get("user", ""), opts.get("password", ""))
+            server = EdgeLakeRestServer(
+                self,
+                host=opts.get("internal_ip", opts.get("ip", "127.0.0.1")),
+                port=int(opts.get("internal_port", opts.get("port", 0))),
+                auth_token=opts.get("token"),
+                basic_auth=basic,
+            ).start()
+            self.event_log.add("Event", "REST server declared")
+            return self.spark.createDataFrame(
+                [(server.host, server.port, basic is not None or bool(opts.get("token")))],
+                "ip string, port int, auth boolean",
+            )
         m = _re.match(r"run\s+blobs\s+archiver\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
             # reference alarchiver.data_archiver flags (member_cmd:
@@ -1941,6 +1967,7 @@ _COMMAND_HELP = [
     ("drop partition", "drop partition [where dbms = .. and table = ..]"),
     ("run scheduler", "run scheduler [where wake = Ns]"),
     ("run kafka consumer", "run kafka consumer where ip = .. and topic = (name = .. and dbms = .. and table = .. and column..)"),
+    ("run rest server", "run rest server [where internal_ip = .. and internal_port = .. and user = .. and password = .. and token = ..]"),
     ("run mqtt client", "run mqtt client where broker = .. and topic = (..)"),
     ("schedule", "schedule time = <interval> [and name = ..] task <command>"),
     ("task", "task stop|resume|remove|init|run where name = .. | id = .."),

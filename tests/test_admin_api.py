@@ -261,3 +261,36 @@ def test_rest_server_open_when_no_auth_configured(engine):
             assert resp.status == 200
     finally:
         server.stop()
+
+
+def test_run_rest_server_command(engine):
+    """`run rest server where user/password` through the shell surface
+    (reference member_cmd.py:21323) — auth enforced on the spawned
+    server."""
+    import base64
+
+    row = engine.run(
+        "run rest server where internal_ip = 127.0.0.1 and user = ops and password = pw"
+    ).collect()[0]
+    assert row.auth is True
+    server = engine.rest_server
+    try:
+        base = f"http://{row.ip}:{row.port}/"
+        req = urllib.request.Request(
+            base,
+            headers={
+                "command": "get rows count where table = events",
+                "Authorization": "Basic " + base64.b64encode(b"ops:pw").decode(),
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        bad = urllib.request.Request(base, headers={"command": "get rows count"})
+        try:
+            with urllib.request.urlopen(bad) as resp:
+                code = resp.status
+        except urllib.error.HTTPError as exc:
+            code = exc.code
+        assert code == 401
+    finally:
+        server.stop()
