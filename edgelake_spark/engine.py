@@ -1276,6 +1276,10 @@ class EdgeLakeEngine:
             # (executor-side — blob bytes never pool on the driver)
             tx = self._tx_table("blobs", f"{dbms}.{table}")
             tx.append(self.spark.createDataFrame([row], schema=multimodal.BLOB_SCHEMA))
+            # every append adds a scan-union branch to the snapshot read;
+            # fold the chain periodically so the view plan stays flat
+            if tx.latest_version() % 32 == 0:
+                tx.compact(self.spark)
             tx.read(self.spark).createOrReplaceTempView(view)
         else:
             df = self.spark.createDataFrame(

@@ -62,6 +62,11 @@ for name in [
     "events_funnel",
     "events_seasonal",
     "events_cusum",
+    # round-5: commit-log time travel (snapshot isolation under a
+    # foreign tz) and the streaming sessionizer replay (event-time
+    # state carry-over, timestamp round trips through the state store)
+    "dml_time_travel",
+    "stream_sessionize",
 ]:
     df = queries[name](spark, SF)
     cols = df.columns
