@@ -650,6 +650,36 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 [(b,) for b in dropped] or [], "dropped_partition string"
             )
+        m = _re.match(r"run\s+message\s+broker(\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference member_cmd.py:21457 `run message broker where
+            # internal_ip/internal_port`: the node's local broker that
+            # MQTT devices publish into (tcpip/message_server.py). Here
+            # it starts the real-framing broker doubles — MQTT 3.1.1 and
+            # Kafka wire protocol — so `run kafka consumer` /
+            # `run mqtt client` round-trip over genuine sockets.
+            opts = {
+                k.lower(): v
+                for k, v in _re.findall(r"(\w+)\s*=\s*(\S+)", m.group(2) or "")
+            }
+            host = opts.get("internal_ip", opts.get("ip", "127.0.0.1"))
+            port = int(opts.get("internal_port", opts.get("port", 0)))
+            proto = opts.get("protocol", "mqtt").lower()
+            if proto == "kafka":
+                from edgelake_spark.streaming.kafka import KafkaBroker
+
+                broker = KafkaBroker(host, port).start()
+            else:
+                from edgelake_spark.streaming.mqtt import MqttBroker
+
+                broker = MqttBroker(host, port).start()
+            self.message_brokers = getattr(self, "message_brokers", [])
+            self.message_brokers.append(broker)
+            self.event_log.add("Event", f"Message broker declared ({proto})")
+            return self.spark.createDataFrame(
+                [(proto, broker.host, broker.port)],
+                "protocol string, ip string, port int",
+            )
         m = _re.match(r"run\s+rest\s+server(\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
             # reference member_cmd.py:21323 `run rest server where
@@ -1972,6 +2002,7 @@ _COMMAND_HELP = [
     ("run scheduler", "run scheduler [where wake = Ns]"),
     ("run kafka consumer", "run kafka consumer where ip = .. and topic = (name = .. and dbms = .. and table = .. and column..)"),
     ("run rest server", "run rest server [where internal_ip = .. and internal_port = .. and user = .. and password = .. and token = ..]"),
+    ("run message broker", "run message broker [where internal_ip = .. and internal_port = .. and protocol = mqtt|kafka]"),
     ("run mqtt client", "run mqtt client where broker = .. and topic = (..)"),
     ("schedule", "schedule time = <interval> [and name = ..] task <command>"),
     ("task", "task stop|resume|remove|init|run where name = .. | id = .."),

@@ -158,3 +158,71 @@ def test_consumer_picks_up_registered_conditions(spark):
     cfg = eng.broker_consumers["t9"]
     assert len(cfg["conditions"]) == 1 and cfg["conditions"][0].column == "v"
     assert cfg["monitor"] is not None
+
+
+def test_run_message_broker_full_node_roundtrip(spark, tmp_path):
+    """`run message broker` (reference member_cmd.py:21457,
+    tcpip/message_server.py) through the shell: the node hosts the
+    broker, a device publishes over real MQTT framing, and the
+    registered `run mqtt client` consumer lands typed rows — one node,
+    both halves."""
+    import json as _json
+
+    from edgelake_spark.engine import EdgeLakeEngine
+    from edgelake_spark.streaming import mqtt as mq
+
+    eng = EdgeLakeEngine(spark)
+    row = eng.run("run message broker where internal_ip = 127.0.0.1").collect()[0]
+    assert row.protocol == "mqtt" and row.port > 0
+    try:
+        eng.run(
+            f"run mqtt client where broker = {row.ip} and port = {row.port} "
+            "and topic = (name = tele and dbms = d and table = t and "
+            'column.value.int = "bring [v]")'
+        )
+        cfg = eng.broker_consumers["tele"]
+        consumer = BrokerConsumer(
+            spark=spark,
+            topic=cfg["topic"],
+            bootstrap=f"{cfg['ip']}:{cfg['port']}",
+            source="mqtt",
+            source_dir=str(tmp_path / "spool"),
+        )
+        stream = consumer.mapped_stream()
+        pub = mq.MqttPublisher(row.ip, row.port)
+        pub.publish("tele", _json.dumps({"v": 41}), qos=1)
+        assert consumer.mqtt_client.wait_for(1)
+        pub.close()
+        q = (
+            stream.writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(str(tmp_path / "out"))
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        consumer.mqtt_client.stop()
+        assert [r.value for r in spark.read.parquet(str(tmp_path / "out")).collect()] == [41]
+    finally:
+        for b in eng.message_brokers:
+            b.stop()
+
+
+def test_run_message_broker_kafka_protocol(spark):
+    from edgelake_spark.engine import EdgeLakeEngine
+    from edgelake_spark.streaming import kafka as kf
+
+    eng = EdgeLakeEngine(spark)
+    row = eng.run(
+        "run message broker where internal_ip = 127.0.0.1 and protocol = kafka"
+    ).collect()[0]
+    try:
+        pub = kf.KafkaProducerClient(row.ip, row.port)
+        assert pub.produce("x", [b"hello"]) == 0
+        pub.close()
+    finally:
+        for b in eng.message_brokers:
+            b.stop()
