@@ -334,3 +334,48 @@ def test_rfm_and_basket_shapes(spark):
     # broadcast — benign.)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winnow_fp_reads_persisted_artifact(spark):
+    """After round 5 the fingerprint gate scans the per-dataset
+    artifact: the plan is a parquet FileScan + project/sort — the
+    interpreted HOF md5 chain no longer appears in the query path."""
+    plan = plan_of(spark, "doc_winnow_fp")
+    assert "winnow_fps_" in plan  # the artifact path
+    assert "transform(" not in plan  # no HOF chain at query time
+    assert "Exchange hashpartitioning" not in plan  # only the sort
+
+
+def test_txlog_read_pushes_filters(spark, tmp_path):
+    """Commit-log snapshot reads stay plain parquet scans: filters and
+    column pruning reach the files like any table (the manifest layer
+    adds no execution-time indirection)."""
+    from pyspark.sql import functions as F
+
+    from edgelake_spark.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("pad").alias("w")
+        )
+    )
+    df = t.read(spark).filter(F.col("k") > 500).select("k", "v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters:")[1][:120]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "w" not in read_schema  # pruned
+
+
+def test_stream_lsh_band_grouping_is_only_shuffle(spark):
+    """The streaming LSH plan shuffles once — on band_key, the same key
+    as the batch band join; fingerprinting stays map-side (Arrow python
+    UDF inside the scan stage)."""
+    import os
+
+    from edgelake_spark.streaming.ingest import stream_parquet_source
+    from edgelake_spark.streaming.stateful import lsh_dedup_stream
+
+    stream = stream_parquet_source(spark, os.path.join(SF_DIR_MED, "documents.parquet"))
+    plan = lsh_dedup_stream(stream)._jdf.queryExecution().logical().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan
