@@ -1337,7 +1337,14 @@ class EdgeLakeEngine:
         view = self.blob_views.get((dbms, table))
         if view is None:
             raise ValueError(f"no blobs stored for {dbms}.{table}")
-        df = self.spark.table(view)
+        if opts.get("version") and self._durable:
+            # time-travel retrieve from the log-backed blob store: the
+            # same commit-log versioning the DML layer exposes
+            df = self._tx_table("blobs", f"{dbms}.{table}").read(
+                self.spark, version=int(opts["version"])
+            )
+        else:
+            df = self.spark.table(view)
         unique_key = False
         if opts.get("hash"):
             df = df.filter(F.col("blob_hash") == opts["hash"])

@@ -124,3 +124,28 @@ def test_txlog_partition_lifecycle(spark, tmp_path):
     write_partitioned_tx(more, t, "ts", unit="day")
     eng.attach_partitioned("mdb.readings", path)
     assert eng.query("select count(*) as n from readings").collect()[0].n == 2
+
+
+def test_blob_retrieve_time_travel(spark, tmp_path):
+    """`file retrieve ... version = N` on a durable engine reads the
+    blob table's committed snapshot — a blob stored later is invisible
+    at the earlier version."""
+    wd = str(tmp_path / "node")
+    a, b = tmp_path / "a.bin", tmp_path / "b.bin"
+    a.write_bytes(b"first")
+    b.write_bytes(b"second")
+    eng = EdgeLakeEngine(spark, work_dir=wd)
+    eng.run(f"file store where dbms = d and table = t and file = {a}")
+    eng.run(f"file store where dbms = d and table = t and file = {b}")
+
+    ddir = tmp_path / "v1"
+    out = eng.run(
+        f"file retrieve where dbms = d and table = t and version = 1 and limit = 0 and dest = {ddir}"
+    ).collect()
+    assert [o.source_name for o in out] == ["a.bin"]
+
+    ddir2 = tmp_path / "v2"
+    out = eng.run(
+        f"file retrieve where dbms = d and table = t and version = 2 and limit = 0 and dest = {ddir2}"
+    ).collect()
+    assert sorted(o.source_name for o in out) == ["a.bin", "b.bin"]
