@@ -329,18 +329,16 @@ class EdgeLakeEngine:
             rows = []
             for key, tx in sorted(self.tx_tables.items()):
                 kind, _, name = key.partition("/")
-                if kind != "dml":
-                    continue
                 if flt.get("table") and catalog.view_name(flt["table"]) != name:
                     continue
                 for man in tx.history():
                     rows.append(
-                        (name, man["version"], man["op"], man["timestamp"],
-                         len(man["files"]))
+                        (kind, name, man["version"], man["op"],
+                         man["timestamp"], len(man["files"]))
                     )
             return self.spark.createDataFrame(
                 rows or [],
-                "table_name string, version int, op string, "
+                "store string, table_name string, version int, op string, "
                 "committed_at string, n_files int",
             )
         m = _re.match(r"get\s+partitions(\s+where\s+(.*))?$", text, _re.IGNORECASE)
@@ -1840,6 +1838,10 @@ class EdgeLakeEngine:
         tx = self._tx_table("dml", catalog.view_name(table))
         if append:
             tx.append(df, meta={"op": op})
+            # long INSERT chains deepen the snapshot's scan union —
+            # fold periodically (same policy as the blob store)
+            if tx.latest_version() % 32 == 0:
+                tx.compact(self.spark)
         else:
             tx.overwrite(df, op=op)
         managed = f"__dml_{catalog.view_name(table)}"
