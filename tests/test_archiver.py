@@ -135,3 +135,48 @@ def test_get_archived_without_archiver_errors(spark):
     eng = EdgeLakeEngine(spark)
     with pytest.raises(ValueError, match="no blobs archiver"):
         eng.run("get archived files")
+
+
+def test_archiver_feeds_watch_dir_ingest(spark, tmp_path):
+    """The full operator-node loop (reference aloperator + alarchiver):
+    blob descriptor → archiver emits the SQL row file into the watch
+    dir → StreamIngest streams it into the table → query sees typed
+    rows carrying the blob's content hash."""
+    from pyspark.sql import types as T
+
+    from edgelake_spark.streaming.ingest import StreamIngest
+
+    eng = _setup(tmp_path, spark)
+    (tmp_path / "blobs" / "clip.mp4").write_bytes(b"mp4-bytes")
+    (tmp_path / "bwatch" / "d.json").write_text(
+        json.dumps(_descriptor(tmp_path, [("A", "clip.mp4")]))
+    )
+    assert eng.archiver.process_once() == {"d.json": "ok"}
+
+    schema = T.StructType(
+        [
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("file", T.StringType()),
+        ]
+    )
+    ingest = StreamIngest(
+        spark=spark,
+        source_dir=str(tmp_path / "watch"),
+        target_dir=str(tmp_path / "landed"),
+        schema=schema,
+        write_immediate=True,
+    )
+    q = ingest.start("archiver_ingest")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert ingest.rows_flushed == 1
+
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    row = landed.collect()[0]
+    assert row.name == "A" and len(row.file) == 32  # the blob content hash
+    # ...and the hash joins back to the stored blob
+    stored = spark.table(eng.blob_views[("blobs_video", "releases")]).collect()[0]
+    assert stored.blob_hash == row.file
