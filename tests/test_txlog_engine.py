@@ -149,3 +149,19 @@ def test_blob_retrieve_time_travel(spark, tmp_path):
         f"file retrieve where dbms = d and table = t and version = 2 and limit = 0 and dest = {ddir2}"
     ).collect()
     assert sorted(o.source_name for o in out) == ["a.bin", "b.bin"]
+
+
+def test_insert_schema_evolution_null_fills_history(spark, tmp_path):
+    """INSERT with a brand-new column: copy-on-write commit widens the
+    schema; pre-evolution rows read back NULL for the new column and
+    time travel still shows the narrow schema."""
+    eng = EdgeLakeEngine(spark, work_dir=str(tmp_path))
+    eng.run('sql d "insert into gauges (k, v) values (1, 10.5)"')
+    eng.run('sql d "insert into gauges (k, v, unit) values (2, 11.0, \'psi\')"')
+
+    rows = {r.k: (r.v, r.unit) for r in eng.query("select k, v, unit from gauges").collect()}
+    assert rows == {1: (10.5, None), 2: (11.0, "psi")}
+
+    tx = eng.tx_tables["dml/gauges"]
+    assert [m["op"] for m in tx.history()] == ["append", "insert"]  # widen = rewrite
+    assert "unit" not in tx.read(spark, version=1).columns
