@@ -1885,11 +1885,14 @@ class EdgeLakeEngine:
         if m:
             table, cond = m.group(1), m.group(2)
             view = self._managed_snapshot(table)
-            df = self.spark.table(view)
-            # keep rows where cond is false OR NULL — SQL DELETE only
-            # removes rows where the predicate is true
-            kept = df.filter(f"NOT coalesce(({cond}), false)") if cond else df.limit(0)
-            return self._tx_commit(table, kept, "delete")
+            # file-granular copy-on-write (txlog.delete_where): only the
+            # files holding matching rows are rewritten — a DELETE of
+            # one partition's rows from a 100 TB table moves that
+            # partition, not the table
+            tx = self._tx_table("dml", catalog.view_name(table))
+            tx.delete_where(self.spark, cond)
+            tx.read(self.spark).createOrReplaceTempView(view)
+            return self.spark.table(view)
         m = _re.match(
             r"update\s+(\S+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL
         )
@@ -1898,24 +1901,18 @@ class EdgeLakeEngine:
 
             table, sets, cond = m.group(1), m.group(2), m.group(3)
             view = self._managed_snapshot(table)
-            df = self.spark.table(view)
             # SQL UPDATE evaluates every RHS against the pre-update row:
-            # build all assignments first, apply in ONE select, so
-            # `set a = b, b = a` swaps instead of cascading
+            # txlog.update_where builds all assignments first and applies
+            # them in ONE select (so `set a = b, b = a` swaps instead of
+            # cascading), rewriting only the files with matching rows
             assignments = {}
             for assignment in split_top_level(sets):
                 col, _, expr = assignment.partition("=")
                 assignments[col.strip()] = expr.strip()
-            projected = []
-            for name in df.columns:
-                if name in assignments:
-                    e = F.expr(assignments[name])
-                    if cond:
-                        e = F.when(F.expr(cond), e).otherwise(F.col(name))
-                    projected.append(e.alias(name))
-                else:
-                    projected.append(F.col(name))
-            return self._tx_commit(table, df.select(*projected), "update")
+            tx = self._tx_table("dml", catalog.view_name(table))
+            tx.update_where(self.spark, assignments, cond)
+            tx.read(self.spark).createOrReplaceTempView(view)
+            return self.spark.table(view)
         return None
 
     def _build_union_view(self, cmd: SqlCommand) -> tuple[str, list[str]]:

@@ -239,6 +239,97 @@ class TxTable:
         run after long append chains)."""
         return self.overwrite(self.read(spark), op="compact")
 
+    # ------------------------------------------- file-granular DML
+
+    def _rel_of_uri(self, uri: str) -> str:
+        return uri.split(self.path + "/", 1)[-1]
+
+    def _touched_files(self, spark: SparkSession, condition: str) -> list[str]:
+        """Relative paths of files containing ≥1 row where ``condition``
+        is TRUE. The discovery scan carries the predicate, so Catalyst
+        prunes via parquet row-group stats — files that provably cannot
+        match are skipped without reading rows."""
+        from pyspark.sql import functions as F
+
+        uris = (
+            self.read(spark)
+            .filter(f"coalesce(({condition}), false)")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        return [self._rel_of_uri(r.f) for r in uris]
+
+    def _rewrite_files(self, spark: SparkSession, touched: list[str],
+                       transform, op: str) -> int:
+        """Copy-on-write at FILE granularity (the Delta-style contract):
+        rewrite only the files holding matching rows; every other file
+        is carried into the new manifest untouched. A DELETE of one
+        day's rows from a year-sized table moves one day of data, not
+        the table. ``transform(df_of_touched_rows) -> replacement df``.
+        (File membership tests use a broadcastable set; at very large
+        file counts swap the isin for a broadcast join on file name.)"""
+        from pyspark.sql import functions as F
+
+        touched_set = set(touched)
+        df = self.read(spark)
+        # relative path = whatever follows "<table root>/" in the file
+        # URI — scheme-agnostic (file://, hdfs://, s3://) and JVM-side
+        rel = F.expr(f"substring_index(input_file_name(), '{self.path}/', -1)")
+        replaced = transform(
+            df.withColumn("__rel", rel).filter(F.col("__rel").isin(touched)).drop("__rel")
+        )
+        new_files, schema = (
+            self._stage(replaced) if replaced is not None else ([], None)
+        )
+
+        def build(prev):
+            kept = [f for f in (prev or {}).get("files", []) if f not in touched_set]
+            return sorted(kept + new_files)
+
+        return self._publish(build, op, schema, {"rewrote": len(touched)})
+
+    def delete_where(self, spark: SparkSession, condition: str | None) -> int:
+        """SQL DELETE semantics (only rows where the predicate is TRUE
+        die); commit is proportional to touched files."""
+        if condition is None:
+            v, _removed = self.remove_files(lambda f: True, op="delete")
+            return v
+        touched = self._touched_files(spark, condition)
+        if not touched:
+            return self.latest_version()  # no-op: nothing matched
+        return self._rewrite_files(
+            spark, touched,
+            lambda rows: rows.filter(f"NOT coalesce(({condition}), false)"),
+            "delete",
+        )
+
+    def update_where(self, spark: SparkSession, assignments: dict[str, str],
+                     condition: str | None) -> int:
+        """SQL UPDATE: every RHS reads the pre-update row (build all
+        assignment expressions before applying); rewrite touched files
+        only."""
+        from pyspark.sql import functions as F
+
+        def apply_set(rows):
+            projected = []
+            for name in rows.columns:
+                if name in assignments:
+                    e = F.expr(assignments[name])
+                    if condition:
+                        e = F.when(F.expr(condition), e).otherwise(F.col(name))
+                    projected.append(e.alias(name))
+                else:
+                    projected.append(F.col(name))
+            return rows.select(*projected)
+
+        if condition is None:
+            return self.overwrite(apply_set(self.read(spark)), op="update")
+        touched = self._touched_files(spark, condition)
+        if not touched:
+            return self.latest_version()
+        return self._rewrite_files(spark, touched, apply_set, "update")
+
     # ------------------------------------------------------- cleanup
 
     def expire(self, keep_last: int = 1) -> list[int]:

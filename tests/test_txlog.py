@@ -249,3 +249,37 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         # every retained version replays its recorded state
         for v, state in zip(t.versions(), history):
             assert sorted(r.k for r in t.read(spark, version=v).collect()) == sorted(state)
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    """File-granular copy-on-write: a DELETE matching rows in one file
+    leaves every other file byte-identical in the manifest — the
+    100 TB contract (a one-partition delete moves one partition)."""
+    t = TxTable(str(tmp_path / "t"))
+    # three separate commits, one file each (coalesce pins the layout)
+    t.overwrite(_df(spark, [(1, "a"), (2, "a")]).coalesce(1))
+    t.append(_df(spark, [(10, "b"), (11, "b")]).coalesce(1))
+    t.append(_df(spark, [(20, "c"), (21, "c")]).coalesce(1))
+    before = t.manifest(t.latest_version())["files"]
+
+    v = t.delete_where(spark, "k = 10")
+    m = t.manifest(v)
+    assert m["op"] == "delete" and m["meta"]["rewrote"] == 1
+    untouched_survivors = set(before) & set(m["files"])
+    # exactly one original file replaced; the other two carried over
+    assert len(set(before) - set(m["files"])) == 1
+    assert len(untouched_survivors) == len(before) - 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 11, 20, 21]
+
+    # no-match delete is a no-op: no new version
+    assert t.delete_where(spark, "k = 999") == v
+    assert t.latest_version() == v
+
+    # update same contract; NULL-condition rows untouched (3VL)
+    v2 = t.update_where(spark, {"v": "'upd'"}, "k >= 20")
+    m2 = t.manifest(v2)
+    assert m2["meta"]["rewrote"] == 1
+    vals = {r.k: r.v for r in t.read(spark).collect()}
+    assert vals == {1: "a", 2: "a", 11: "b", 20: "upd", 21: "upd"}
+    # time travel still sees the pre-DML rows
+    assert sorted(r.k for r in t.read(spark, version=3).collect()) == [1, 2, 10, 11, 20, 21]
