@@ -1881,6 +1881,28 @@ class EdgeLakeEngine:
                     table, base.unionByName(row, allowMissingColumns=True), "insert"
                 )
             return self._tx_commit(table, row, "insert", append=True)
+        m = _re.match(
+            r"merge\s+into\s+(\S+)\s+using\s+\((.*)\)\s+on\s+([\w\s,]+)$",
+            text,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            # superset of the reference DML (BASELINE north star —
+            # Delta-style table management): full-row upsert, the CDC
+            # MERGE special case. Matched keys are replaced by the
+            # source row, unmatched source rows insert; file-granular
+            # copy-on-write (txlog.merge_upsert).
+            table, source_sql, keys = m.group(1), m.group(2), m.group(3)
+            view = self._managed_snapshot(table)
+            key_cols = [k.strip() for k in keys.split(",") if k.strip()]
+            # the source subquery resolves through the engine (dialect
+            # rewriting + managed-view indirection), so it sees DML'd
+            # state, not the raw storage table
+            source = self.query(source_sql)
+            tx = self._tx_table("dml", catalog.view_name(table))
+            tx.merge_upsert(self.spark, source, key_cols)
+            tx.read(self.spark).createOrReplaceTempView(view)
+            return self.spark.table(view)
         m = _re.match(r"delete\s+from\s+(\S+)(?:\s+where\s+(.*))?$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
             table, cond = m.group(1), m.group(2)

@@ -2985,6 +2985,47 @@ ORDER BY event_type
 )
 
 
+_MERGE_SRC = (
+    "select event_id, ts, user_id, 'merged' as event_type, "
+    "cast(0.5 as double) as value, props from events where event_id % 10 = 3"
+)
+
+
+def _run_dml_merge(spark, sf_dir):
+    """Full-row upsert — `merge into <t> using (<select>) on <keys>`,
+    the CDC special case of Delta MERGE (superset of the reference DML;
+    BASELINE north star). File-granular copy-on-write: only files
+    holding matched keys rewrite (txlog.merge_upsert). The oracle is
+    the relational statement of upsert: source rows + target rows whose
+    key is absent from the source."""
+    eng = EdgeLakeEngine(spark, sf_dir, now=FIXED_NOW)
+    eng.run(f'sql d "merge into events using ({_MERGE_SRC}) on event_id"')
+    return eng.query(
+        "select event_type, count(*) as n, "
+        "cast(sum(cast(value as decimal(25,6))) as double) as sum_value "
+        "from events group by event_type order by event_type"
+    )
+
+
+_q(
+    "dml_merge",
+    _run_dml_merge,
+    f"""
+WITH src AS ({_MERGE_SRC}),
+merged AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT e.* FROM events e WHERE e.event_id NOT IN (SELECT event_id FROM src)
+)
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+
+
 def _pipeline_sql(engine: str) -> str:
     if engine == "spark":
         q = tx.spark_quality_score("text")

@@ -304,6 +304,44 @@ class TxTable:
             "delete",
         )
 
+    def merge_upsert(self, spark: SparkSession, source: DataFrame,
+                     key_cols: list[str]) -> int:
+        """Full-row upsert (the CDC special case of Delta MERGE): rows
+        whose key matches a source row are replaced by it; unmatched
+        source rows are inserted. File-granular: only files containing
+        matched keys are rewritten — the discovery scan is a semi join
+        against the (broadcast) source keys — and the commit stages
+        (touched rows minus matched keys) + all source rows. An upsert
+        of one device's day into a 100 TB table moves that device's
+        files plus the new rows, nothing else."""
+        from pyspark.sql import functions as F
+
+        # localCheckpoint: the key set must not remain a FILE source —
+        # input_file_name() (the discovery scan) rejects plans with a
+        # second file source, and the keys are broadcast-sized anyway
+        keys = source.select(*key_cols).distinct().localCheckpoint()
+        if not self.latest_version():
+            return self.append(source)
+        touched = [
+            self._rel_of_uri(r.f)
+            for r in (
+                self.read(spark)
+                .join(F.broadcast(keys), key_cols, "semi")
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+        ]
+
+        def replace(rows):
+            survivors = rows.join(F.broadcast(keys), key_cols, "anti")
+            return survivors.unionByName(source)
+
+        if not touched:
+            # pure insert: nothing matched, append the source rows
+            return self.append(source)
+        return self._rewrite_files(spark, touched, replace, "merge")
+
     def update_where(self, spark: SparkSession, assignments: dict[str, str],
                      condition: str | None) -> int:
         """SQL UPDATE: every RHS reads the pre-update row (build all

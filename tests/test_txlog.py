@@ -283,3 +283,25 @@ def test_delete_rewrites_only_touched_files(spark, tmp_path):
     assert vals == {1: "a", 2: "a", 11: "b", 20: "upd", 21: "upd"}
     # time travel still sees the pre-DML rows
     assert sorted(r.k for r in t.read(spark, version=3).collect()) == [1, 2, 10, 11, 20, 21]
+
+
+def test_merge_upsert_file_granular(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "a")]).coalesce(1))
+    t.append(_df(spark, [(10, "b")]).coalesce(1))
+    before = set(t.manifest(t.latest_version())["files"])
+
+    # matched key 10 → that file rewrites; key 99 → inserted
+    v = t.merge_upsert(spark, _df(spark, [(10, "NEW"), (99, "ins")]), ["k"])
+    m = t.manifest(v)
+    assert m["op"] == "merge" and m["meta"]["rewrote"] == 1
+    assert len(before - set(m["files"])) == 1  # only the k=10 file replaced
+    vals = {r.k: r.v for r in t.read(spark).collect()}
+    assert vals == {1: "a", 2: "a", 10: "NEW", 99: "ins"}
+
+    # no matches → pure append, nothing rewritten
+    v2 = t.merge_upsert(spark, _df(spark, [(500, "x")]), ["k"])
+    assert t.manifest(v2)["op"] == "append"
+    assert set(m["files"]) <= set(t.manifest(v2)["files"])
+    # time travel across both merges
+    assert sorted(r.k for r in t.read(spark, version=2).collect()) == [1, 2, 10]
