@@ -53,15 +53,18 @@ class EdgeLakeRestServer:
                     return True
                 header = self.headers.get("Authorization", "")
                 scheme, _, cred = header.partition(" ")
-                cred = cred.strip()
+                # compare as bytes: compare_digest raises TypeError on
+                # non-ASCII str (headers arrive latin-1-decoded), which
+                # would crash the handler instead of 401ing
+                cred_b = cred.strip().encode("latin-1", "replace")
                 if outer.auth_token is not None and scheme.lower() == "bearer":
-                    if hmac.compare_digest(cred, outer.auth_token):
+                    if hmac.compare_digest(cred_b, outer.auth_token.encode()):
                         return True
                 if outer.basic_auth is not None and scheme.lower() == "basic":
                     want = base64.b64encode(
                         f"{outer.basic_auth[0]}:{outer.basic_auth[1]}".encode()
-                    ).decode()
-                    if hmac.compare_digest(cred, want):
+                    )
+                    if hmac.compare_digest(cred_b, want):
                         return True
                 self.send_response(401)
                 self.send_header("WWW-Authenticate", 'Basic realm="edgelake"')

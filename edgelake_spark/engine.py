@@ -127,6 +127,11 @@ class EdgeLakeEngine:
         self.sf_dir = sf_dir
         if sf_dir:
             catalog.register_sf_tables(spark, sf_dir)
+        if self._durable:
+            # re-attach DML state committed by a previous engine on this
+            # work_dir — without this a restarted node would silently
+            # resolve queries to the raw storage tables (pre-DML data)
+            self._load_dml_tables()
 
     def _resolve(self, name: str) -> str:
         if name in self.views:
@@ -329,8 +334,13 @@ class EdgeLakeEngine:
             rows = []
             for key, tx in sorted(self.tx_tables.items()):
                 kind, _, name = key.partition("/")
-                if flt.get("table") and catalog.view_name(flt["table"]) != name:
-                    continue
+                if flt.get("table"):
+                    # blob-store keys are "dbms.table"; match the short
+                    # table name as well as the full key
+                    want = flt["table"]
+                    short = name.rsplit(".", 1)[-1]
+                    if catalog.view_name(want) not in (name, short):
+                        continue
                 for man in tx.history():
                     rows.append(
                         (kind, name, man["version"], man["op"],
@@ -1256,6 +1266,23 @@ class EdgeLakeEngine:
             for r in tx.read(self.spark).select("blob_hash").collect()
         }
 
+    def _load_dml_tables(self) -> None:
+        """Durable restart: re-register every committed DML table's
+        managed view so queries, time travel, and `get table versions`
+        see the committed state, not the raw storage table."""
+        import os as _os
+
+        root = _os.path.join(self._work_dir(), "dml")
+        if not _os.path.isdir(root):
+            return
+        for name in sorted(_os.listdir(root)):
+            tx = self._tx_table("dml", name)
+            if not tx.latest_version():
+                continue
+            managed = f"__dml_{name}"
+            tx.read(self.spark).createOrReplaceTempView(managed)
+            self.views[name] = managed
+
     def _load_all_blobs(self) -> None:
         """Attach every blob table present under the durable work dir
         (for `get files count` on a freshly restarted node)."""
@@ -1297,19 +1324,24 @@ class EdgeLakeEngine:
                     "dbms string, table_name string, blob_hash string, n_bytes bigint, stored boolean",
                 )
             raise ValueError(f"duplicate blob hash {row[0]} in {dbms}.{table}")
-        rows[row[0]] = row
         if self._durable:
             # log-backed blob store: each store is an atomic O(1 blob)
             # append commit; the view reads the committed parquet
-            # (executor-side — blob bytes never pool on the driver)
+            # (executor-side), so the driver-side dict keeps only the
+            # dup-check hash key — never the content bytes
+            rows[row[0]] = None
             tx = self._tx_table("blobs", f"{dbms}.{table}")
             tx.append(self.spark.createDataFrame([row], schema=multimodal.BLOB_SCHEMA))
-            # every append adds a scan-union branch to the snapshot read;
-            # fold the chain periodically so the view plan stays flat
-            if tx.latest_version() % 32 == 0:
-                tx.compact(self.spark)
+            # every append adds a scan-union branch to the snapshot
+            # read; fold the small stages once the chain is deep
+            # (size-gated compact_small — the Delta OPTIMIZE analogue,
+            # not a per-write table rewrite)
+            latest = tx.manifest(tx.latest_version())
+            if len({f.split("/", 2)[1] for f in latest["files"]}) > 64:
+                tx.compact_small(self.spark)
             tx.read(self.spark).createOrReplaceTempView(view)
         else:
+            rows[row[0]] = row
             df = self.spark.createDataFrame(
                 list(rows.values()), schema=multimodal.BLOB_SCHEMA
             )
@@ -1357,12 +1389,28 @@ class EdgeLakeEngine:
         if limit:
             df = df.limit(limit)
         dest = opts.get("dest", "")
-        single_dest = bool(unique_key and dest and not os.path.isdir(dest))
         out = []
         # toLocalIterator: one partition of blob rows in driver memory at
-        # a time, not the whole (capped) result set at once
-        for r in df.toLocalIterator():
-            if single_dest and not out:
+        # a time, not the whole (capped) result set at once. The one-row
+        # look-ahead decides file-vs-directory dest: exactly one result
+        # and a non-directory dest → write that file; otherwise dest is
+        # a directory with one file per blob (the pre-cap behavior).
+        it = df.toLocalIterator()
+        first = next(it, None)
+        second = next(it, None) if first is not None else None
+
+        def rows():
+            if first is not None:
+                yield first
+            if second is not None:
+                yield second
+            yield from it
+
+        single_dest = bool(
+            first is not None and second is None and dest and not os.path.isdir(dest)
+        )
+        for r in rows():
+            if single_dest:
                 path = dest
             else:  # multiple files (or dest is a dir): one file per blob
                 os.makedirs(dest or ".", exist_ok=True)
@@ -1838,10 +1886,13 @@ class EdgeLakeEngine:
         tx = self._tx_table("dml", catalog.view_name(table))
         if append:
             tx.append(df, meta={"op": op})
-            # long INSERT chains deepen the snapshot's scan union —
-            # fold periodically (same policy as the blob store)
-            if tx.latest_version() % 32 == 0:
-                tx.compact(self.spark)
+            # long INSERT chains deepen the snapshot's scan union; fold
+            # the SMALL stages once the chain is deep (compact_small is
+            # O(small-file data), never a table rewrite — a full-compact
+            # trigger would break the O(1 row) INSERT contract)
+            latest = tx.manifest(tx.latest_version())
+            if len({f.split("/", 2)[1] for f in latest["files"]}) > 64:
+                tx.compact_small(self.spark)
         else:
             tx.overwrite(df, op=op)
         managed = f"__dml_{catalog.view_name(table)}"

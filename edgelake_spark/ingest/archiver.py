@@ -87,6 +87,21 @@ class BlobArchiver:
                 results[name] = "ok"
         return results
 
+    def _stored_hash_for(self, dbms: str, table: str, source_name: str) -> str | None:
+        """blob_hash of an already-stored blob, by source name (used by
+        the reuse_blobs path so reused rows carry the same content-hash
+        `file` value as freshly-stored ones)."""
+        view = self.engine.blob_views.get((f"blobs_{dbms}", table))
+        if view is None:
+            return None
+        hit = (
+            self.engine.spark.table(view)
+            .filter(f"source_name = '{source_name}'")
+            .select("blob_hash")
+            .take(1)
+        )
+        return hit[0].blob_hash if hit else None
+
     def _process_descriptor(self, path: str) -> None:
         with open(path) as fh:
             doc = json.load(fh)
@@ -94,23 +109,37 @@ class BlobArchiver:
         dbms, table = blobs["dbms"], blobs["table"]
         stat = self.per_table.setdefault(f"{dbms}.{table}", {"ok": 0, "err": 0})
         date_key = self._date_key()
+
+        # validate the WHOLE descriptor before any side effect, so a bad
+        # entry moves the file to err_dir with nothing half-done (a
+        # partially-processed descriptor could never be retried: its
+        # stored blobs would raise duplicate-hash on the second pass)
+        entries = [dict(e["info"]) for e in blobs.get("list", ())]
+        for info in entries:
+            blob_path = os.path.join(self.blobs_dir, info["file"])
+            if not os.path.exists(blob_path) and not (
+                self.reuse_blobs
+                and self._stored_hash_for(dbms, table, info["file"]) is not None
+            ):
+                raise FileNotFoundError(f"blob missing: {blob_path}")
+
         rows = []
-        for entry in blobs.get("list", ()):
-            info = dict(entry["info"])
+        for info in entries:
             blob_name = info["file"]
             blob_path = os.path.join(self.blobs_dir, blob_name)
             if not os.path.exists(blob_path):
-                if self.reuse_blobs:
-                    rows.append(info)  # already stored by a prior pass
-                    continue
-                raise FileNotFoundError(f"blob missing: {blob_path}")
+                # reuse_blobs: stored by a prior pass — the row still
+                # carries the content hash, same as a fresh store
+                info["file"] = self._stored_hash_for(dbms, table, blob_name)
+                rows.append(info)
+                continue
             if self.update_dbms:
-                # same command path as `file store`; reuse_blobs maps to
-                # the reference's ignore-duplicate flag
-                ignore = " and ignore = true" if self.reuse_blobs else ""
+                # same command path as `file store`; ignore = true keeps
+                # the pass idempotent (a crash after a store must not
+                # make the retried descriptor fail on duplicate hash)
                 res = self.engine.run(
                     f"file store where dbms = blobs_{dbms} and table = {table} "
-                    f"and file = {blob_path}{ignore}"
+                    f"and file = {blob_path} and ignore = true"
                 ).collect()[0]
                 info["file"] = res.blob_hash  # row carries the content hash
             if self.archive_folder:

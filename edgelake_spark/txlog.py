@@ -120,11 +120,28 @@ class TxTable:
                     files.append(rel)
         return sorted(files), df.schema.json()
 
-    def _publish(self, build, op: str, schema_json: str | None, meta: dict | None) -> int:
+    def _publish(self, build, op: str, schema_json: str | None, meta: dict | None,
+                 expected_base: int | None = None) -> int:
         """Optimistic-concurrency commit loop. ``build(prev_manifest)``
-        returns the complete relative file list for the new version."""
+        returns the complete relative file list for the new version.
+
+        ``expected_base`` pins the version the staged data was computed
+        FROM: ops whose staged files are only valid against one snapshot
+        (overwrite-of-a-read like compact, and the file-granular DML
+        rewrites) must not blindly win a race — a concurrent append
+        between their read and their publish would silently vanish from
+        the new complete file list. Such ops pass the base version they
+        read; a conflict then raises TxConflict for the CALLER to re-run
+        the whole read-transform-stage cycle against the new head.
+        Appends and user-intent overwrites (last-writer-wins SQL
+        semantics) pass None and retry list-only."""
         for _ in range(self.MAX_RETRIES):
             base = self.latest_version()
+            if expected_base is not None and base != expected_base:
+                raise TxConflict(
+                    f"concurrent commit: staged against v{expected_base}, "
+                    f"head is v{base} at {self.path}; re-run the operation"
+                )
             prev = self.manifest(base) if base else None
             manifest = {
                 "version": base + 1,
@@ -173,6 +190,10 @@ class TxTable:
         """Metadata-only delete: publish a manifest without the files
         matching ``predicate(relative_path)``. Data stays on disk for
         time travel until expire()+vacuum()."""
+        if not self.latest_version():
+            # publishing from nothing would write a schema-less manifest
+            # that poisons every later read
+            raise ValueError(f"table at {self.path} has no commits")
         removed: list[str] = []
 
         def build(prev):
@@ -234,25 +255,95 @@ class TxTable:
             out = part if out is None else out.unionByName(part)
         return out
 
+    def _retry_conflicts(self, attempt):
+        """Re-run a read-transform-stage-publish cycle that lost a
+        version-pinned race (TxConflict from _publish) against the new
+        head, up to the retry budget."""
+        last: TxConflict | None = None
+        for _ in range(self.MAX_RETRIES):
+            try:
+                return attempt()
+            except TxConflict as exc:
+                last = exc
+        raise last
+
     def compact(self, spark: SparkSession) -> int:
         """Rewrite the latest snapshot as a single stage (one scan node;
-        run after long append chains)."""
-        return self.overwrite(self.read(spark), op="compact")
+        run after long append chains). Version-pinned: a concurrent
+        append between the read and the publish re-runs the compaction
+        instead of silently dropping the appended rows."""
+
+        def attempt():
+            base = self.latest_version()
+            files, schema = self._stage(self.read(spark, version=base))
+            return self._publish(
+                lambda prev: files, "compact", schema, None, expected_base=base
+            )
+
+        return self._retry_conflicts(attempt)
+
+    def compact_small(self, spark: SparkSession, small_bytes: int = 32 << 20) -> int:
+        """Bin-pack ONLY the small commit stages (< ``small_bytes`` of
+        data each) into one stage, leaving large stages untouched — the
+        Delta OPTIMIZE shape. This is what the engine's append paths
+        call for plan-depth insurance: cost is proportional to the
+        small-file data folded, never the table, so an INSERT chain
+        stays O(rows inserted) amortized."""
+
+        def attempt():
+            base = self.latest_version()
+            if not base:
+                return base
+            m = self.manifest(base)
+            stages: dict[str, list[str]] = {}
+            for f in m["files"]:
+                stages.setdefault(f.split("/", 2)[1], []).append(f)
+            small = [
+                s
+                for s, fs in stages.items()
+                if sum(os.path.getsize(os.path.join(self.path, f)) for f in fs)
+                < small_bytes
+            ]
+            if len(small) <= 1:
+                return base  # nothing worth folding
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            parts = None
+            for s in small:
+                p = (
+                    spark.read.schema(schema)
+                    .option("basePath", os.path.join(self.data_dir, s))
+                    .parquet(*[os.path.join(self.path, f) for f in stages[s]])
+                )
+                parts = p if parts is None else parts.unionByName(p)
+            new_files, schema_json = self._stage(parts.coalesce(1))
+            folded = {f for s in small for f in stages[s]}
+
+            def build(prev):
+                kept = [f for f in (prev or {}).get("files", []) if f not in folded]
+                return sorted(kept + new_files)
+
+            return self._publish(
+                build, "compact", schema_json, {"folded_stages": len(small)},
+                expected_base=base,
+            )
+
+        return self._retry_conflicts(attempt)
 
     # ------------------------------------------- file-granular DML
 
     def _rel_of_uri(self, uri: str) -> str:
         return uri.split(self.path + "/", 1)[-1]
 
-    def _touched_files(self, spark: SparkSession, condition: str) -> list[str]:
-        """Relative paths of files containing ≥1 row where ``condition``
-        is TRUE. The discovery scan carries the predicate, so Catalyst
-        prunes via parquet row-group stats — files that provably cannot
-        match are skipped without reading rows."""
+    def _touched_files(self, spark: SparkSession, condition: str, base: int) -> list[str]:
+        """Relative paths of version-``base`` files containing ≥1 row
+        where ``condition`` is TRUE. The discovery scan carries the
+        predicate, so Catalyst prunes via parquet row-group stats —
+        files that provably cannot match are skipped without reading
+        rows."""
         from pyspark.sql import functions as F
 
         uris = (
-            self.read(spark)
+            self.read(spark, version=base)
             .filter(f"coalesce(({condition}), false)")
             .select(F.input_file_name().alias("f"))
             .distinct()
@@ -261,33 +352,36 @@ class TxTable:
         return [self._rel_of_uri(r.f) for r in uris]
 
     def _rewrite_files(self, spark: SparkSession, touched: list[str],
-                       transform, op: str) -> int:
+                       transform, op: str, base: int) -> int:
         """Copy-on-write at FILE granularity (the Delta-style contract):
         rewrite only the files holding matching rows; every other file
         is carried into the new manifest untouched. A DELETE of one
         day's rows from a year-sized table moves one day of data, not
         the table. ``transform(df_of_touched_rows) -> replacement df``.
-        (File membership tests use a broadcastable set; at very large
-        file counts swap the isin for a broadcast join on file name.)"""
+        Version-pinned against ``base``: the publish raises TxConflict
+        if another writer committed first (the caller's retry loop
+        re-reads and re-stages). (File membership tests use a
+        broadcastable set; at very large file counts swap the isin for
+        a broadcast join on file name.)"""
         from pyspark.sql import functions as F
 
         touched_set = set(touched)
-        df = self.read(spark)
+        df = self.read(spark, version=base)
         # relative path = whatever follows "<table root>/" in the file
         # URI — scheme-agnostic (file://, hdfs://, s3://) and JVM-side
         rel = F.expr(f"substring_index(input_file_name(), '{self.path}/', -1)")
         replaced = transform(
             df.withColumn("__rel", rel).filter(F.col("__rel").isin(touched)).drop("__rel")
         )
-        new_files, schema = (
-            self._stage(replaced) if replaced is not None else ([], None)
-        )
+        new_files, schema = self._stage(replaced)
 
         def build(prev):
             kept = [f for f in (prev or {}).get("files", []) if f not in touched_set]
             return sorted(kept + new_files)
 
-        return self._publish(build, op, schema, {"rewrote": len(touched)})
+        return self._publish(
+            build, op, schema, {"rewrote": len(touched)}, expected_base=base
+        )
 
     def delete_where(self, spark: SparkSession, condition: str | None) -> int:
         """SQL DELETE semantics (only rows where the predicate is TRUE
@@ -295,14 +389,19 @@ class TxTable:
         if condition is None:
             v, _removed = self.remove_files(lambda f: True, op="delete")
             return v
-        touched = self._touched_files(spark, condition)
-        if not touched:
-            return self.latest_version()  # no-op: nothing matched
-        return self._rewrite_files(
-            spark, touched,
-            lambda rows: rows.filter(f"NOT coalesce(({condition}), false)"),
-            "delete",
-        )
+
+        def attempt():
+            base = self.latest_version()
+            touched = self._touched_files(spark, condition, base)
+            if not touched:
+                return base  # no-op: nothing matched
+            return self._rewrite_files(
+                spark, touched,
+                lambda rows: rows.filter(f"NOT coalesce(({condition}), false)"),
+                "delete", base,
+            )
+
+        return self._retry_conflicts(attempt)
 
     def merge_upsert(self, spark: SparkSession, source: DataFrame,
                      key_cols: list[str]) -> int:
@@ -320,27 +419,31 @@ class TxTable:
         # input_file_name() (the discovery scan) rejects plans with a
         # second file source, and the keys are broadcast-sized anyway
         keys = source.select(*key_cols).distinct().localCheckpoint()
-        if not self.latest_version():
-            return self.append(source)
-        touched = [
-            self._rel_of_uri(r.f)
-            for r in (
-                self.read(spark)
-                .join(F.broadcast(keys), key_cols, "semi")
-                .select(F.input_file_name().alias("f"))
-                .distinct()
-                .collect()
-            )
-        ]
 
         def replace(rows):
             survivors = rows.join(F.broadcast(keys), key_cols, "anti")
             return survivors.unionByName(source)
 
-        if not touched:
-            # pure insert: nothing matched, append the source rows
-            return self.append(source)
-        return self._rewrite_files(spark, touched, replace, "merge")
+        def attempt():
+            base = self.latest_version()
+            if not base:
+                return self.append(source)
+            touched = [
+                self._rel_of_uri(r.f)
+                for r in (
+                    self.read(spark, version=base)
+                    .join(F.broadcast(keys), key_cols, "semi")
+                    .select(F.input_file_name().alias("f"))
+                    .distinct()
+                    .collect()
+                )
+            ]
+            if not touched:
+                # pure insert: nothing matched, append the source rows
+                return self.append(source)
+            return self._rewrite_files(spark, touched, replace, "merge", base)
+
+        return self._retry_conflicts(attempt)
 
     def update_where(self, spark: SparkSession, assignments: dict[str, str],
                      condition: str | None) -> int:
@@ -363,10 +466,15 @@ class TxTable:
 
         if condition is None:
             return self.overwrite(apply_set(self.read(spark)), op="update")
-        touched = self._touched_files(spark, condition)
-        if not touched:
-            return self.latest_version()
-        return self._rewrite_files(spark, touched, apply_set, "update")
+
+        def attempt():
+            base = self.latest_version()
+            touched = self._touched_files(spark, condition, base)
+            if not touched:
+                return base
+            return self._rewrite_files(spark, touched, apply_set, "update", base)
+
+        return self._retry_conflicts(attempt)
 
     # ------------------------------------------------------- cleanup
 

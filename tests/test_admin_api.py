@@ -294,3 +294,24 @@ def test_run_rest_server_command(engine):
         assert code == 401
     finally:
         server.stop()
+
+
+def test_rest_auth_non_ascii_header_is_401(engine):
+    """A non-ASCII Authorization header must 401, not crash the handler
+    thread (hmac.compare_digest rejects non-ASCII str)."""
+    from edgelake_spark.api import EdgeLakeRestServer
+
+    server = EdgeLakeRestServer(engine, auth_token="tok").start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/",
+            headers={"command": "get rows count", "Authorization": "Bearer tok£n"},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                code = resp.status
+        except urllib.error.HTTPError as exc:
+            code = exc.code
+        assert code == 401
+    finally:
+        server.stop()

@@ -305,3 +305,49 @@ def test_merge_upsert_file_granular(spark, tmp_path):
     assert set(m["files"]) <= set(t.manifest(v2)["files"])
     # time travel across both merges
     assert sorted(r.k for r in t.read(spark, version=2).collect()) == [1, 2, 10]
+
+
+def test_compact_does_not_drop_concurrent_append(spark, tmp_path):
+    """Version-pinned rewrite: a compact racing a concurrent append must
+    retry and keep the appended rows (review round-5 finding: a
+    list-only retry silently dropped them)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+
+    other = TxTable(str(tmp_path / "t"))
+    real_stage = t._stage
+    fired = []
+
+    def stage_then_append(df, partition_by=None):
+        out = real_stage(df, partition_by)
+        if not fired:
+            fired.append(1)
+            other.append(_df(spark, [(77, "late")]))
+        return out
+
+    t._stage = stage_then_append
+    t.compact(spark)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 77]
+    assert t.manifest(t.latest_version())["op"] == "compact"
+
+
+def test_compact_small_folds_only_small_stages(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    # incompressible payload so the big stage really is big on disk
+    big = spark.range(20_000).selectExpr(
+        "cast(id as int) as k", "md5(cast(id as string)) as v"
+    )
+    t.overwrite(big.coalesce(1))
+    for i in range(4):
+        t.append(_df(spark, [(100_000 + i, "tiny")]).coalesce(1))
+    before = t.manifest(t.latest_version())["files"]
+    big_files = [f for f in before if f in t.manifest(1)["files"]]
+
+    v = t.compact_small(spark, small_bytes=20 << 10)
+    m = t.manifest(v)
+    assert m["meta"]["folded_stages"] == 4
+    assert set(big_files) <= set(m["files"])  # the big stage untouched
+    stages = {f.split("/", 2)[1] for f in m["files"]}
+    assert len(stages) == 2  # big + one folded stage
+    assert t.read(spark).count() == 20_004

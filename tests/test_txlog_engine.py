@@ -165,3 +165,57 @@ def test_insert_schema_evolution_null_fills_history(spark, tmp_path):
     tx = eng.tx_tables["dml/gauges"]
     assert [m["op"] for m in tx.history()] == ["append", "insert"]  # widen = rewrite
     assert "unit" not in tx.read(spark, version=1).columns
+
+
+def test_durable_dml_survives_restart(spark, tmp_path):
+    """A restarted engine on the same work_dir serves the COMMITTED
+    state — queries, time travel, and history all see the DML (review
+    round-5 finding: only blobs reloaded before)."""
+    wd = str(tmp_path / "node")
+    eng1 = EdgeLakeEngine(spark, SF, now=NOW, work_dir=wd)
+    before = eng1.query("select count(*) as n from events").collect()[0].n
+    eng1.run('sql d "delete from events where value > 100.0"')
+    after = eng1.query("select count(*) as n from events").collect()[0].n
+    assert after < before
+
+    eng2 = EdgeLakeEngine(spark, SF, now=NOW, work_dir=wd)
+    assert eng2.query("select count(*) as n from events").collect()[0].n == after
+    assert eng2.query("select count(*) as n from events", version=1).collect()[0].n == before
+    hist = eng2.run("get table versions where table = events").collect()
+    assert [h.op for h in hist] == ["snapshot", "delete"]
+
+
+def test_delete_unknown_table_clean_error(spark, tmp_path):
+    """DELETE against a table with no commits raises cleanly instead of
+    publishing a schema-less manifest that poisons later reads."""
+    eng = EdgeLakeEngine(spark, work_dir=str(tmp_path))
+    with pytest.raises(Exception, match="no commits"):
+        eng.run('sql d "delete from no_such_table"')
+    # the table dir is not poisoned: an insert afterwards works
+    eng.run('sql d "insert into no_such_table (k) values (1)"')
+    assert eng.query("select k from no_such_table").collect()[0].k == 1
+
+
+def test_table_versions_filter_matches_blob_store(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, work_dir=str(tmp_path))
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"x")
+    eng.run(f"file store where dbms = bl and table = cam and file = {p}")
+    rows = eng.run("get table versions where table = cam").collect()
+    assert len(rows) == 1 and rows[0].store == "blobs" and rows[0].table_name == "bl.cam"
+
+
+def test_retrieve_multiple_rows_to_file_dest_uses_directory(spark, tmp_path):
+    """Multi-row retrieve with a non-directory dest must land one file
+    per blob under it, not crash on the second row."""
+    eng = EdgeLakeEngine(spark)
+    for i in range(3):
+        p = tmp_path / f"f{i}.bin"
+        p.write_bytes(f"b{i}".encode())
+        eng.run(f"file store where dbms = d and table = t and file = {p}")
+    dest = tmp_path / "notadir"
+    out = eng.run(
+        f"file retrieve where dbms = d and table = t and limit = 0 and dest = {dest}"
+    ).collect()
+    assert len(out) == 3
+    assert sorted(f.name for f in dest.iterdir()) == ["f0.bin", "f1.bin", "f2.bin"]
