@@ -219,3 +219,25 @@ def test_retrieve_multiple_rows_to_file_dest_uses_directory(spark, tmp_path):
     ).collect()
     assert len(out) == 3
     assert sorted(f.name for f in dest.iterdir()) == ["f0.bin", "f1.bin", "f2.bin"]
+
+
+def test_dml_continues_after_restart(spark, tmp_path):
+    """DML on a restarted engine keeps committing on the reloaded log —
+    versions continue, no re-snapshot of the raw table."""
+    wd = str(tmp_path / "node")
+    eng1 = EdgeLakeEngine(spark, SF, now=NOW, work_dir=wd)
+    eng1.run('sql d "delete from events where value > 100.0"')
+
+    eng2 = EdgeLakeEngine(spark, SF, now=NOW, work_dir=wd)
+    eng2.run("sql d \"update events set value = 0.0 where event_type = 'error'\"")
+    hist = eng2.run("get table versions where table = events").collect()
+    assert [h.op for h in hist] == ["snapshot", "delete", "update"]
+    assert (
+        eng2.query("select max(value) as m from events where event_type = 'error'")
+        .collect()[0].m == 0.0
+    )
+    # time travel across the restart boundary still reaches v1
+    orig = EdgeLakeEngine(spark, SF, now=NOW).query(
+        "select count(*) as n from events"
+    ).collect()[0].n
+    assert eng2.query("select count(*) as n from events", version=1).collect()[0].n == orig
