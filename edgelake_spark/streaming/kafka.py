@@ -449,11 +449,32 @@ class KafkaWireConsumer:
                     raise ConnectionError(f"list offsets error {err}")
         return offset
 
+    def _offset_file(self) -> str:
+        return os.path.join(self.spool_dir, f".offset.{self.topic}")
+
+    def _load_committed_offset(self) -> int | None:
+        """Committed consumer position (the reference's kafka consumer
+        commits offsets; here a tiny file in the spool dir) — a restart
+        resumes where it left off instead of re-applying the reset
+        policy and re-spooling the backlog."""
+        try:
+            with open(self._offset_file()) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _commit_offset(self) -> None:
+        tmp = self._offset_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(self.offset))
+        os.rename(tmp, self._offset_file())  # atomic, torn-write safe
+
     def start(self) -> "KafkaWireConsumer":
         os.makedirs(self.spool_dir, exist_ok=True)
         self._conn = _Conn(self.host, self.port, self.client_id)
         self._metadata()
-        self.offset = self._resolve_reset()
+        committed = self._load_committed_offset()
+        self.offset = committed if committed is not None else self._resolve_reset()
         self._alive = True
         self._thread = threading.Thread(target=self._poll_loop, daemon=True)
         self._thread.start()
@@ -480,6 +501,10 @@ class KafkaWireConsumer:
                         self._spool(value)
                         self.offset = offset + 1
                         got += 1
+        if got:
+            # commit AFTER spooling: a crash between spool and commit
+            # re-delivers (at-least-once), never skips
+            self._commit_offset()
         return got
 
     def _poll_loop(self) -> None:

@@ -50,7 +50,7 @@ def test_request_header_shape():
 # ------------------------------------------------- socket round trips
 
 
-def test_produce_fetch_round_trip():
+def test_produce_fetch_round_trip(tmp_path):
     broker = kf.KafkaBroker().start()
     try:
         pub = kf.KafkaProducerClient(broker.host, broker.port)
@@ -65,20 +65,51 @@ def test_produce_fetch_round_trip():
                 received.append(payload)
                 self.received += 1
 
-        con = Probe(broker.host, broker.port, "t1", spool_dir="/tmp", reset="earliest")
+        con = Probe(broker.host, broker.port, "t1", spool_dir=str(tmp_path / "a"), reset="earliest")
         con.start()
         assert con.wait_for(3)
         con.stop()
         assert received == [b"one", b"two", b"three"]
 
-        # reset = latest skips the backlog, sees only new records
-        con2 = Probe(broker.host, broker.port, "t1", spool_dir="/tmp", reset="latest")
+        # reset = latest (fresh group: no committed offset) skips the
+        # backlog, sees only new records
+        con2 = Probe(broker.host, broker.port, "t1", spool_dir=str(tmp_path / "b"), reset="latest")
         received.clear()
         con2.start()
         pub.produce("t1", [b"four"])
         assert con2.wait_for(1)
         con2.stop()
         assert received == [b"four"]
+        pub.close()
+    finally:
+        broker.stop()
+
+
+def test_consumer_resumes_from_committed_offset(tmp_path):
+    """Kafka-group semantics: a committed offset wins over the reset
+    policy, so a restarted consumer resumes instead of re-spooling the
+    backlog (at-least-once: commit happens after spool)."""
+    broker = kf.KafkaBroker().start()
+    try:
+        pub = kf.KafkaProducerClient(broker.host, broker.port)
+        pub.produce("t1", [b"one", b"two"])
+        spool = str(tmp_path / "spool")
+
+        con = kf.KafkaWireConsumer(broker.host, broker.port, "t1", spool, reset="earliest")
+        con.start()
+        assert con.wait_for(2)
+        con.stop()
+
+        pub.produce("t1", [b"three"])
+        con2 = kf.KafkaWireConsumer(broker.host, broker.port, "t1", spool, reset="earliest")
+        con2.start()
+        assert con2.wait_for(1)
+        con2.stop()
+        assert con2.received == 1  # only the new record, backlog not re-spooled
+        # spool holds exactly 3 payload files (no duplicates)
+        import os
+        payloads = [f for f in os.listdir(spool) if not f.startswith(".")]
+        assert len(payloads) == 3
         pub.close()
     finally:
         broker.stop()

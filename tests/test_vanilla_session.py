@@ -67,6 +67,7 @@ for name in [
     # state carry-over, timestamp round trips through the state store)
     "dml_time_travel",
     "stream_sessionize",
+    "dml_merge",
 ]:
     df = queries[name](spark, SF)
     cols = df.columns
