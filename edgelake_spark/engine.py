@@ -714,6 +714,169 @@ class EdgeLakeEngine:
                 [(server.host, server.port, basic is not None or bool(opts.get("token")))],
                 "ip string, port int, auth boolean",
             )
+        m = _re.match(r"run\s+operator\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # reference member_cmd.py:21740 / members/aloperator.py:
+            # watch-dir → table ingest loop; tick-driven here
+            import os as _os
+
+            from edgelake_spark.ingest.operator import OperatorNode
+
+            opts = {k.lower(): v for k, v in _re.findall(r"(\w+)\s*=\s*(\S+)", m.group(1))}
+
+            def flag(key: str, default: bool) -> bool:
+                return opts.get(key, str(default)).lower() in ("true", "1")
+
+            if "watch_dir" not in opts:
+                raise ValueError("run operator needs watch_dir = ...")
+            self.operator = OperatorNode(
+                engine=self,
+                watch_dir=opts["watch_dir"],
+                err_dir=opts.get("err_dir", _os.path.join(opts["watch_dir"], "..", "err")),
+                archive_dir=opts.get(
+                    "archive_dir", _os.path.join(opts["watch_dir"], "..", "archive")
+                ),
+                create_table=flag("create_table", True),
+                update_tsd_info=flag("update_tsd_info", True),
+                archive_json=flag("archive_json", True),
+                compress_json=flag("compress_json", True),
+            )
+            self.event_log.add("Event", "Operator declared")
+            return self.spark.createDataFrame(
+                [(opts["watch_dir"], self.operator.create_table, self.operator.update_tsd_info)],
+                "watch_dir string, create_table boolean, update_tsd_info boolean",
+            )
+        m = _re.match(r"get\s+operator\s*$", text, _re.IGNORECASE)
+        if m:
+            if getattr(self, "operator", None) is None:
+                raise ValueError("no operator is running")
+            return self.spark.createDataFrame(
+                [self.operator.status()],
+                "files_processed bigint, files_errored bigint, rows_ingested bigint, last_error string",
+            )
+        m = _re.match(r"delete\s+archive\s+where\s+days\s*=\s*(\d+)\s*$", text, _re.IGNORECASE)
+        if m:
+            # reference member_cmd.py:17312: drop archive day dirs older
+            # than N days (applies to both archivers' trees)
+            from datetime import timedelta
+
+            from edgelake_spark.ingest.operator import delete_archive_before
+
+            cutoff_dt = (self.now or __import__("datetime").datetime.utcnow()) - timedelta(
+                days=int(m.group(1))
+            )
+            key = cutoff_dt.strftime("%y%m%d")
+            cutoff = (key[0:2], key[2:4], key[4:6])
+            deleted = []
+            for holder in (getattr(self, "archiver", None), getattr(self, "operator", None)):
+                if holder is not None:
+                    deleted += delete_archive_before(holder.archive_dir, cutoff)
+            return self.spark.createDataFrame(
+                [(d,) for d in sorted(set(deleted))] or [], "deleted_day string"
+            )
+        m = _re.match(r"flush\s+buffers\s*$", text, _re.IGNORECASE)
+        if m:
+            # reference flush_memory_buffs: force buffered streaming
+            # data to disk ignoring thresholds → drain every active
+            # Structured Streaming query + one operator/archiver tick
+            drained = 0
+            for q in self.spark.streams.active:
+                try:
+                    q.processAllAvailable()
+                    drained += 1
+                except Exception:  # a dying query must not block a flush
+                    continue
+            for holder in (getattr(self, "operator", None), getattr(self, "archiver", None)):
+                if holder is not None:
+                    holder.process_once()
+                    drained += 1
+            self.event_log.add("Event", "Buffers flushed")
+            return self.spark.createDataFrame([(drained,)], "flushed int")
+        m = _re.match(
+            r"connect\s+dbms\s+(\S+)\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            # reference member_cmd.py:20899 `connect dbms <name> where
+            # type = sqlite/psql/..`: declare a logical dbms. Here every
+            # engine type maps to the parquet layer; `path = <dir>`
+            # attaches the directory's parquet files as <name>.<table>
+            import os as _os
+
+            name = m.group(1)
+            opts = {k.lower(): v for k, v in _re.findall(r"(\w+)\s*=\s*(\S+)", m.group(2))}
+            if not hasattr(self, "connected_dbms"):
+                self.connected_dbms: dict[str, list[str]] = {}
+            attached = []
+            path = opts.get("path")
+            if path:
+                for f in sorted(_os.listdir(path)):
+                    if f.endswith(".parquet"):
+                        t = f[: -len(".parquet")]
+                        view = f"__dbms_{name}_{t}"
+                        catalog.load_parquet(
+                            self.spark, _os.path.join(path, f)
+                        ).createOrReplaceTempView(view)
+                        self.views[f"{name}.{t}"] = view
+                        attached.append(t)
+            self.connected_dbms[name] = [f"{name}.{t}" for t in attached]
+            self.event_log.add("Event", f"DBMS {name} connected")
+            return self.spark.createDataFrame(
+                [(name, opts.get("type", "parquet"), len(attached))],
+                "dbms string, type string, n_tables int",
+            )
+        m = _re.match(r"disconnect\s+dbms\s+(\S+)\s*$", text, _re.IGNORECASE)
+        if m:
+            name = m.group(1)
+            dropped = getattr(self, "connected_dbms", {}).pop(name, [])
+            for qualified in dropped:
+                self.views.pop(qualified, None)
+            return self.spark.createDataFrame(
+                [(name, len(dropped))], "dbms string, n_tables int"
+            )
+        m = _re.match(
+            r"drop\s+table\s+(\S+)(?:\s+where\s+dbms\s*=\s*(\S+))?\s*$", text, _re.IGNORECASE
+        )
+        if m:
+            # reference drop table: remove the operator-local table.
+            # Drops the view mappings and the table's commit log (the
+            # raw sf_dir parquet is immutable input, never deleted).
+            import shutil as _shutil
+
+            table, dbms = m.group(1), m.group(2)
+            key = catalog.view_name(table)
+            removed = []
+            for alias in [table, key] + ([f"{dbms}.{table}"] if dbms else []):
+                if self.views.pop(alias, None) is not None:
+                    removed.append(alias)
+            tx = self.tx_tables.pop(f"dml/{key}", None)
+            if tx is not None:
+                _shutil.rmtree(tx.path, ignore_errors=True)
+            for v in (f"__dml_{key}", f"__ingest_{key}"):
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+            self.event_log.add("Event", f"Table {table} dropped")
+            return self.spark.createDataFrame(
+                [(table, bool(removed or tx))], "table_name string, dropped boolean"
+            )
+        m = _re.match(
+            r"(?:drop|delete)\s+policy\s+where\s+id\s*=\s*(\S+)\s*$", text, _re.IGNORECASE
+        )
+        if m:
+            # reference drop policy / blockchain delete policy
+            pid = m.group(1).strip("'\"")
+
+            def _policy_id(p):
+                body = next(iter(p.values()), None) if isinstance(p, dict) and p else None
+                return body.get("id") if isinstance(body, dict) else None
+
+            before = len(self.policy_store.policies)
+            self.policy_store.policies = [
+                p for p in self.policy_store.policies if _policy_id(p) != pid
+            ]
+            n = before - len(self.policy_store.policies)
+            return self.spark.createDataFrame([(pid, n)], "policy_id string, n_dropped int")
         m = _re.match(r"run\s+blobs\s+archiver\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
         if m:
             # reference alarchiver.data_archiver flags (member_cmd:
@@ -2098,6 +2261,14 @@ _COMMAND_HELP = [
     ("wait", "wait <seconds> [for <condition>]  (scripts)"),
     ("time file", "time file rename|new|add|update|get|delete|drop .. (TSD provenance)"),
     ("run blobs archiver", "run blobs archiver where bwatch_dir = .. and blobs_dir = .. and archive_dir = .. [dbms|folder|compress|reuse_blobs = true/false]"),
+    ("run operator", "run operator where watch_dir = .. [create_table|update_tsd_info|archive_json|compress_json = true/false]"),
+    ("get operator", "get operator"),
+    ("delete archive", "delete archive where days = N"),
+    ("flush buffers", "flush buffers"),
+    ("connect dbms", "connect dbms <name> where type = .. [and path = <parquet dir>]"),
+    ("disconnect dbms", "disconnect dbms <name>"),
+    ("drop table", "drop table <table> [where dbms = ..]"),
+    ("drop policy", "drop policy where id = .."),
     ("get archived files", "get archived files [YYYY-MM-DD]"),
     ("get table versions", "get table versions [where table = ..] (commit-log history)"),
     ("stream", "stream <json row or array> where dbms = .. and table = .."),

@@ -1,0 +1,163 @@
+"""Operator node (`run operator`, ingest/operator.py) and the round-5
+command batch: delete archive, flush buffers, connect/disconnect dbms,
+drop table, drop policy. Reference: members/aloperator.py,
+member_cmd.py:21740/17312/21420/20899."""
+
+from __future__ import annotations
+
+import gzip
+import json
+from datetime import datetime
+
+import pytest
+
+from edgelake_spark.engine import EdgeLakeEngine
+
+NOW = datetime(2024, 2, 1, 10, 0, 0)
+
+
+def _write_rows(path, rows):
+    path.write_text("".join(json.dumps(r) + "\n" for r in rows))
+
+
+def test_run_operator_watch_dir_to_query(spark, tmp_path):
+    """Watch-dir JSON (TSD naming) → typed table rows with tsd system
+    columns → dialect query; source file archived gzipped; TSD row
+    registered."""
+    eng = EdgeLakeEngine(spark, now=NOW)
+    (tmp_path / "watch").mkdir()
+    eng.run(
+        f"run operator where watch_dir = {tmp_path}/watch and "
+        f"err_dir = {tmp_path}/err and archive_dir = {tmp_path}/archive"
+    )
+    name = "iot.readings.dev7.abcd1234.0.240201095500.json"
+    _write_rows(
+        tmp_path / "watch" / name,
+        [
+            {"ts": "2024-02-01 09:55:00", "value": 3.5},
+            {"ts": "2024-02-01 09:56:00", "value": 4.5},
+        ],
+    )
+
+    results = eng.operator.process_once()
+    assert results == {name: "ok: 2 rows"}
+
+    out = eng.query(
+        "select count(*) as n, max(value) as mx from iot.readings"
+    ).collect()[0]
+    assert (out.n, out.mx) == (2, 4.5)
+    # system columns stamped from the TSD entry
+    row = eng.query("select tsd_name, tsd_id from readings limit 1").collect()[0]
+    assert row.tsd_name.startswith("tsd_") and row.tsd_id >= 1
+    # provenance row
+    tsd = eng.run("time file get").collect()
+    assert tsd[0].file_name == name and tsd[0].status1 == "2"
+    # archived gzipped under YY/MM/DD
+    day = tmp_path / "archive" / "24" / "02" / "01"
+    assert (day / (name + ".gz")).exists()
+    with gzip.open(day / (name + ".gz")) as fh:
+        assert b"3.5" in fh.read()
+    # a second file ACCUMULATES rows
+    _write_rows(
+        tmp_path / "watch" / "iot.readings.dev7.ef995678.0.240201095700.json",
+        [{"ts": "2024-02-01 09:57:00", "value": 9.0}],
+    )
+    eng.operator.process_once()
+    assert eng.query("select count(*) as n from readings").collect()[0].n == 3
+    st = eng.run("get operator").collect()[0]
+    assert (st.files_processed, st.rows_ingested) == (2, 3)
+
+
+def test_operator_error_path_and_bare_names(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, now=NOW)
+    (tmp_path / "w").mkdir()
+    eng.run(
+        f"run operator where watch_dir = {tmp_path}/w and err_dir = {tmp_path}/e "
+        f"and archive_dir = {tmp_path}/a and compress_json = false"
+    )
+    # bare dbms.table.json accepted, no TSD row
+    _write_rows(tmp_path / "w" / "d.t.json", [{"k": 1}])
+    # broken file → err dir
+    (tmp_path / "w" / "bad.broken.json").write_text("{not json")
+    results = eng.operator.process_once()
+    assert results["d.t.json"] == "ok: 1 rows"
+    assert results["bad.broken.json"].startswith("err")
+    assert (tmp_path / "e" / "err_bad.broken.json").exists()
+    assert eng.query("select k from d.t").collect()[0].k == 1
+    assert eng.run("time file get").collect() == []  # bare name: no TSD
+    # uncompressed archive
+    assert (tmp_path / "a" / "24" / "02" / "01" / "d.t.json").exists()
+
+
+def test_delete_archive_by_days(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, now=NOW)
+    (tmp_path / "w").mkdir()
+    eng.run(
+        f"run operator where watch_dir = {tmp_path}/w and err_dir = {tmp_path}/e "
+        f"and archive_dir = {tmp_path}/a"
+    )
+    # fabricate archive days: old and recent
+    for day in (("24", "01", "01"), ("24", "01", "31"), ("24", "02", "01")):
+        d = tmp_path / "a" / day[0] / day[1] / day[2]
+        d.mkdir(parents=True)
+        (d / "x.json.gz").write_bytes(b"z")
+
+    deleted = eng.run("delete archive where days = 7").collect()
+    assert [r.deleted_day for r in deleted] == ["2024-01-01"]  # 01-31 is 1 day old: kept
+    assert not (tmp_path / "a" / "24" / "01" / "01").exists()
+    assert (tmp_path / "a" / "24" / "01" / "31" / "x.json.gz").exists()
+    assert (tmp_path / "a" / "24" / "02" / "01" / "x.json.gz").exists()
+
+    deleted = eng.run("delete archive where days = 0").collect()
+    assert [r.deleted_day for r in deleted] == ["2024-01-31"]  # today retained
+
+
+def test_flush_buffers_ticks_operator(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, now=NOW)
+    (tmp_path / "w").mkdir()
+    eng.run(
+        f"run operator where watch_dir = {tmp_path}/w and err_dir = {tmp_path}/e "
+        f"and archive_dir = {tmp_path}/a"
+    )
+    _write_rows(tmp_path / "w" / "d.m.json", [{"k": 5}])
+    flushed = eng.run("flush buffers").collect()[0].flushed
+    assert flushed >= 1
+    assert eng.query("select k from d.m").collect()[0].k == 5
+
+
+def test_connect_disconnect_dbms(spark, tmp_path):
+    # a "remote engine" directory with one parquet table
+    spark.range(4).selectExpr("id as k").write.parquet(str(tmp_path / "store" / "items.parquet"))
+    eng = EdgeLakeEngine(spark, now=NOW)
+    row = eng.run(
+        f"connect dbms edgex where type = sqlite and path = {tmp_path}/store"
+    ).collect()[0]
+    assert (row.dbms, row.n_tables) == ("edgex", 1)
+    assert eng.query("select count(*) as n from edgex.items").collect()[0].n == 4
+
+    out = eng.run("disconnect dbms edgex").collect()[0]
+    assert out.n_tables == 1
+    with pytest.raises(Exception):
+        eng.query("select count(*) as n from edgex.items").collect()
+
+
+def test_drop_table_removes_managed_state(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, "/root/testdata/sf0.001", now=NOW, work_dir=str(tmp_path))
+    eng.run('sql d "delete from events where value > 100.0"')
+    assert "dml/events" in eng.tx_tables
+    out = eng.run("drop table events").collect()[0]
+    assert out.dropped
+    assert "dml/events" not in eng.tx_tables
+    # resolution falls back to the raw storage table
+    n = eng.query("select count(*) as n from events").collect()[0].n
+    assert n == 1000  # pre-DML row count at sf0.001
+
+
+def test_drop_policy_by_id(spark):
+    eng = EdgeLakeEngine(spark)
+    eng.run('blockchain insert {"mapping": {"dbms": "d", "table": "t", "schema": {}}}')
+    pol = eng.policy_store.policies[0]
+    pid = pol["mapping"]["id"]
+    out = eng.run(f"drop policy where id = {pid}").collect()[0]
+    assert out.n_dropped == 1
+    assert eng.policy_store.policies == []
