@@ -321,11 +321,54 @@ class EdgeLakeEngine:
             from edgelake_spark.admin import rows_count
 
             return rows_count(self.spark, tables)
-        m = _re.match(r"info\s+table\s+(\S+)\s+(\S+)\s+columns$", text, _re.IGNORECASE)
+        m = _re.match(r"info\s+(?:table|view)\s+(\S+)\s+(\S+)\s+columns$", text, _re.IGNORECASE)
         if m:
+            # `info view` (member_cmd.py:20984) shares the resolver:
+            # `create view` mappings live in self.views like tables —
+            # try the dbms-qualified name first (create view registers
+            # `vdb.events`, not the bare short name)
             from edgelake_spark.admin import info_table_columns
 
-            return info_table_columns(self.spark, self._resolve(m.group(2)))
+            return info_table_columns(
+                self.spark, self._resolve(f"{m.group(1)}.{m.group(2)}")
+            )
+        m = _re.match(r"info\s+(?:table|view)\s+(\S+)\s+(\S+)\s+exists$", text, _re.IGNORECASE)
+        if m:
+            exists = self.spark.catalog.tableExists(
+                self._resolve(f"{m.group(1)}.{m.group(2)}")
+            )
+            return self.spark.createDataFrame(
+                [(m.group(2), exists)], "table_name string, table_exists boolean"
+            )
+        m = _re.match(
+            r"backup\s+table\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            # reference member_cmd.py:21135 backup table: write the
+            # table's data to `dest` as JSON (one file; the reference
+            # writes per partition — one logical snapshot here)
+            import os as _os
+
+            opts = {k.lower(): v for k, v in _re.findall(r"(\w+)\s*=\s*(\S+)", m.group(1))}
+            if "table" not in opts or "dest" not in opts:
+                raise ValueError("backup table needs table = ... and dest = ...")
+            resolved = self._resolve(
+                f"{opts['dbms']}.{opts['table']}" if opts.get("dbms") else opts["table"]
+            )
+            df = self.spark.table(resolved)
+            _os.makedirs(opts["dest"], exist_ok=True)
+            out = _os.path.join(opts["dest"], f"{opts['table']}.backup.json")
+            # toJSON streams executor-side partitions; the driver writes
+            # line by line (operator-facing export, like file retrieve)
+            n = 0
+            with open(out, "w") as fh:
+                for line in df.toJSON().toLocalIterator():
+                    fh.write(line + "\n")
+                    n += 1
+            self.event_log.add("File", f"backup table {opts['table']}")
+            return self.spark.createDataFrame(
+                [(opts["table"], out, n)], "table_name string, dest string, n_rows bigint"
+            )
         m = _re.match(r"get\s+table\s+versions(\s+where\s+(.*))?$", text, _re.IGNORECASE)
         if m:
             # commit-log history of log-backed tables (txlog.py): one

@@ -30,7 +30,7 @@ def test_run_operator_watch_dir_to_query(spark, tmp_path):
         f"run operator where watch_dir = {tmp_path}/watch and "
         f"err_dir = {tmp_path}/err and archive_dir = {tmp_path}/archive"
     )
-    name = "iot.readings.dev7.abcd1234.0.240201095500.json"
+    name = "iot.sensorlog.dev7.abcd1234.0.240201095500.json"
     _write_rows(
         tmp_path / "watch" / name,
         [
@@ -43,11 +43,11 @@ def test_run_operator_watch_dir_to_query(spark, tmp_path):
     assert results == {name: "ok: 2 rows"}
 
     out = eng.query(
-        "select count(*) as n, max(value) as mx from iot.readings"
+        "select count(*) as n, max(value) as mx from iot.sensorlog"
     ).collect()[0]
     assert (out.n, out.mx) == (2, 4.5)
     # system columns stamped from the TSD entry
-    row = eng.query("select tsd_name, tsd_id from readings limit 1").collect()[0]
+    row = eng.query("select tsd_name, tsd_id from sensorlog limit 1").collect()[0]
     assert row.tsd_name.startswith("tsd_") and row.tsd_id >= 1
     # provenance row
     tsd = eng.run("time file get").collect()
@@ -59,11 +59,11 @@ def test_run_operator_watch_dir_to_query(spark, tmp_path):
         assert b"3.5" in fh.read()
     # a second file ACCUMULATES rows
     _write_rows(
-        tmp_path / "watch" / "iot.readings.dev7.ef995678.0.240201095700.json",
+        tmp_path / "watch" / "iot.sensorlog.dev7.ef995678.0.240201095700.json",
         [{"ts": "2024-02-01 09:57:00", "value": 9.0}],
     )
     eng.operator.process_once()
-    assert eng.query("select count(*) as n from readings").collect()[0].n == 3
+    assert eng.query("select count(*) as n from sensorlog").collect()[0].n == 3
     st = eng.run("get operator").collect()[0]
     assert (st.files_processed, st.rows_ingested) == (2, 3)
 
@@ -76,17 +76,17 @@ def test_operator_error_path_and_bare_names(spark, tmp_path):
         f"and archive_dir = {tmp_path}/a and compress_json = false"
     )
     # bare dbms.table.json accepted, no TSD row
-    _write_rows(tmp_path / "w" / "d.t.json", [{"k": 1}])
+    _write_rows(tmp_path / "w" / "d.optab.json", [{"k": 1}])
     # broken file → err dir
     (tmp_path / "w" / "bad.broken.json").write_text("{not json")
     results = eng.operator.process_once()
-    assert results["d.t.json"] == "ok: 1 rows"
+    assert results["d.optab.json"] == "ok: 1 rows"
     assert results["bad.broken.json"].startswith("err")
     assert (tmp_path / "e" / "err_bad.broken.json").exists()
-    assert eng.query("select k from d.t").collect()[0].k == 1
+    assert eng.query("select k from d.optab").collect()[0].k == 1
     assert eng.run("time file get").collect() == []  # bare name: no TSD
     # uncompressed archive
-    assert (tmp_path / "a" / "24" / "02" / "01" / "d.t.json").exists()
+    assert (tmp_path / "a" / "24" / "02" / "01" / "d.optab.json").exists()
 
 
 def test_delete_archive_by_days(spark, tmp_path):
@@ -119,10 +119,10 @@ def test_flush_buffers_ticks_operator(spark, tmp_path):
         f"run operator where watch_dir = {tmp_path}/w and err_dir = {tmp_path}/e "
         f"and archive_dir = {tmp_path}/a"
     )
-    _write_rows(tmp_path / "w" / "d.m.json", [{"k": 5}])
+    _write_rows(tmp_path / "w" / "d.flushtab.json", [{"k": 5}])
     flushed = eng.run("flush buffers").collect()[0].flushed
     assert flushed >= 1
-    assert eng.query("select k from d.m").collect()[0].k == 5
+    assert eng.query("select k from d.flushtab").collect()[0].k == 5
 
 
 def test_connect_disconnect_dbms(spark, tmp_path):
@@ -161,3 +161,32 @@ def test_drop_policy_by_id(spark):
     out = eng.run(f"drop policy where id = {pid}").collect()[0]
     assert out.n_dropped == 1
     assert eng.policy_store.policies == []
+
+
+def test_info_view_and_exists(spark):
+    eng = EdgeLakeEngine(spark, "/root/testdata/sf0.001", now=NOW)
+    eng.run("create view vdb.events ( device using event_type varchar, ts timestamp )")
+    cols = {r[0] for r in eng.run("info view vdb events columns").collect()}
+    assert "device" in cols
+    assert eng.run("info view vdb events exists").collect()[0].table_exists
+    assert not eng.run("info table vdb nope exists").collect()[0].table_exists
+
+
+def test_backup_table_roundtrip(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, "/root/testdata/sf0.001", now=NOW)
+    out = eng.run(
+        f"backup table where dbms = d and table = nation and dest = {tmp_path}/bk"
+    ).collect()[0]
+    assert out.n_rows == 25
+    lines = [json.loads(line) for line in open(out.dest)]
+    assert len(lines) == 25 and all(l["n_name"].startswith("NATION_") for l in lines)
+    # a backup restores through the operator watch-dir path
+    (tmp_path / "w").mkdir()
+    eng.run(
+        f"run operator where watch_dir = {tmp_path}/w and err_dir = {tmp_path}/e "
+        f"and archive_dir = {tmp_path}/a"
+    )
+    import shutil
+    shutil.copy(out.dest, tmp_path / "w" / "d.nation_restored.json")
+    eng.operator.process_once()
+    assert eng.query("select count(*) as n from nation_restored").collect()[0].n == 25
