@@ -648,21 +648,25 @@ class EdgeLakeEngine:
                 **self._meta_filters(m.group(3)),
             )
         m = _re.match(
-            r"run\s+(kafka\s+consumer|mqtt\s+client)\s+where\s+(.*)$",
+            r"run\s+(kafka\s+consumer|mqtt\s+client|msg\s+client)\s+where\s+(.*)$",
             text,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
             # registers the consumer config; BrokerConsumer.start runs
-            # the stream. `run mqtt client` (mqtt_client.py:2128) and
-            # `run kafka consumer` (member_cmd.py:21481) share the same
-            # topic→bring mapping semantics, so one parser serves both;
-            # the transport kind is kept so BrokerConsumer picks the
-            # MQTT socket subscriber (streaming/mqtt.py) vs Kafka source.
+            # the stream. `run msg client` (member_cmd.py:21408 — the
+            # reference's current name), its older `run mqtt client`
+            # spelling (mqtt_client.py:2128) and `run kafka consumer`
+            # (member_cmd.py:21481) share the same topic→bring mapping
+            # semantics, so one parser serves all three; the transport
+            # kind is kept so BrokerConsumer picks the MQTT socket
+            # subscriber (streaming/mqtt.py) vs the Kafka source.
             from edgelake_spark.streaming.broker import parse_kafka_consumer_command
 
             cfg = parse_kafka_consumer_command(text)
-            cfg["transport"] = "mqtt" if m.group(1).lower().startswith("mqtt") else "kafka"
+            cfg["transport"] = (
+                "kafka" if m.group(1).lower().startswith("kafka") else "mqtt"
+            )
             # attach any conditions/monitor registered for the target
             # table, so the consumer topology picks them up at start
             tkey = f"{cfg['topic'].dbms}.{cfg['topic'].table}"
@@ -867,14 +871,87 @@ class EdgeLakeEngine:
                 [(name, opts.get("type", "parquet"), len(attached))],
                 "dbms string, type string, n_tables int",
             )
-        m = _re.match(r"disconnect\s+dbms\s+(\S+)\s*$", text, _re.IGNORECASE)
+        m = _re.match(r"(?:disconnect|drop)\s+dbms\s+(\S+)\s*$", text, _re.IGNORECASE)
         if m:
+            # disconnect keeps the storage; drop additionally forgets
+            # any managed/DML state of the dbms's tables (the raw
+            # parquet inputs are immutable and never deleted)
+            import shutil as _shutil
+
+            drop = text.lower().startswith("drop")
             name = m.group(1)
             dropped = getattr(self, "connected_dbms", {}).pop(name, [])
             for qualified in dropped:
                 self.views.pop(qualified, None)
+            if drop:
+                for qualified in list(self.views):
+                    if qualified.startswith(f"{name}."):
+                        self.views.pop(qualified, None)
+                for key in [k for k in self.tx_tables if k.startswith(f"blobs/{name}.")]:
+                    tx = self.tx_tables.pop(key)
+                    _shutil.rmtree(tx.path, ignore_errors=True)
+                self.event_log.add("Event", f"DBMS {name} dropped")
             return self.spark.createDataFrame(
                 [(name, len(dropped))], "dbms string, n_tables int"
+            )
+        m = _re.match(
+            r"(replace|prepare)\s+policy\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            # prepare policy: stamp id/date WITHOUT inserting (reference
+            # prepares a policy for a later blockchain insert); replace
+            # policy where id = X with <json>: drop old, insert new
+            import json as _json
+
+            from edgelake_spark.policies.bring import stamp_policy
+
+            verb, rest = m.group(1).lower(), m.group(2).strip()
+            if verb == "prepare":
+                stamped = stamp_policy(_json.loads(rest))
+                body = next(iter(stamped.values()))
+                return self.spark.createDataFrame(
+                    [(_json.dumps(stamped), body.get("id", ""))],
+                    "policy string, policy_id string",
+                )
+            rm = _re.match(r"where\s+id\s*=\s*(\S+)\s+with\s+(.*)$", rest, _re.IGNORECASE | _re.DOTALL)
+            if not rm:
+                raise ValueError("replace policy where id = <id> with <json>")
+            old_id = rm.group(1).strip("'\"")
+
+            def _pid(p):
+                body = next(iter(p.values()), None) if isinstance(p, dict) and p else None
+                return body.get("id") if isinstance(body, dict) else None
+
+            before = len(self.policy_store.policies)
+            self.policy_store.policies = [
+                p for p in self.policy_store.policies if _pid(p) != old_id
+            ]
+            self.policy_store.add(_json.loads(rm.group(2)))
+            return self.spark.createDataFrame(
+                [(old_id, before - len(self.policy_store.policies) + 1)],
+                "replaced_id string, n_policies int",
+            )
+        m = _re.match(
+            r"create\s+work\s+directories(\s+where\s+root\s*=\s*(\S+))?\s*$",
+            text,
+            _re.IGNORECASE,
+        )
+        if m:
+            # reference utils_io._create_anylog_dirs: the operator node's
+            # standard directory tree; root defaults to the engine work
+            # dir so a durable node gets its dirs beside the commit logs
+            import os as _os
+
+            root = m.group(2) or self._work_dir()
+            names = ("watch", "bwatch", "blobs", "archive", "err", "data", "scripts")
+            made = []
+            for n in names:
+                p = _os.path.join(root, n)
+                _os.makedirs(p, exist_ok=True)
+                self.params[f"{n}_dir"] = p  # !watch_dir etc. resolve
+                made.append(p)
+            return self.spark.createDataFrame(
+                [(n, p) for n, p in zip(names, made)], "name string, path string"
             )
         m = _re.match(
             r"drop\s+table\s+(\S+)(?:\s+where\s+dbms\s*=\s*(\S+))?\s*$", text, _re.IGNORECASE
@@ -2312,6 +2389,13 @@ _COMMAND_HELP = [
     ("disconnect dbms", "disconnect dbms <name>"),
     ("drop table", "drop table <table> [where dbms = ..]"),
     ("drop policy", "drop policy where id = .."),
+    ("drop dbms", "drop dbms <name> (forget managed state; storage untouched)"),
+    ("replace policy", "replace policy where id = <id> with <json>"),
+    ("prepare policy", "prepare policy <json> (stamp id/date without insert)"),
+    ("run msg client", "run msg client where broker = .. and port = .. and topic = (..) (alias of run mqtt client)"),
+    ("create work directories", "create work directories [where root = <dir>]"),
+    ("info view", "info view <dbms> <view> columns|exists"),
+    ("backup table", "backup table where dbms = .. and table = .. and dest = <dir>"),
     ("get archived files", "get archived files [YYYY-MM-DD]"),
     ("get table versions", "get table versions [where table = ..] (commit-log history)"),
     ("stream", "stream <json row or array> where dbms = .. and table = .."),

@@ -190,3 +190,45 @@ def test_backup_table_roundtrip(spark, tmp_path):
     shutil.copy(out.dest, tmp_path / "w" / "d.nation_restored.json")
     eng.operator.process_once()
     assert eng.query("select count(*) as n from nation_restored").collect()[0].n == 25
+
+
+def test_msg_client_alias_and_drop_dbms(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, now=NOW)
+    eng.run(
+        "run msg client where broker = 127.0.0.1 and port = 1883 and "
+        'topic = (name = tele2 and dbms = d and table = tt and column.v.int = "bring [v]")'
+    )
+    assert eng.broker_consumers["tele2"]["transport"] == "mqtt"
+
+    spark.range(2).selectExpr("id as k").write.parquet(str(tmp_path / "s" / "tab.parquet"))
+    eng.run(f"connect dbms gone where type = psql and path = {tmp_path}/s")
+    assert eng.query("select count(*) as n from gone.tab").collect()[0].n == 2
+    eng.run("drop dbms gone")
+    with pytest.raises(Exception):
+        eng.query("select count(*) as n from gone.tab").collect()
+
+
+def test_prepare_and_replace_policy(spark):
+    import json as _json
+
+    eng = EdgeLakeEngine(spark)
+    out = eng.run('prepare policy {"sensor": {"company": "acme"}}').collect()[0]
+    stamped = _json.loads(out.policy)
+    assert stamped["sensor"]["id"] == out.policy_id and "date" in stamped["sensor"]
+    assert eng.policy_store.policies == []  # prepared, NOT inserted
+
+    eng.run('blockchain insert {"sensor": {"company": "acme"}}')
+    pid = eng.policy_store.policies[0]["sensor"]["id"]
+    eng.run(f'replace policy where id = {pid} with {{"sensor": {{"company": "bcme"}}}}')
+    assert len(eng.policy_store.policies) == 1
+    assert eng.policy_store.policies[0]["sensor"]["company"] == "bcme"
+
+
+def test_create_work_directories(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, work_dir=str(tmp_path))
+    rows = eng.run("create work directories").collect()
+    assert {r.name for r in rows} == {"watch", "bwatch", "blobs", "archive", "err", "data", "scripts"}
+    import os
+    assert all(os.path.isdir(r.path) for r in rows)
+    # dictionary names resolve (!watch_dir)
+    assert eng.params["watch_dir"].endswith("/watch")
