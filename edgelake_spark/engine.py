@@ -1394,6 +1394,16 @@ class EdgeLakeEngine:
                 ("Blobs Store", "Running" if self.blob_views else "Not declared",
                  f"{len(self.blob_views)} table(s)" if self.blob_views else "")
             )
+            op = getattr(self, "operator", None)
+            rows.append(
+                ("Operator", "Running" if op else "Not declared",
+                 f"{op.files_processed} file(s), {op.rows_ingested} row(s)" if op else "")
+            )
+            arch = getattr(self, "archiver", None)
+            rows.append(
+                ("Blobs Archiver", "Running" if arch else "Not declared",
+                 arch.status() if arch else "")
+            )
             return self.spark.createDataFrame(
                 rows, "process string, status string, details string"
             )
