@@ -1362,7 +1362,7 @@ class EdgeLakeEngine:
             # services stay "Not declared" with the README rationale
             sc = self.spark.sparkContext
             rows = [
-                ("Operator", "Running", f"SQL engine on {sc.master} ({sc.defaultParallelism} cores)"),
+                ("Query Pool", "Running", f"SQL engine on {sc.master} ({sc.defaultParallelism} cores)"),
                 ("TCP", "Not declared", "single-engine build: no peer networking (README non-goals)"),
                 (
                     "REST",

@@ -303,7 +303,8 @@ def test_echo_and_scheduled_echo(engine):
 
 def test_get_processes_statuses(engine):
     rows = {r.process: r for r in engine.run("get processes").collect()}
-    assert rows["Operator"].status == "Running"
+    assert rows["Query Pool"].status == "Running"
+    assert rows["Operator"].status == "Not declared"  # no operator ingest loop declared
     assert rows["TCP"].status == "Not declared"
     assert rows["Scheduler"].status == "Not declared"
     engine.run("run scheduler")
