@@ -334,6 +334,10 @@ class EdgeLakeEngine:
             )
         m = _re.match(r"info\s+(?:table|view)\s+(\S+)\s+(\S+)\s+exists$", text, _re.IGNORECASE)
         if m:
+            # exists iff a query on <dbms>.<table> would resolve — the
+            # engine's table namespace is dbms-agnostic for registered
+            # tables (sql <any-dbms> "... from events" works), so the
+            # short-name fallback is deliberate, not a qualifier leak
             exists = self.spark.catalog.tableExists(
                 self._resolve(f"{m.group(1)}.{m.group(2)}")
             )
@@ -835,8 +839,12 @@ class EdgeLakeEngine:
                     continue
             for holder in (getattr(self, "operator", None), getattr(self, "archiver", None)):
                 if holder is not None:
-                    holder.process_once()
-                    drained += 1
+                    try:
+                        holder.process_once()
+                        drained += 1
+                    except Exception:  # same policy as the queries: a
+                        continue       # broken watch dir must not block
+
             self.event_log.add("Event", "Buffers flushed")
             return self.spark.createDataFrame([(drained,)], "flushed int")
         m = _re.match(
@@ -881,16 +889,40 @@ class EdgeLakeEngine:
             drop = text.lower().startswith("drop")
             name = m.group(1)
             dropped = getattr(self, "connected_dbms", {}).pop(name, [])
+            doomed_views: set[str] = set()
             for qualified in dropped:
-                self.views.pop(qualified, None)
+                target = self.views.pop(qualified, None)
+                # the attach-time temp views are per-dbms; drop them so
+                # repeated connect/disconnect cycles don't leak one
+                # cached view per table for the session lifetime
+                if target and target.startswith(f"__dbms_{name}_"):
+                    doomed_views.add(target)
             if drop:
-                for qualified in list(self.views):
-                    if qualified.startswith(f"{name}."):
-                        self.views.pop(qualified, None)
+                for qualified in [k for k in self.views if k.startswith(f"{name}.")]:
+                    target = self.views.pop(qualified)
+                    if target.startswith("__"):  # engine-managed only —
+                        # a `create view` alias may target a base table
+                        doomed_views.add(target)
+                    # managed/DML state of this dbms's tables: the
+                    # commit log is keyed by short name (`dml/<t>`);
+                    # find it through the qualified alias target
+                    short = qualified.split(".", 1)[1]
+                    tx = self.tx_tables.pop(f"dml/{catalog.view_name(short)}", None)
+                    if tx is not None:
+                        _shutil.rmtree(tx.path, ignore_errors=True)
                 for key in [k for k in self.tx_tables if k.startswith(f"blobs/{name}.")]:
                     tx = self.tx_tables.pop(key)
                     _shutil.rmtree(tx.path, ignore_errors=True)
                 self.event_log.add("Event", f"DBMS {name} dropped")
+            # purge the doomed temp views and every remaining alias
+            # (bare short names included) that still points at them
+            for v in doomed_views:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+            for alias in [a for a, v in self.views.items() if v in doomed_views]:
+                self.views.pop(alias)
             return self.spark.createDataFrame(
                 [(name, len(dropped))], "dbms string, n_tables int"
             )
@@ -917,18 +949,10 @@ class EdgeLakeEngine:
             if not rm:
                 raise ValueError("replace policy where id = <id> with <json>")
             old_id = rm.group(1).strip("'\"")
-
-            def _pid(p):
-                body = next(iter(p.values()), None) if isinstance(p, dict) and p else None
-                return body.get("id") if isinstance(body, dict) else None
-
-            before = len(self.policy_store.policies)
-            self.policy_store.policies = [
-                p for p in self.policy_store.policies if _pid(p) != old_id
-            ]
+            n_removed = self.policy_store.remove_by_id(old_id)
             self.policy_store.add(_json.loads(rm.group(2)))
             return self.spark.createDataFrame(
-                [(old_id, before - len(self.policy_store.policies) + 1)],
+                [(old_id, n_removed)],
                 "replaced_id string, n_policies int",
             )
         m = _re.match(
@@ -971,11 +995,20 @@ class EdgeLakeEngine:
             tx = self.tx_tables.pop(f"dml/{key}", None)
             if tx is not None:
                 _shutil.rmtree(tx.path, ignore_errors=True)
-            for v in (f"__dml_{key}", f"__ingest_{key}"):
+            doomed = {f"__dml_{key}", f"__ingest_{key}"}
+            for v in doomed:
                 try:
                     self.spark.catalog.dropTempView(v)
                 except Exception:
                     pass
+            # any OTHER alias still pointing at the dropped temp views
+            # (e.g. a dbms-qualified `d.events` registered by ingest/DML
+            # alongside the bare name) must go too, or qualified queries
+            # would resolve to a view that no longer exists instead of
+            # falling back to raw storage
+            for alias in [a for a, v in self.views.items() if v in doomed]:
+                self.views.pop(alias)
+                removed.append(alias)
             self.event_log.add("Event", f"Table {table} dropped")
             return self.spark.createDataFrame(
                 [(table, bool(removed or tx))], "table_name string, dropped boolean"
@@ -986,16 +1019,7 @@ class EdgeLakeEngine:
         if m:
             # reference drop policy / blockchain delete policy
             pid = m.group(1).strip("'\"")
-
-            def _policy_id(p):
-                body = next(iter(p.values()), None) if isinstance(p, dict) and p else None
-                return body.get("id") if isinstance(body, dict) else None
-
-            before = len(self.policy_store.policies)
-            self.policy_store.policies = [
-                p for p in self.policy_store.policies if _policy_id(p) != pid
-            ]
-            n = before - len(self.policy_store.policies)
+            n = self.policy_store.remove_by_id(pid)
             return self.spark.createDataFrame([(pid, n)], "policy_id string, n_dropped int")
         m = _re.match(r"run\s+blobs\s+archiver\s+where\s+(.*)$", text, _re.IGNORECASE | _re.DOTALL)
         if m:

@@ -111,10 +111,21 @@ class OperatorNode:
         stat = self.per_table.setdefault(qualified, 0)
         self.per_table[qualified] = stat + len(rows)
 
-        if self.archive_json:
-            self._archive_file(path)
-        else:
-            os.unlink(path)
+        # rows are live from here on: an archive failure must NOT route
+        # the file to the err dir (replaying an err file would ingest
+        # the same rows twice) nor count as a file error — park the
+        # source beside the err files under a distinct prefix instead
+        try:
+            if self.archive_json:
+                self._archive_file(path)
+            else:
+                os.unlink(path)
+        except Exception as exc:
+            self.last_error = f"archive failed for {name}: {exc}"
+            try:
+                shutil.move(path, os.path.join(self.err_dir, f"archived_failed_{name}"))
+            except Exception:
+                os.unlink(path)  # last resort: never leave it re-ingestable
         return len(rows)
 
     def _archive_file(self, path: str) -> str:
@@ -157,9 +168,12 @@ def delete_archive_before(archive_dir: str, cutoff_ymd: tuple[str, str, str]) ->
             continue
         for mm in sorted(os.listdir(ydir)):
             mdir = os.path.join(ydir, mm)
+            if not os.path.isdir(mdir):  # stray files must not abort
+                continue                  # the sweep mid-deletion
             for dd in sorted(os.listdir(mdir)):
-                if (yy, mm, dd) < cutoff_ymd:
-                    shutil.rmtree(os.path.join(mdir, dd))
+                ddir = os.path.join(mdir, dd)
+                if os.path.isdir(ddir) and (yy, mm, dd) < cutoff_ymd:
+                    shutil.rmtree(ddir)
                     deleted.append(f"20{yy}-{mm}-{dd}")
             if not os.listdir(mdir):
                 os.rmdir(mdir)

@@ -46,6 +46,14 @@ def stamp_policy(policy: dict) -> dict:
     return policy
 
 
+def policy_id(policy) -> str | None:
+    """The ``id`` stamped on a policy body ({type: {..., id: X}}), or
+    None for anything malformed — the shared extractor for the
+    drop/replace-by-id commands."""
+    body = next(iter(policy.values()), None) if isinstance(policy, dict) and policy else None
+    return body.get("id") if isinstance(body, dict) else None
+
+
 class PolicyStore:
     def __init__(self, policies: list[dict] | None = None):
         self.policies: list[dict] = list(policies or [])
@@ -58,6 +66,13 @@ class PolicyStore:
         add_json_id_date: id = md5 of the content minus date/ledger,
         date = current UTC)."""
         self.policies.append(stamp_policy(policy))
+
+    def remove_by_id(self, pid: str) -> int:
+        """Drop every policy whose body id matches; returns how many
+        were removed (reference blockchain drop policy by id)."""
+        before = len(self.policies)
+        self.policies = [p for p in self.policies if policy_id(p) != pid]
+        return before - len(self.policies)
 
     @classmethod
     def from_json_lines(cls, text: str) -> "PolicyStore":

@@ -318,6 +318,12 @@ class KafkaBroker:
                 max_bytes = r.i32()
                 with self._lock:
                     log = list(self.logs.get(name, ()))
+                if offset > len(log):  # real brokers answer a fetch
+                    # past the log end with OFFSET_OUT_OF_RANGE (1),
+                    # e.g. a committed offset that outlived a
+                    # recreated/truncated topic
+                    out += struct.pack(">ihq", part, 1, len(log)) + _bytes(b"")
+                    continue
                 entries = [
                     (i, ts, key, value)
                     for i, (ts, key, value) in enumerate(log)
@@ -494,6 +500,14 @@ class KafkaWireConsumer:
             for _ in range(r.i32()):
                 _part, err, _hw = r.i32(), r.i16(), r.i64()
                 records = r.raw_bytes() or b""
+                if err == 1:  # OFFSET_OUT_OF_RANGE: the committed
+                    # offset outlived the log (topic recreated or
+                    # truncated under the spool dir) — re-apply the
+                    # reset policy like a real consumer instead of
+                    # letting the poll thread die silently
+                    self.offset = self._resolve_reset()
+                    self._commit_offset()
+                    return 0
                 if err:
                     raise ConnectionError(f"fetch error {err}")
                 for offset, _ts, _key, value in decode_message_set(records):

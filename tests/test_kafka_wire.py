@@ -115,6 +115,35 @@ def test_consumer_resumes_from_committed_offset(tmp_path):
         broker.stop()
 
 
+def test_consumer_stale_offset_reapplies_reset(tmp_path):
+    """A committed offset that outlived the log (topic recreated or
+    truncated under the spool dir) must re-apply the reset policy like
+    a real consumer, not kill the poll thread on OFFSET_OUT_OF_RANGE."""
+    broker = kf.KafkaBroker().start()
+    try:
+        pub = kf.KafkaProducerClient(broker.host, broker.port)
+        pub.produce("t1", [b"one", b"two", b"three"])
+        spool = str(tmp_path / "spool")
+
+        con = kf.KafkaWireConsumer(broker.host, broker.port, "t1", spool, reset="earliest")
+        con.start()
+        assert con.wait_for(3)
+        con.stop()  # committed offset = 3
+
+        # topic recreated shorter: committed 3 > log end 1
+        broker.logs["t1"] = []
+        pub.produce("t1", [b"fresh"])
+
+        con2 = kf.KafkaWireConsumer(broker.host, broker.port, "t1", spool, reset="earliest")
+        con2.start()
+        assert con2.wait_for(1)  # fell back to earliest and re-fetched
+        con2.stop()
+        assert con2.received == 1 and con2.offset == 1
+        pub.close()
+    finally:
+        broker.stop()
+
+
 def test_api_versions_handshake():
     broker = kf.KafkaBroker().start()
     try:

@@ -232,3 +232,88 @@ def test_create_work_directories(spark, tmp_path):
     assert all(os.path.isdir(r.path) for r in rows)
     # dictionary names resolve (!watch_dir)
     assert eng.params["watch_dir"].endswith("/watch")
+
+
+# ---------------------------------------------- review regression set
+
+
+def test_drop_table_purges_qualified_alias(spark, tmp_path):
+    """DML registers both `d.events` and `events` aliases; drop table
+    must purge BOTH so qualified queries fall back to raw storage
+    instead of resolving to a dropped temp view."""
+    eng = EdgeLakeEngine(spark, "/root/testdata/sf0.001", now=NOW, work_dir=str(tmp_path))
+    eng.run('sql d "delete from d.events where value > 100.0"')
+    assert eng.views.get("d.events") == "__dml_events"
+    eng.run("drop table events")
+    assert "d.events" not in eng.views
+    assert eng.query("select count(*) as n from d.events").collect()[0].n == 1000
+
+
+def test_drop_dbms_forgets_dml_state_and_bare_alias(spark, tmp_path):
+    eng = EdgeLakeEngine(spark, "/root/testdata/sf0.001", now=NOW, work_dir=str(tmp_path))
+    eng.run('sql edgex "delete from edgex.events where value > 100.0"')
+    assert "dml/events" in eng.tx_tables
+    assert eng.views.get("events") == "__dml_events"
+    eng.run("drop dbms edgex")
+    assert "dml/events" not in eng.tx_tables
+    assert "events" not in eng.views  # bare alias purged with the dbms
+    assert eng.query("select count(*) as n from events").collect()[0].n == 1000
+
+
+def test_disconnect_dbms_drops_attach_views(spark, tmp_path):
+    spark.range(3).selectExpr("id as k").write.parquet(str(tmp_path / "s" / "tt.parquet"))
+    eng = EdgeLakeEngine(spark, now=NOW)
+    eng.run(f"connect dbms exx where type = psql and path = {tmp_path}/s")
+    assert spark.catalog.tableExists("__dbms_exx_tt")
+    eng.run("disconnect dbms exx")
+    assert not spark.catalog.tableExists("__dbms_exx_tt")  # no session leak
+
+
+def test_flush_buffers_survives_broken_watch_dir(spark, tmp_path):
+    import shutil
+
+    eng = EdgeLakeEngine(spark, now=NOW)
+    (tmp_path / "w").mkdir()
+    eng.run(
+        f"run operator where watch_dir = {tmp_path}/w and err_dir = {tmp_path}/e "
+        f"and archive_dir = {tmp_path}/a"
+    )
+    shutil.rmtree(tmp_path / "w")  # externally broken watch dir
+    flushed = eng.run("flush buffers").collect()[0].flushed  # must not raise
+    assert flushed == 0
+
+
+def test_delete_archive_tolerates_stray_files(tmp_path):
+    from edgelake_spark.ingest.operator import delete_archive_before
+
+    a = tmp_path / "a"
+    for day in (("24", "01", "01"), ("24", "01", "05")):
+        d = a / day[0] / day[1] / day[2]
+        d.mkdir(parents=True)
+        (d / "x.gz").write_bytes(b"z")
+    (a / "24" / "01" / "notes.txt").write_text("stray")  # file at day level
+    (a / "24" / "README").write_text("stray")  # file at month level
+    deleted = delete_archive_before(str(a), ("24", "01", "31"))
+    assert deleted == ["2024-01-01", "2024-01-05"]
+    assert (a / "24" / "01" / "notes.txt").exists()  # sweep completed around it
+
+
+def test_operator_archive_failure_keeps_rows_single_ingest(spark, tmp_path):
+    """Archive failing AFTER ingest must not route the file to the err
+    replay path (rows are already live — a replay would double them)
+    nor count the file as errored."""
+    eng = EdgeLakeEngine(spark, now=NOW)
+    (tmp_path / "w").mkdir()
+    (tmp_path / "blockfile").write_text("")  # archive parent is a FILE
+    eng.run(
+        f"run operator where watch_dir = {tmp_path}/w and err_dir = {tmp_path}/e "
+        f"and archive_dir = {tmp_path}/blockfile/arch"
+    )
+    _write_rows(tmp_path / "w" / "d.archfail.json", [{"k": 1}, {"k": 2}])
+    results = eng.operator.process_once()
+    assert results["d.archfail.json"].startswith("ok: 2")
+    assert (eng.operator.files_processed, eng.operator.files_errored) == (1, 0)
+    assert "archive failed" in eng.operator.last_error
+    assert (tmp_path / "e" / "archived_failed_d.archfail.json").exists()
+    eng.operator.process_once()  # second tick: nothing left to re-ingest
+    assert eng.query("select count(*) as n from d.archfail").collect()[0].n == 2
