@@ -68,6 +68,11 @@ for name in [
     "dml_time_travel",
     "stream_sessionize",
     "dml_merge",
+    # the other two round-5 streaming replay gates in the driver
+    # window: bucket-claim dedup and the ordered Welford monitor both
+    # carry state through a replayed stream — same bare-session risk
+    "stream_lsh_dedup",
+    "stream_anomaly",
 ]:
     df = queries[name](spark, SF)
     cols = df.columns
