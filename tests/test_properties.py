@@ -77,3 +77,72 @@ def test_stamp_policy_content_addressed(name, company, extra):
     assert id1 == p2["operator"]["id"]
     # stamping an already-stamped policy is a no-op
     assert stamp_policy(p1)["operator"]["id"] == id1
+
+
+# ------------------------------------------------- wire codec properties
+
+
+@given(
+    entries=st.lists(
+        st.tuples(
+            st.integers(min_value=-1, max_value=2**40),
+            st.one_of(st.none(), st.binary(max_size=64)),
+            st.binary(max_size=256),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_kafka_message_set_roundtrip(entries):
+    """encode→decode is identity for any (ts, key, value) batch,
+    offsets assigned sequentially — the CRC and varlength framing must
+    survive arbitrary binary payloads including empty and null keys."""
+    from edgelake_spark.streaming import kafka as kf
+
+    tagged = [(i, ts, key, value) for i, (ts, key, value) in enumerate(entries)]
+    assert kf.decode_message_set(kf.encode_message_set(tagged)) == tagged
+
+
+@given(
+    topic=st.text(
+        alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=40,
+    ),
+    payload=st.binary(max_size=512),
+    qos=st.integers(min_value=0, max_value=1),
+    pid=st.integers(min_value=1, max_value=65535),
+)
+@settings(max_examples=50, deadline=None)
+def test_mqtt_publish_roundtrip(topic, payload, qos, pid):
+    """PUBLISH encode→parse is identity for arbitrary UTF-8 topics and
+    binary payloads across QoS 0/1 (§3.3: pid present iff qos>0)."""
+    from edgelake_spark.streaming import mqtt as mq
+
+    pkt = mq.publish_packet(topic, payload, qos=qos, pid=pid)
+    body_off = 1
+    # skip the remaining-length varint
+    while pkt[body_off] & 0x80:
+        body_off += 1
+    body_off += 1
+    ptype, flags = pkt[0] >> 4, pkt[0] & 0x0F
+    assert ptype == mq.PUBLISH
+    got_topic, got_qos, got_pid, got_payload = mq.parse_publish(flags, pkt[body_off:])
+    assert (got_topic, got_qos, got_payload) == (topic, qos, payload)
+    assert got_pid == (pid if qos else None)
+
+
+@given(n=st.integers(min_value=0, max_value=268_435_455))
+@settings(max_examples=200, deadline=None)
+def test_mqtt_remaining_length_varint_roundtrip(n):
+    """§2.2.3 remaining-length: decode(encode(n)) == n over the full
+    legal range (up to 256 MB), and the encoding is minimal (≤4 bytes)."""
+    from edgelake_spark.streaming.mqtt import _encode_len
+
+    enc = _encode_len(n)
+    assert 1 <= len(enc) <= 4
+    val, mult = 0, 1
+    for b in enc:
+        val += (b & 0x7F) * mult
+        mult *= 128
+    assert val == n
