@@ -2828,20 +2828,35 @@ ORDER BY query_id, adc_dist ASC, neighbor_id
 """
 
 
-def _pq_codes_path(sf_dir: str) -> str:
-    """Deterministic on-disk location for a dataset's PQ code table,
-    keyed by the source embeddings' identity (path + mtime + size) so a
-    regenerated dataset invalidates the codes."""
+def _emb_artifact_path(sf_dir: str, kind: str, params: str) -> str:
+    """Deterministic on-disk location for a dataset's quantization
+    artifact (PQ/SQ8/BQ code table), keyed by the source embeddings'
+    identity (path + mtime + size) so a regenerated dataset invalidates
+    the codes."""
     import hashlib
     import os as _os
 
     src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
     st = _os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:M{_PQ_M}K{_PQ_K}".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:{params}".encode()
     ).hexdigest()[:12]
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    return _os.path.join(repo, "spark-warehouse", f"pq_codes_{tag}")
+    return _os.path.join(repo, "spark-warehouse", f"{kind}_{tag}")
+
+
+def _emb_codes_view(spark, sf_dir: str, kind: str, params: str, sql: str, view: str) -> str:
+    """Build (or reuse) a persisted quantization code table: the encode
+    job writes straight from executors to parquet ONCE per dataset and
+    every query reads the artifact — the offline/online split all ANN
+    families share (no driver materialization, no per-query rebuild)."""
+    import os as _os
+
+    path = _emb_artifact_path(sf_dir, kind, params)
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        spark.sql(sql).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    return view
 
 
 def _run_pq_adc(spark, sf_dir):
@@ -2859,16 +2874,12 @@ def _run_pq_adc(spark, sf_dir):
 
 def _pq_codes_view(spark, sf_dir) -> str:
     """Build (or reuse) the persisted PQ code table as `__pq_codes`."""
-    import os as _os
-
-    path = _pq_codes_path(sf_dir)
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        spark.sql(
-            f"WITH {_pq_sql('spark', prefix_only=True)} "
-            f"SELECT vec_id, pq_code FROM codes"
-        ).write.mode("overwrite").parquet(path)
-    spark.read.parquet(path).createOrReplaceTempView("__pq_codes")
-    return "__pq_codes"
+    return _emb_codes_view(
+        spark, sf_dir, "pq_codes", f"M{_PQ_M}K{_PQ_K}",
+        f"WITH {_pq_sql('spark', prefix_only=True)} "
+        f"SELECT vec_id, pq_code FROM codes",
+        "__pq_codes",
+    )
 
 
 # ADC completes the PQ story (codes are the storage half, ADC the
@@ -4038,16 +4049,20 @@ ORDER BY query_id, sq_dist, neighbor_id
 
 
 def _run_sq8_topk(spark, sf_dir):
-    """Index build staged ONCE (checkpointed like the PQ/IVF offline
-    code tables — the query half reads codes, never the floats; without
-    the barrier Catalyst would inline and recompute the long/dims/codes
-    subtree for both sides of the distance join). Scale shape: the dims
-    table is 64 rows, quantization is map-side, the 5 query code-vectors
-    broadcast, and the distance partial-aggregates map-side before the
-    (5·N)-row shuffle."""
+    """Index build persisted ONCE per dataset (executor-side parquet
+    write, same lifecycle as the PQ/IVF offline code tables — the query
+    half reads codes from storage, never the floats, and never pays the
+    encode again; the artifact is also the barrier that stops Catalyst
+    inlining the long/dims/codes subtree into both sides of the
+    distance join). Scale shape: the dims table is 64 rows, quantization
+    is map-side, the 5 query code-vectors broadcast, and the distance
+    partial-aggregates map-side before the (5·N)-row shuffle."""
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "embeddings")
-    _ckpt_view(spark, _sq8_index_sql("spark"), "__sq8_codes")
+    _emb_codes_view(
+        spark, sf_dir, "sq8_codes", "sq8d64",
+        _sq8_index_sql("spark"), "__sq8_codes",
+    )
     return spark.sql(_SQ8_QUERY_BODY.format(codes="__sq8_codes", topk=5))
 
 
@@ -4679,14 +4694,18 @@ ORDER BY query_id, hamming, neighbor_id
 
 
 def _run_bq_topk(spark, sf_dir):
-    """Code table checkpointed once (the offline index build, like
-    PQ/SQ8); the query half is a broadcast of 5 two-BIGINT query codes
-    against a scan that reads 16 bytes per corpus vector — xor+popcount
-    is the entire distance kernel, the reason binary quantization is
-    the first-pass filter at billion-vector scale."""
+    """Code table persisted once per dataset (the offline index build,
+    same parquet-artifact lifecycle as PQ/SQ8); the query half is a
+    broadcast of 5 two-BIGINT query codes against a scan that reads 16
+    bytes per corpus vector — xor+popcount is the entire distance
+    kernel, the reason binary quantization is the first-pass filter at
+    billion-vector scale."""
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "embeddings")
-    _ckpt_view(spark, _bq_index_sql("spark"), "__bq_codes")
+    _emb_codes_view(
+        spark, sf_dir, "bq_codes", "bq128",
+        _bq_index_sql("spark"), "__bq_codes",
+    )
     return spark.sql(
         _BQ_QUERY_BODY.format(
             codes="__bq_codes",

@@ -210,13 +210,13 @@ def test_m4_single_shuffle_argmin_aggregate(spark):
 
 def test_sq8_codes_staged_once_no_nested_loop(spark):
     plan = plan_of(spark, "emb_sq8_topk")
-    # quantize once behind a checkpoint: the distance join reads the
-    # staged code table on an equi key (dim) — no keyless join anywhere
+    # quantize once into the persisted artifact: the distance join
+    # reads the code table on an equi key (dim) — no keyless join
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # exactly one scan subtree family: the checkpointed codes RDD
-    assert plan.count("Scan ExistingRDD") >= 1
-    assert "FileScan parquet" not in plan  # floats never re-read at query time
+    # every scan is the parquet code artifact; the floats never re-read
+    assert "sq8_codes_" in plan
+    assert "embeddings.parquet" not in plan
 
 
 def test_pq_codebook_is_build_side(spark):
@@ -279,7 +279,9 @@ def test_bq_query_codes_are_build_side(spark):
     # BuildLeft = the 5 two-BIGINT query codes broadcast; the corpus
     # code scan streams (16 bytes/vector) — never the reverse
     assert "BroadcastNestedLoopJoin BuildLeft" in plan
-    assert "FileScan parquet" not in plan  # floats never re-read at query time
+    # every scan is the parquet code artifact; the floats never re-read
+    assert "bq_codes_" in plan
+    assert "embeddings.parquet" not in plan
 
 
 def test_bm25_scan_and_score_no_shuffle(spark):
