@@ -2423,7 +2423,7 @@ _COMMAND_HELP = [
     ("disconnect dbms", "disconnect dbms <name>"),
     ("drop table", "drop table <table> [where dbms = ..]"),
     ("drop policy", "drop policy where id = .."),
-    ("drop dbms", "drop dbms <name> (forget managed state; storage untouched)"),
+    ("drop dbms", "drop dbms <name> (forget managed state incl. DML commit logs; raw storage untouched)"),
     ("replace policy", "replace policy where id = <id> with <json>"),
     ("prepare policy", "prepare policy <json> (stamp id/date without insert)"),
     ("run msg client", "run msg client where broker = .. and port = .. and topic = (..) (alias of run mqtt client)"),

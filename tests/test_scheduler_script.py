@@ -497,3 +497,48 @@ def test_event_runs_registered_script(engine, tmp_path):
 
     with _pytest.raises(Exception):
         engine.run("event unknown_event")
+
+
+# ------------------------------------------- malformed-command surface
+
+
+def test_malformed_commands_raise_clean_errors(engine):
+    """Every command family rejects malformed input with a typed,
+    message-bearing error (ValueError family or a clean analysis
+    exception) — never an internal AttributeError/KeyError/IndexError
+    crash from half-parsed state (reference: member_cmd error paths
+    return error strings, not tracebacks)."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    clean = (ValueError, KeyError, OSError, AnalysisException)
+    bad = [
+        'sql iot format=xml "select 1"',
+        'sql iot "select increments(eon,1,ts), count(*) from events"',
+        'sql iot "select period(eon, 1, now(), ts) from events"',
+        "backup table where table = events",        # missing dest
+        "replace policy where id = x",              # missing with
+        "schedule time = soon task echo hi",        # bad interval
+        "task stop where nothing = x",              # no name/id selector
+        "file store where dbms = d",                # missing table/file
+        "file retrieve where dbms = d",             # missing table
+        "partition d events using nosuchcol by 1 eon",  # bad unit
+        'sql iot "select * from nosuchtable"',
+        "incr notanint",
+        "connect dbms broken where path = /nonexistent/dir",
+        "run operator where err_dir = /tmp/x",      # missing watch_dir
+        "delete archive where days = soon",
+        "info table d nosuchtable columns",
+    ]
+    for cmd in bad:
+        try:
+            out = engine.run(cmd)
+            # a DataFrame-returning "not found/empty" answer is fine;
+            # force evaluation so analysis errors surface
+            if hasattr(out, "collect"):
+                out.collect()
+        except clean as exc:
+            assert str(exc), f"empty error message for: {cmd}"
+        except Exception as exc:  # pragma: no cover - the assertion target
+            raise AssertionError(
+                f"unclean {type(exc).__name__} for {cmd!r}: {exc}"
+            ) from exc
