@@ -99,6 +99,14 @@ _DEFER = (
     "events_dau_wau",
 )
 
+#: Gates added AFTER the deferred backlog exactly filled the 50-slot
+#: window: they rank behind every _DEFER gate (but ahead of verified
+#: ones) so the current round's driver window still converges the
+#: backlog to zero; these rotate into the next round's window.
+_STAGED = (
+    "doc_lm_surprisal",
+)
+
 
 def _verified_from_disk() -> frozenset:
     """Union of gates that went fully green (rows+schema+hash) in any
@@ -130,7 +138,8 @@ def _verified_from_disk() -> frozenset:
 def _window_order(names) -> list[str]:
     verified = _verified_from_disk()
     rank = {n: 1 for n in _DEFER}
-    return sorted(names, key=lambda n: 2 if n in verified else rank.get(n, 0))
+    rank.update({n: 2 for n in _STAGED})
+    return sorted(names, key=lambda n: 3 if n in verified else rank.get(n, 0))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -4122,6 +4122,73 @@ _q(
 )
 
 
+def _lm_surprisal_sql(engine: str) -> str:
+    """Bigram-LM surprisal quality filter (the CCNet/Gopher move:
+    score held-out documents by how surprising a corpus language model
+    finds them — mean_token_rank catches rare WORDS, this catches
+    garbage word ORDER). The LM trains on the doc_id % 11 <> 0 split
+    (the decontaminate convention) with add-one smoothing and scores
+    the held-out docs; per-bigram surprisal is the whole-bit quantized
+    negative log2-probability
+
+        floor(log2((1024 * (c(w1) + V)) DIV (c(w1,w2) + 1))) - 10
+
+    computed with INTEGER division and floor(log2(<integer>)) — exact
+    on both engines, because log2 of an exact power of two is exact in
+    any faithful libm and log2 of any other integer is bounded away
+    from an integer by far more than one ulp (the same reasoning that
+    keeps mean_token_rank off libm ln(), which is NOT bit-stable).
+
+    Scale shape (Brants et al. 2007 distributed LM estimation): token/
+    bigram explode is map-side Generate; the c2/c1 count tables shuffle
+    on (w1,w2)/w1 and are vocabulary-bounded, never corpus-bounded; the
+    scoring join co-partitions held-out bigrams with c2 on (w1,w2); V
+    is one scalar row broadcast to every score row."""
+    if engine == "spark":
+        toks = f"SELECT doc_id, {tx.spark_tokens('text')} AS toks FROM documents_rep"
+        pairs = (
+            "SELECT doc_id, explode(transform(sequence(1, size(toks) - 1), "
+            "j -> struct(toks[j - 1] AS w1, toks[j] AS w2))) AS bg FROM t "
+            "WHERE size(toks) >= 2"
+        )
+        w1, w2, idiv = "bg.w1", "bg.w2", "DIV"
+    else:
+        toks = f"SELECT doc_id, {tx.duck_tokens('text')} AS toks FROM documents"
+        pairs = (
+            "SELECT doc_id, unnest([{'w1': toks[j], 'w2': toks[j + 1]} "
+            "for j in range(1, len(toks))]) AS bg FROM t "
+            "WHERE len(toks) >= 2"
+        )
+        w1, w2, idiv = "bg.w1", "bg.w2", "//"
+    return f"""
+WITH t AS ({toks}),
+big AS ({pairs}),
+train AS (SELECT {w1} AS w1, {w2} AS w2 FROM big WHERE doc_id % 11 <> 0),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM train GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM train GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM train),
+scored AS (
+  SELECT b.doc_id,
+    CAST(FLOOR(LOG2((1024 * (coalesce(c1.n1, 0) + v.vocab))
+                    {idiv} (coalesce(c2.n2, 0) + 1))) AS BIGINT) - 10 AS bits
+  FROM (SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM big WHERE doc_id % 11 = 0) b
+  CROSS JOIN v
+  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+  LEFT JOIN c1 ON b.w1 = c1.w1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_surprisal_bits
+FROM scored GROUP BY doc_id
+ORDER BY mean_surprisal_bits DESC, doc_id LIMIT 25
+"""
+
+
+_q(
+    "doc_lm_surprisal",
+    _sql(_lm_surprisal_sql("spark"), rep=("documents",)),
+    _lm_surprisal_sql("duck"),
+)
+
+
 # ------------------------------------------ linear-interpolation gapfill
 
 
