@@ -105,6 +105,8 @@ _DEFER = (
 #: backlog to zero; these rotate into the next round's window.
 _STAGED = (
     "doc_lm_surprisal",
+    "events_mad_outliers",
+    "events_lag_corr",
 )
 
 

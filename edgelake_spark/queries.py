@@ -5365,6 +5365,124 @@ ORDER BY event_type
 _q("events_quantiles", _sql(_quantiles_sql("events")), _quantiles_sql("events"))
 
 
+def _mad_outliers_sql(table: str) -> str:
+    """Robust per-series outliers: |value − median| > k·MAD (median
+    absolute deviation), the heavy-tail-safe alternative to the z-score
+    the Welford anomaly monitor uses — a few extreme points cannot drag
+    the threshold the way they drag a mean/stddev. Medians are exact
+    order statistics (rank = ceil(n/2), the events_quantiles trick —
+    no percentile interpolation, so both engines agree bit-for-bit),
+    and the score division runs on identical doubles → identical IEEE
+    results → identical ordering.
+
+    Scale shape: two (event_type) shuffles (value ranks, then
+    deviation ranks); the per-type median/MAD tables are
+    series-count-sized and broadcast back to the scoring scan; top-k
+    is a TakeOrdered, never a global sort."""
+    return f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM {table} WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type,
+    min(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN value END) AS med
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_type, r.event_id, r.value, m.med,
+    abs(r.value - m.med) AS adev
+  FROM ranked r JOIN med m ON r.event_type = m.event_type
+),
+devranked AS (
+  SELECT event_type, event_id, value, med, adev,
+    row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn2,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+    min(CASE WHEN rn2 = CAST(ceil(n2 * 0.50) AS BIGINT) THEN adev END) AS mad
+  FROM devranked GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value, d.med, a.mad,
+  (d.value - d.med) / a.mad AS mad_score
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+WHERE a.mad > 0
+ORDER BY abs((d.value - d.med) / a.mad) DESC, d.event_id LIMIT 25
+"""
+
+
+_q("events_mad_outliers", _sql(_mad_outliers_sql("events")), _mad_outliers_sql("events"))
+
+
+def _lag_corr_sql(engine: str) -> str:
+    """Lagged cross-correlation between event-type series ("which
+    metric leads which"): hourly mean per series, then Pearson r
+    between every type pair at lags 0-3 h. The closed-form r is
+    catastrophic-cancellation territory (n·Σxy ≈ Σx·Σy at weak
+    correlation), where even the DECIMAL staging betrays us — Spark
+    and DuckDB round double→decimal with different half-way rules, and
+    the cancellation amplifies that last-digit disagreement into the
+    8th significant digit of r. So the means are quantized to integer
+    micro-units first (floor(m·1e6 + 0.5), the SQ8 half-up trick —
+    exact on both engines) and every covariance sum runs in exact
+    BIGINT/DECIMAL(38,0) arithmetic; the final sqrt/divide operate on
+    the 24-digit decimals' double images, whose conversion can differ
+    in the last ulp between engines, so r is rounded to 9 decimals —
+    far above the ulp, far below anything a correlation reader uses.
+    Zero-variance windows are excluded rather than divided by.
+
+    Scale shape: one (event_type, hour) aggregation shuffles the fat
+    table once; everything after runs on series-count × hours rows.
+    The 4-row lag table cross-joins (broadcast); the self-join
+    co-partitions on the hour key."""
+    us, idiv = (
+        ("unix_micros(ts)", "DIV") if engine == "spark" else ("epoch_us(ts)", "//")
+    )
+    return f"""
+WITH series AS (
+  SELECT event_type, CAST({us} {idiv} 3600000000 AS BIGINT) AS h,
+    CAST(FLOOR({_dsum('value')} / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+         AS BIGINT) AS mq
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST({us} {idiv} 3600000000 AS BIGINT)
+),
+lags AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS l(lag_h)),
+matched AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_h,
+    a.mq AS xq, b.mq AS yq
+  FROM series a
+  CROSS JOIN lags l
+  JOIN series b
+    ON b.event_type > a.event_type AND a.h = b.h + CAST(l.lag_h AS BIGINT)
+),
+agg AS (
+  SELECT type_a, type_b, lag_h,
+    CAST(count(*) AS DECIMAL(38, 0)) AS n,
+    CAST(SUM(CAST(xq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sx,
+    CAST(SUM(CAST(yq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sy,
+    CAST(SUM(CAST(xq * yq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sxy,
+    CAST(SUM(CAST(xq * xq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sxx,
+    CAST(SUM(CAST(yq * yq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS syy
+  FROM matched GROUP BY type_a, type_b, lag_h
+)
+SELECT type_a, type_b, CAST(lag_h AS BIGINT) AS lag_h, CAST(n AS BIGINT) AS n,
+  ROUND(
+    CAST(n * sxy - sx * sy AS DOUBLE)
+      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS lag_corr
+FROM agg
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY type_a, type_b, lag_h
+"""
+
+
+_q("events_lag_corr", _sql(_lag_corr_sql("spark")), _lag_corr_sql("duck"))
+
+
 # ---------------------------------------------- one-pass table profile
 
 
