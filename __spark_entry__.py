@@ -107,6 +107,8 @@ _STAGED = (
     "doc_lm_surprisal",
     "events_mad_outliers",
     "events_lag_corr",
+    "orders_cohort_retention",
+    "emb_sq8_recon_error",
 )
 
 

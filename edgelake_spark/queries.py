@@ -4462,6 +4462,65 @@ ORDER BY t.query_id
 _q("emb_pq_recall", _run_recall_of("emb_pq_adc_topk"), _recall_oracle_of("emb_pq_adc_topk"))
 _q("emb_sq8_recall", _run_recall_of("emb_sq8_topk"), _recall_oracle_of("emb_sq8_topk"))
 
+
+def _sq8_recon_sql(engine: str) -> str:
+    """SQ8 reconstruction error — the quality metric the recall gates
+    don't capture: how far the 8-bit codes sit from the floats they
+    replace, in CODE UNITS (1 unit = one quantization step of the
+    per-dimension [mn, mx] range; a perfect rounding quantizer is
+    bounded by 0.5). Per-element error is quantized to 2^-20 code
+    units with the floor(x + 0.5) trick, the sums run in exact
+    DECIMAL(38,0), and only the final divisions touch floating point —
+    rounded to 12 decimals to absorb the engines' decimal→double
+    last-ulp disagreement at 17-digit magnitudes."""
+    if engine == "spark":
+        long_src = (
+            "SELECT vec_id, pos AS dim, CAST(v AS DOUBLE) AS v "
+            "FROM (SELECT vec_id, posexplode(embedding) AS (pos, v) "
+            "FROM embeddings_rep)"
+        )
+        codes_src = "SELECT vec_id, dim, code FROM __sq8_codes"
+    else:
+        long_src = (
+            "SELECT vec_id, g.i - 1 AS dim, CAST(embedding[g.i] AS DOUBLE) AS v "
+            "FROM embeddings CROSS JOIN generate_series(1, 64) g(i)"
+        )
+        codes_src = _sq8_index_sql("duck")
+    return f"""
+WITH long AS ({long_src}),
+dims AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM long GROUP BY dim),
+codes AS ({codes_src}),
+errs AS (
+  SELECT CAST(FLOOR((CASE WHEN d.mx = d.mn THEN 0.0
+                          ELSE (l.v - d.mn) / (d.mx - d.mn) * 255.0 END
+                     - c.code) * 1048576.0 + 0.5) AS BIGINT) AS eq
+  FROM long l
+  JOIN dims d ON l.dim = d.dim
+  JOIN codes c ON l.vec_id = c.vec_id AND l.dim = c.dim
+)
+SELECT CAST(count(*) AS BIGINT) AS n_codes,
+  ROUND(CAST(SUM(CAST(eq * eq AS DECIMAL(38, 0))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) / 1099511627776.0, 12) AS mse_code_units,
+  ROUND(CAST(max(abs(eq)) AS DOUBLE) / 1048576.0, 12) AS max_abs_code_units
+FROM errs
+"""
+
+
+def _run_sq8_recon(spark, sf_dir):
+    """Scale shape: the float explode is map-side Generate; dims is 64
+    rows broadcast; the codes join co-partitions on (vec_id, dim) with
+    the persisted artifact; output is ONE row."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    _emb_codes_view(
+        spark, sf_dir, "sq8_codes", "sq8d64",
+        _sq8_index_sql("spark"), "__sq8_codes",
+    )
+    return spark.sql(_sq8_recon_sql("spark"))
+
+
+_q("emb_sq8_recon_error", _run_sq8_recon, _sq8_recon_sql("duck"))
+
 # =====================================================================
 # Round-4 third wave: training-data filter/transform passes
 # =====================================================================
@@ -5481,6 +5540,50 @@ ORDER BY type_a, type_b, lag_h
 
 
 _q("events_lag_corr", _sql(_lag_corr_sql("spark")), _lag_corr_sql("duck"))
+
+
+def _cohort_retention_sql(table: str) -> str:
+    """Cohort retention matrix over orders: customers grouped by
+    first-order year, retention(age) = fraction of the cohort still
+    ordering `age` years later — the canonical product-analytics
+    triangle. Integer counts end-to-end; the single ratio divides
+    identical BIGINTs on both engines.
+
+    Scale shape: first-order and activity both aggregate on
+    o_custkey (one shuffle key, reused by the join); the cohort-size
+    table is years-count rows and broadcasts."""
+    return f"""
+WITH firsts AS (
+  SELECT o_custkey,
+    CAST(extract(YEAR FROM min(o_orderdate)) AS BIGINT) AS cohort
+  FROM {table} GROUP BY o_custkey
+),
+active AS (
+  SELECT DISTINCT o_custkey,
+    CAST(extract(YEAR FROM o_orderdate) AS BIGINT) AS yr
+  FROM {table}
+),
+sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n
+  FROM firsts GROUP BY cohort
+)
+SELECT f.cohort, a.yr - f.cohort AS age,
+  CAST(count(*) AS BIGINT) AS n_active,
+  max(s.cohort_n) AS cohort_n,
+  CAST(count(*) AS DOUBLE) / CAST(max(s.cohort_n) AS DOUBLE) AS retention
+FROM active a
+JOIN firsts f ON a.o_custkey = f.o_custkey
+JOIN sizes s ON f.cohort = s.cohort
+GROUP BY f.cohort, a.yr
+ORDER BY f.cohort, age
+"""
+
+
+_q(
+    "orders_cohort_retention",
+    _sql(_cohort_retention_sql("orders")),
+    _cohort_retention_sql("orders"),
+)
 
 
 # ---------------------------------------------- one-pass table profile
