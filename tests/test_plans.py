@@ -381,3 +381,46 @@ def test_stream_lsh_band_grouping_is_only_shuffle(spark):
     stream = stream_parquet_source(spark, os.path.join(SF_DIR_MED, "documents.parquet"))
     plan = lsh_dedup_stream(stream)._jdf.queryExecution().logical().toString()
     assert "FlatMapGroupsInPandasWithState" in plan
+
+
+# ------------------------------------------------- round-6 staged gates
+
+
+def test_lm_surprisal_count_tables_broadcast(spark):
+    plan = plan_of(spark, "doc_lm_surprisal")
+    # the c1/c2 LM count tables and the 1-row vocab scalar broadcast to
+    # the held-out scoring side; the corpus never builds a hash table
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_two_rank_windows_topk(spark):
+    plan = plan_of(spark, "events_mad_outliers")
+    # two per-type rank windows (value ranks, deviation ranks); the
+    # top-25 is a TakeOrdered, never a global sort
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lag_corr_single_fat_aggregation(spark):
+    plan = plan_of(spark, "events_lag_corr")
+    # ONE scan family of the fat events table: the (event_type, hour)
+    # pre-aggregation; the pair/lag work runs on series-sized rows
+    assert plan.count("Scan parquet") <= 2  # self-join reuses the agg subtree or rescans once
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_custkey_shuffle_reuse(spark):
+    plan = plan_of(spark, "orders_cohort_retention")
+    # firsts/active both key on o_custkey; sizes (years-count rows)
+    # broadcasts back
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_recon_joins_persisted_artifact(spark):
+    plan = plan_of(spark, "emb_sq8_recon_error")
+    # reconstruction reads the persisted code artifact (not a rebuild)
+    # and emits ONE row via a final single-partition aggregate
+    assert "sq8_codes_" in plan
+    assert "CartesianProduct" not in plan
