@@ -139,6 +139,22 @@ class EdgeLakeEngine:
         short = catalog.view_name(name)
         return self.views.get(short, short)
 
+    def _purge_doomed_views(self, doomed) -> list[str]:
+        """Drop the given temp views and EVERY remaining alias that
+        still points at one of them — shared by drop table and
+        disconnect/drop dbms so no alias can dangle at a dropped view
+        instead of falling back to raw storage. Returns the purged
+        alias names."""
+        for v in doomed:
+            try:
+                self.spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+        purged = [a for a, t in self.views.items() if t in doomed]
+        for alias in purged:
+            self.views.pop(alias)
+        return purged
+
     @staticmethod
     def _entry_plan(entry: dict) -> str:
         """Formatted physical plan for a query_log entry; cached so the
@@ -913,16 +929,16 @@ class EdgeLakeEngine:
                 for key in [k for k in self.tx_tables if k.startswith(f"blobs/{name}.")]:
                     tx = self.tx_tables.pop(key)
                     _shutil.rmtree(tx.path, ignore_errors=True)
+                # the blob registry and its temp views must go with the
+                # logs, or `file retrieve` would scan the rmtree'd path
+                # and re-stores would hit stale duplicate-hash checks
+                for bkey in [k for k in self.blob_views if k[0] == name]:
+                    doomed_views.add(self.blob_views.pop(bkey))
+                    self.blob_rows.pop(bkey, None)
                 self.event_log.add("Event", f"DBMS {name} dropped")
             # purge the doomed temp views and every remaining alias
             # (bare short names included) that still points at them
-            for v in doomed_views:
-                try:
-                    self.spark.catalog.dropTempView(v)
-                except Exception:
-                    pass
-            for alias in [a for a, v in self.views.items() if v in doomed_views]:
-                self.views.pop(alias)
+            self._purge_doomed_views(doomed_views)
             return self.spark.createDataFrame(
                 [(name, len(dropped))], "dbms string, n_tables int"
             )
@@ -995,20 +1011,7 @@ class EdgeLakeEngine:
             tx = self.tx_tables.pop(f"dml/{key}", None)
             if tx is not None:
                 _shutil.rmtree(tx.path, ignore_errors=True)
-            doomed = {f"__dml_{key}", f"__ingest_{key}"}
-            for v in doomed:
-                try:
-                    self.spark.catalog.dropTempView(v)
-                except Exception:
-                    pass
-            # any OTHER alias still pointing at the dropped temp views
-            # (e.g. a dbms-qualified `d.events` registered by ingest/DML
-            # alongside the bare name) must go too, or qualified queries
-            # would resolve to a view that no longer exists instead of
-            # falling back to raw storage
-            for alias in [a for a, v in self.views.items() if v in doomed]:
-                self.views.pop(alias)
-                removed.append(alias)
+            removed += self._purge_doomed_views({f"__dml_{key}", f"__ingest_{key}"})
             self.event_log.add("Event", f"Table {table} dropped")
             return self.spark.createDataFrame(
                 [(table, bool(removed or tx))], "table_name string, dropped boolean"

@@ -44,6 +44,11 @@ class OperatorNode:
     rows_ingested: int = 0
     last_error: str = ""
     per_table: dict = field(default_factory=dict)
+    #: files whose rows are LIVE but which could not be moved out of the
+    #: watch dir (archive AND err-move AND unlink all failed, e.g. the
+    #: watch dir went read-only): later ticks must skip them or every
+    #: tick would re-ingest the same rows
+    _ingested_stuck: set = field(default_factory=set)
 
     # ----------------------------------------------------------- tick
 
@@ -55,6 +60,8 @@ class OperatorNode:
         for name in sorted(os.listdir(self.watch_dir)):
             if not name.endswith(".json"):
                 continue
+            if os.path.join(self.watch_dir, name) in self._ingested_stuck:
+                continue  # rows already live; the file just won't move
             path = os.path.join(self.watch_dir, name)
             try:
                 n = self._process_file(path, name)
@@ -125,7 +132,13 @@ class OperatorNode:
             try:
                 shutil.move(path, os.path.join(self.err_dir, f"archived_failed_{name}"))
             except Exception:
-                os.unlink(path)  # last resort: never leave it re-ingestable
+                try:
+                    os.unlink(path)  # next resort: never re-ingestable
+                except Exception:
+                    # even the unlink failed (watch dir read-only):
+                    # remember the path so later ticks skip it instead
+                    # of double-ingesting its live rows
+                    self._ingested_stuck.add(path)
         return len(rows)
 
     def _archive_file(self, path: str) -> str:

@@ -2830,19 +2830,20 @@ ORDER BY query_id, adc_dist ASC, neighbor_id
 
 def _emb_artifact_path(sf_dir: str, kind: str, params: str) -> str:
     """Deterministic on-disk location for a dataset's quantization
-    artifact (PQ/SQ8/BQ code table), keyed by the source embeddings'
-    identity (path + mtime + size) so a regenerated dataset invalidates
-    the codes."""
+    artifact (PQ/SQ8/BQ code table). The name splits into a SOURCE tag
+    (path + params — stable across regenerations, one per dataset) and
+    a STATE tag (mtime + size — a regenerated dataset gets a fresh
+    one), so stale states of the SAME source can be swept without
+    touching other datasets' artifacts (sf0.001/sf0.1 coexist)."""
     import hashlib
     import os as _os
 
     src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
     st = _os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:{params}".encode()
-    ).hexdigest()[:12]
+    src_tag = hashlib.md5(f"{src}:{params}".encode()).hexdigest()[:8]
+    state_tag = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    return _os.path.join(repo, "spark-warehouse", f"{kind}_{tag}")
+    return _os.path.join(repo, "spark-warehouse", f"{kind}_{src_tag}_{state_tag}")
 
 
 def _emb_codes_view(spark, sf_dir: str, kind: str, params: str, sql: str, view: str) -> str:
@@ -2850,11 +2851,21 @@ def _emb_codes_view(spark, sf_dir: str, kind: str, params: str, sql: str, view: 
     job writes straight from executors to parquet ONCE per dataset and
     every query reads the artifact — the offline/online split all ANN
     families share (no driver materialization, no per-query rebuild)."""
+    import glob as _glob
     import os as _os
+    import shutil as _shutil
 
     path = _emb_artifact_path(sf_dir, kind, params)
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         spark.sql(sql).write.mode("overwrite").parquet(path)
+        # a regenerated dataset gets a fresh state tag; sweep stale
+        # states of THIS source (the shared kind_srctag_ prefix) so
+        # orphaned code tables don't accumulate forever — other
+        # datasets' artifacts (different source tag) are untouched
+        prefix = path.rsplit("_", 1)[0]
+        for stale in _glob.glob(f"{prefix}_*"):
+            if _os.path.abspath(stale) != _os.path.abspath(path):
+                _shutil.rmtree(stale, ignore_errors=True)
     spark.read.parquet(path).createOrReplaceTempView(view)
     return view
 
@@ -5523,9 +5534,12 @@ agg AS (
     CAST(count(*) AS DECIMAL(38, 0)) AS n,
     CAST(SUM(CAST(xq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sx,
     CAST(SUM(CAST(yq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sy,
-    CAST(SUM(CAST(xq * yq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sxy,
-    CAST(SUM(CAST(xq * xq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sxx,
-    CAST(SUM(CAST(yq * yq AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS syy
+    CAST(SUM(CAST(xq AS DECIMAL(19, 0)) * CAST(yq AS DECIMAL(19, 0)))
+         AS DECIMAL(38, 0)) AS sxy,
+    CAST(SUM(CAST(xq AS DECIMAL(19, 0)) * CAST(xq AS DECIMAL(19, 0)))
+         AS DECIMAL(38, 0)) AS sxx,
+    CAST(SUM(CAST(yq AS DECIMAL(19, 0)) * CAST(yq AS DECIMAL(19, 0)))
+         AS DECIMAL(38, 0)) AS syy
   FROM matched GROUP BY type_a, type_b, lag_h
 )
 SELECT type_a, type_b, CAST(lag_h AS BIGINT) AS lag_h, CAST(n AS BIGINT) AS n,

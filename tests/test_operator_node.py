@@ -317,3 +317,42 @@ def test_operator_archive_failure_keeps_rows_single_ingest(spark, tmp_path):
     assert (tmp_path / "e" / "archived_failed_d.archfail.json").exists()
     eng.operator.process_once()  # second tick: nothing left to re-ingest
     assert eng.query("select count(*) as n from d.archfail").collect()[0].n == 2
+
+
+def test_operator_stuck_file_not_reingested(spark, tmp_path, monkeypatch):
+    """If archive AND err-move AND unlink all fail (watch dir gone
+    read-only), the file's rows are live — later ticks must skip it,
+    not re-union the same rows every tick."""
+    import edgelake_spark.ingest.operator as op_mod
+
+    eng = EdgeLakeEngine(spark, now=NOW)
+    (tmp_path / "w").mkdir()
+    (tmp_path / "blockfile").write_text("")  # archive parent is a FILE
+    eng.run(
+        f"run operator where watch_dir = {tmp_path}/w and err_dir = {tmp_path}/e "
+        f"and archive_dir = {tmp_path}/blockfile/arch"
+    )
+    _write_rows(tmp_path / "w" / "d.stucktab.json", [{"k": 1}, {"k": 2}])
+
+    real_move, real_unlink = op_mod.shutil.move, op_mod.os.unlink
+
+    def deny_move(src, dst):
+        if "stucktab" in str(src):
+            raise PermissionError("read-only")
+        return real_move(src, dst)
+
+    def deny_unlink(p):
+        if "stucktab" in str(p):
+            raise PermissionError("read-only")
+        return real_unlink(p)
+
+    monkeypatch.setattr(op_mod.shutil, "move", deny_move)
+    monkeypatch.setattr(op_mod.os, "unlink", deny_unlink)
+    results = eng.operator.process_once()
+    assert results["d.stucktab.json"].startswith("ok: 2")
+    assert (eng.operator.files_processed, eng.operator.files_errored) == (1, 0)
+    # the file is still in the watch dir, but the second tick skips it
+    assert (tmp_path / "w" / "d.stucktab.json").exists()
+    monkeypatch.undo()
+    eng.operator.process_once()
+    assert eng.query("select count(*) as n from d.stucktab").collect()[0].n == 2

@@ -108,3 +108,33 @@ def test_token_rank_oov_penalty(spark):
     assert rows[1]["sum_rank"] == 6
     assert rows[2]["sum_rank"] == 1 and rows[2]["mean_rank"] == 1.0
     assert rows[0]["mean_rank"] == 4 / 3
+
+
+def test_lag_corr_exact_at_high_magnitude(spark, tmp_path):
+    """Covariance products at micro-quantized means ~5e9 exceed int64;
+    the factors must widen to DECIMAL before multiplying or Spark's
+    ANSI mode throws ARITHMETIC_OVERFLOW (and a non-ANSI session would
+    silently wrap). Engines must still agree bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    from edgelake_spark.catalog import register_sf_tables
+    from edgelake_spark.queries import _lag_corr_sql
+
+    rows = []
+    for t in range(48):  # 48 hourly points, two series, values ~5000
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=t)
+        rows.append(("alpha", ts, 5000.0 + (t % 7) * 13.5))
+        rows.append(("beta", ts, 4900.0 + ((t * 3) % 11) * 9.25))
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    try:
+        spark.createDataFrame(pdf).createOrReplaceTempView("events")
+        got = spark.sql(_lag_corr_sql("spark")).toPandas()
+        duck = duckdb.connect()
+        duck.register("events", pdf)
+        want = duck.execute(_lag_corr_sql("duck")).df()
+        a = got[sorted(got.columns)].astype(str).reset_index(drop=True)
+        b = want[sorted(want.columns)].astype(str).reset_index(drop=True)
+        assert len(a) == 4 and a.equals(b)  # one pair x 4 lags, bit-equal
+    finally:
+        register_sf_tables(spark, "/root/testdata/sf0.001")

@@ -241,3 +241,30 @@ def test_dml_continues_after_restart(spark, tmp_path):
         "select count(*) as n from events"
     ).collect()[0].n
     assert eng2.query("select count(*) as n from events", version=1).collect()[0].n == orig
+
+
+def test_drop_dbms_forgets_blob_store(spark, tmp_path):
+    """drop dbms must clear the blob registry and its temp views along
+    with the rmtree'd commit logs — otherwise file retrieve scans a
+    deleted path and a re-store hits a stale duplicate-hash check."""
+    wd = str(tmp_path / "node")
+    a = tmp_path / "img.png"
+    a.write_bytes(b"png-bytes")
+
+    eng = EdgeLakeEngine(spark, work_dir=wd)
+    eng.run(f"file store where dbms = bx and table = photos and file = {a}")
+    assert [(c.dbms, c.table_name) for c in eng.run("get files count").collect()] == [
+        ("bx", "photos")
+    ]
+    eng.run("drop dbms bx")
+    # registry forgotten: no counts, retrieve reports cleanly, re-store OK
+    assert eng.run("get files count").collect() == []
+    with pytest.raises(Exception) as exc:
+        eng.run(
+            f"file retrieve where dbms = bx and table = photos "
+            f"and name = img.png and dest = {tmp_path}/out.bin"
+        )
+    assert "Py4J" not in type(exc.value).__name__  # clean, not a JVM scan crash
+    eng.run(f"file store where dbms = bx and table = photos and file = {a}")  # no dup error
+    counts = eng.run("get files count").collect()
+    assert [(c.dbms, c.table_name, c.n_files) for c in counts] == [("bx", "photos", 1)]
