@@ -109,6 +109,7 @@ _STAGED = (
     "events_lag_corr",
     "orders_cohort_retention",
     "emb_sq8_recon_error",
+    "events_holt_forecast",
 )
 
 

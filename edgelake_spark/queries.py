@@ -1185,6 +1185,69 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 _q("events_ewma", _sql(_EWMA_SPARK), _EWMA_DUCK)
 
+# Holt's linear (double-exponential) smoothing per user: the EWMA fold
+# generalized to a TWO-component struct state (level l, trend b) —
+#   l_t = α·x_t + (1−α)(l + b);  b_t = β(l_t − l) + (1−β)b
+# with α = 0.5, β = 0.25 (exact binary fractions: every multiply is an
+# exact halving/quartering, so the only rounding is in the adds, which
+# are identical IEEE ops on both engines). Two DuckDB gotchas found
+# while building this: bare 0.5/0.25 literals are DECIMALs there
+# (decimal-scale arithmetic silently truncates the trend — every
+# constant is CAST to DOUBLE), and list_reduce over a STRUCT
+# accumulator mutates the accumulator in place field-by-field (the
+# `b` expression already sees the new `l`), so the oracle uses a
+# recursive CTE with standard row semantics instead of a struct fold.
+# Scale shape: one (user_id) shuffle, fold is map-side.
+_HOLT_STEP = (
+    "'l', x * CAST(0.5 AS DOUBLE) + (acc.l + acc.b) * CAST(0.5 AS DOUBLE), "
+    "'b', ((x * CAST(0.5 AS DOUBLE) + (acc.l + acc.b) * CAST(0.5 AS DOUBLE)) - acc.l)"
+    " * CAST(0.25 AS DOUBLE) + acc.b * CAST(0.75 AS DOUBLE)"
+)
+
+_HOLT_SPARK = f"""
+SELECT user_id, n, hw.l AS level, hw.b AS trend,
+  hw.l + CAST(3 AS DOUBLE) * hw.b AS forecast_3
+FROM (
+  SELECT user_id, CAST(size(vals) AS BIGINT) AS n,
+    aggregate(slice(vals, 2, size(vals) - 1),
+              named_struct('l', element_at(vals, 1), 'b', CAST(0 AS DOUBLE)),
+              (acc, x) -> named_struct({_HOLT_STEP})) AS hw
+  FROM (
+    SELECT user_id,
+           transform(array_sort(collect_list(struct(event_id, value))),
+                     s -> CAST(s.value AS DOUBLE)) AS vals
+    FROM events GROUP BY user_id
+  )
+) ORDER BY user_id
+"""
+
+_HOLT_DUCK = """
+WITH RECURSIVE pts AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x,
+    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS idx
+  FROM events
+),
+hw AS (
+  SELECT user_id, idx, x AS l, CAST(0 AS DOUBLE) AS b FROM pts WHERE idx = 1
+  UNION ALL
+  SELECT p.user_id, p.idx,
+    p.x * CAST(0.5 AS DOUBLE) + (r.l + r.b) * CAST(0.5 AS DOUBLE) AS l,
+    ((p.x * CAST(0.5 AS DOUBLE) + (r.l + r.b) * CAST(0.5 AS DOUBLE)) - r.l)
+      * CAST(0.25 AS DOUBLE) + r.b * CAST(0.75 AS DOUBLE) AS b
+  FROM hw r JOIN pts p ON p.user_id = r.user_id AND p.idx = r.idx + 1
+),
+final AS (
+  SELECT user_id, idx, l, b,
+    row_number() OVER (PARTITION BY user_id ORDER BY idx DESC) AS rn
+  FROM hw
+)
+SELECT user_id, CAST(idx AS BIGINT) AS n, l AS level, b AS trend,
+  l + CAST(3 AS DOUBLE) * b AS forecast_3
+FROM final WHERE rn = 1 ORDER BY user_id
+"""
+
+_q("events_holt_forecast", _sql(_HOLT_SPARK), _HOLT_DUCK)
+
 
 def _run_dedup_keep(spark, sf_dir):
     """The user-facing dedup OUTPUT: one kept document per near-dup
