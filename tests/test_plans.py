@@ -424,3 +424,11 @@ def test_sq8_recon_joins_persisted_artifact(spark):
     # and emits ONE row via a final single-partition aggregate
     assert "sq8_codes_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_holt_forecast_single_user_shuffle(spark):
+    plan = plan_of(spark, "events_holt_forecast")
+    # ONE (user_id) hash exchange feeds the collect_list; the fold is
+    # a map-side higher-order function, never a per-row join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
