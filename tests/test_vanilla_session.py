@@ -73,6 +73,10 @@ for name in [
     # carry state through a replayed stream — same bare-session risk
     "stream_lsh_dedup",
     "stream_anomaly",
+    # round-6 staged gates with timestamp arithmetic (epoch hour
+    # buckets, year extraction) — the classic foreign-tz coupling
+    "events_lag_corr",
+    "orders_cohort_retention",
 ]:
     df = queries[name](spark, SF)
     cols = df.columns
