@@ -134,6 +134,15 @@ BENCH_QUERIES = [
     "lineitem_basket",
     "orders_pareto",
     "events_dau_wau",
+    # round 5, staged wave: LM surprisal quality filter, robust MAD
+    # outliers, lagged cross-correlation, cohort retention, SQ8
+    # reconstruction error, Holt level+trend forecast
+    "doc_lm_surprisal",
+    "events_mad_outliers",
+    "events_lag_corr",
+    "orders_cohort_retention",
+    "emb_sq8_recon_error",
+    "events_holt_forecast",
 ]
 
 
