@@ -110,6 +110,7 @@ _STAGED = (
     "orders_cohort_retention",
     "emb_sq8_recon_error",
     "events_holt_forecast",
+    "doc_vocab_shift",
 )
 
 

@@ -4263,6 +4263,65 @@ _q(
 )
 
 
+def _vocab_shift_sql(engine: str) -> str:
+    """Vocabulary drift between document sources: add-one-smoothed KL
+    divergence of unigram distributions for every ordered source pair,
+    in whole-bit quantization — the corpus-shift detector a training
+    pipeline runs between snapshots or domains (emb_drift is its
+    embedding-space sibling). Per-term log-ratio uses the integer
+    floor(log2) trick (exact cross-engine; libm ln is not), clamped at
+    1 before the log so a term much more common in the other source
+    contributes the −10-bit quantization floor instead of log2(0).
+    Terms absent from the A side weigh n_a = 0 and drop out, so only
+    A's count table drives the sum. The whole-bit floor carries a
+    systematic ≈ −0.5-bit-per-term bias (uniform fractional part), so
+    statistically-identical sources score ≈ −0.4, not 0 — the detector
+    reads DRIFT as a RISE against that stable baseline, which is the
+    operational use; rounding the log instead would put integer
+    boundaries within an ulp of reachable ratios and break the
+    cross-engine exactness argument.
+
+    Scale shape: one (source, term) count shuffle; totals and vocab
+    are scalar-sized broadcasts; the pair enumeration multiplies by
+    sources-count, not data. The 1024·(n_a+1)·(N_b+V) product fits
+    int64 through ~1e7-token sources; beyond that split the ratio
+    into difference-of-logs (±1-bit quantization tolerance)."""
+    if engine == "spark":
+        tok = f"SELECT source, explode({tx.spark_tokens('text')}) AS term FROM documents_rep"
+        idiv = "DIV"
+    else:
+        tok = f"SELECT source, unnest({tx.duck_tokens('text')}) AS term FROM documents"
+        idiv = "//"
+    return f"""
+WITH tok AS ({tok}),
+cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY source, term),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM tok GROUP BY source),
+v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab FROM tok)
+SELECT ca.source AS src_a, tb.source AS src_b,
+  CAST(count(*) AS BIGINT) AS n_terms,
+  CAST(SUM(CAST(ca.n * (CAST(FLOOR(LOG2(GREATEST(
+        (1024 * (ca.n + 1) * (tb.n_total + v.vocab))
+          {idiv} ((coalesce(cb.n, CAST(0 AS BIGINT)) + 1) * (ta.n_total + v.vocab)),
+        CAST(1 AS BIGINT)))) AS BIGINT) - 10) AS DECIMAL(38, 0)))
+       AS DOUBLE) / CAST(max(ta.n_total) AS DOUBLE) AS kl_bits
+FROM cnt ca
+JOIN tot ta ON ta.source = ca.source
+CROSS JOIN tot tb
+LEFT JOIN cnt cb ON cb.source = tb.source AND cb.term = ca.term
+CROSS JOIN v
+WHERE tb.source <> ca.source
+GROUP BY ca.source, tb.source
+ORDER BY src_a, src_b
+"""
+
+
+_q(
+    "doc_vocab_shift",
+    _sql(_vocab_shift_sql("spark"), rep=("documents",)),
+    _vocab_shift_sql("duck"),
+)
+
+
 # ------------------------------------------ linear-interpolation gapfill
 
 
