@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "orders_cohort_retention",
     "emb_sq8_recon_error",
     "events_holt_forecast",
+    "doc_vocab_shift",
 ]
 
 
