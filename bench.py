@@ -134,9 +134,10 @@ BENCH_QUERIES = [
     "lineitem_basket",
     "orders_pareto",
     "events_dau_wau",
-    # round 5, staged wave: LM surprisal quality filter, robust MAD
-    # outliers, lagged cross-correlation, cohort retention, SQ8
-    # reconstruction error, Holt level+trend forecast
+    # round-5 staged wave (rotate into the round-6 driver window):
+    # LM surprisal quality filter, robust MAD outliers, lagged
+    # cross-correlation, cohort retention, SQ8 reconstruction error,
+    # Holt level+trend forecast, vocabulary-shift KL
     "doc_lm_surprisal",
     "events_mad_outliers",
     "events_lag_corr",
