@@ -111,6 +111,8 @@ _STAGED = (
     "emb_sq8_recon_error",
     "events_holt_forecast",
     "doc_vocab_shift",
+    "doc_split_leakage",
+    "doc_cluster_sizes",
 )
 
 

@@ -4322,6 +4322,93 @@ _q(
 )
 
 
+_SPLIT_LEAKAGE_BODY = """
+WITH splits AS (
+  SELECT doc_id,
+    CASE WHEN u < 0.8 THEN 'train'
+         WHEN u < 0.9 THEN 'valid'
+         ELSE 'test' END AS split
+  FROM (SELECT doc_id, {u} AS u FROM documents) h
+),
+labeled AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+         GREATEST(sa.split, sb.split) AS split_b
+  FROM {pairs} p
+  JOIN splits sa ON sa.doc_id = p.id1
+  JOIN splits sb ON sb.doc_id = p.id2
+)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS INT) AS is_leak
+FROM labeled GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
+
+
+def _run_split_leakage(spark, sf_dir):
+    """Train/test contamination via NEAR-DUPLICATES: the hash-split
+    assignment dedups exact keys by construction, but a near-dup pair
+    straddling train and test leaks eval data into training — the
+    check RedPajama/Dolma-style pipelines run after splitting. Counts
+    every LSH pair by the (unordered) split pair of its endpoints;
+    rows with is_leak = 1 are the contamination budget.
+
+    Scale shape: the split label is a map-side hash expression joined
+    onto the PERSISTED pair table (pairs ≪ corpus, the LSH invariant)
+    — two broadcast-sized joins and a 6-row aggregate; the corpus
+    itself never shuffles."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    _pairs_view(spark, sf_dir)
+    return spark.sql(
+        _SPLIT_LEAKAGE_BODY.format(u=_U_EXPR_SPARK, pairs="__mh_pairs")
+    )
+
+
+_q(
+    "doc_split_leakage",
+    _run_split_leakage,
+    f"WITH pairs AS ({ORACLE_SQL['doc_minhash_pairs']})"
+    + _SPLIT_LEAKAGE_BODY.format(u=_U_EXPR_DUCK, pairs="pairs").replace(
+        "\nWITH splits AS", ", splits AS", 1
+    ),
+)
+
+
+_CLUSTER_SIZES_BODY = """
+WITH sizes AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS sz
+  FROM {clusters} GROUP BY component_id
+)
+SELECT CAST(FLOOR(LOG2(sz)) AS BIGINT) AS log2_size,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(sum(sz) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY CAST(FLOOR(LOG2(sz)) AS BIGINT)
+ORDER BY log2_size
+"""
+
+
+def _run_cluster_sizes(spark, sf_dir):
+    """Duplication profile of the corpus: power-of-two histogram of
+    near-dup cluster sizes (how MUCH duplication, not just which docs)
+    — the diagnostic a pipeline reads before choosing a keep policy.
+    floor(log2(integer)) buckets are engine-exact as everywhere else.
+    Scale shape: runs on the CC output (clusters ≪ corpus); one
+    component_id count and a bucket-count aggregate."""
+    _run_dedup_clusters(spark, sf_dir).createOrReplaceTempView("__cc_map")
+    return spark.sql(_CLUSTER_SIZES_BODY.format(clusters="__cc_map"))
+
+
+_q(
+    "doc_cluster_sizes",
+    _run_cluster_sizes,
+    f"WITH ccmap AS ({_DEDUP_CLUSTERS_ORACLE})"
+    + _CLUSTER_SIZES_BODY.format(clusters="ccmap").replace(
+        "\nWITH sizes AS", ", sizes AS", 1
+    ),
+)
+
+
 # ------------------------------------------ linear-interpolation gapfill
 
 
