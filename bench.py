@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "emb_sq8_recon_error",
     "events_holt_forecast",
     "doc_vocab_shift",
+    "doc_split_leakage",
+    "doc_cluster_sizes",
 ]
 
 

@@ -432,3 +432,11 @@ def test_holt_forecast_single_user_shuffle(spark):
     # a map-side higher-order function, never a per-row join
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_runs_on_pair_artifact(spark):
+    plan = plan_of(spark, "doc_split_leakage")
+    # the split labels join onto the PERSISTED pair table scan — the
+    # corpus text is never re-shuffled for this check
+    assert "mh_pairs_" in plan
+    assert "CartesianProduct" not in plan
