@@ -4388,14 +4388,30 @@ ORDER BY log2_size
 """
 
 
+def _cc_map_view(spark, sf_dir) -> str:
+    """Persist the connected-components cluster map per dataset (same
+    offline-artifact lifecycle as the pair table it derives from):
+    downstream diagnostics read the map from parquet instead of
+    re-running CC. Keyed beside the pair artifact — same source
+    identity + pair-SQL version stamp, plus a cc marker."""
+    import os as _os
+
+    path = _pairs_table_path(sf_dir) + "_cc"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        _run_dedup_clusters(spark, sf_dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("__cc_map")
+    return "__cc_map"
+
+
 def _run_cluster_sizes(spark, sf_dir):
     """Duplication profile of the corpus: power-of-two histogram of
     near-dup cluster sizes (how MUCH duplication, not just which docs)
     — the diagnostic a pipeline reads before choosing a keep policy.
     floor(log2(integer)) buckets are engine-exact as everywhere else.
-    Scale shape: runs on the CC output (clusters ≪ corpus); one
-    component_id count and a bucket-count aggregate."""
-    _run_dedup_clusters(spark, sf_dir).createOrReplaceTempView("__cc_map")
+    Scale shape: reads the persisted CC artifact (clusters ≪ corpus);
+    one component_id count and a bucket-count aggregate."""
+    register_sf_tables(spark, sf_dir)
+    _cc_map_view(spark, sf_dir)
     return spark.sql(_CLUSTER_SIZES_BODY.format(clusters="__cc_map"))
 
 
