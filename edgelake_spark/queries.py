@@ -1895,16 +1895,23 @@ _U_EXPR_DUCK = (
 )
 
 
+#: the one train/valid/test boundary definition — assignment
+#: (doc_split_assign) and contamination (doc_split_leakage) must
+#: measure the SAME split or the leakage numbers are about nothing
+_SPLIT_CASE = (
+    "CASE WHEN u < 0.8 THEN 'train' "
+    "WHEN u < 0.9 THEN 'valid' "
+    "ELSE 'test' END"
+)
+
+
 def _split_assign_sql(u_expr: str) -> str:
     return f"""
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
        min(u) AS min_u, max(u) AS max_u,
        CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM (
-  SELECT doc_id,
-         CASE WHEN u < 0.8 THEN 'train'
-              WHEN u < 0.9 THEN 'valid'
-              ELSE 'test' END AS split, u
+  SELECT doc_id, {_SPLIT_CASE} AS split, u
   FROM (SELECT doc_id, {u_expr} AS u FROM documents) h
 ) s
 GROUP BY split
@@ -4324,10 +4331,7 @@ _q(
 
 _SPLIT_LEAKAGE_BODY = """
 WITH splits AS (
-  SELECT doc_id,
-    CASE WHEN u < 0.8 THEN 'train'
-         WHEN u < 0.9 THEN 'valid'
-         ELSE 'test' END AS split
+  SELECT doc_id, {split_case} AS split
   FROM (SELECT doc_id, {u} AS u FROM documents) h
 ),
 labeled AS (
@@ -4357,10 +4361,11 @@ def _run_split_leakage(spark, sf_dir):
     — two broadcast-sized joins and a 6-row aggregate; the corpus
     itself never shuffles."""
     register_sf_tables(spark, sf_dir)
-    _rep_view(spark, "documents")
     _pairs_view(spark, sf_dir)
     return spark.sql(
-        _SPLIT_LEAKAGE_BODY.format(u=_U_EXPR_SPARK, pairs="__mh_pairs")
+        _SPLIT_LEAKAGE_BODY.format(
+            u=_U_EXPR_SPARK, pairs="__mh_pairs", split_case=_SPLIT_CASE
+        )
     )
 
 
@@ -4368,9 +4373,9 @@ _q(
     "doc_split_leakage",
     _run_split_leakage,
     f"WITH pairs AS ({ORACLE_SQL['doc_minhash_pairs']})"
-    + _SPLIT_LEAKAGE_BODY.format(u=_U_EXPR_DUCK, pairs="pairs").replace(
-        "\nWITH splits AS", ", splits AS", 1
-    ),
+    + _SPLIT_LEAKAGE_BODY.format(
+        u=_U_EXPR_DUCK, pairs="pairs", split_case=_SPLIT_CASE
+    ).replace("\nWITH splits AS", ", splits AS", 1),
 )
 
 
@@ -4392,15 +4397,20 @@ def _cc_map_view(spark, sf_dir) -> str:
     """Persist the connected-components cluster map per dataset (same
     offline-artifact lifecycle as the pair table it derives from):
     downstream diagnostics read the map from parquet instead of
-    re-running CC. Keyed beside the pair artifact — same source
-    identity + pair-SQL version stamp, plus a cc marker."""
-    import os as _os
+    re-running CC. The version stamp is the CC oracle SQL — it embeds
+    the pair SQL, so a change to EITHER the pair semantics or the
+    clustering semantics invalidates the cache — and the cold build
+    feeds CC from the persisted pair artifact rather than re-running
+    the whole LSH pipeline."""
 
-    path = _pairs_table_path(sf_dir) + "_cc"
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        _run_dedup_clusters(spark, sf_dir).write.mode("overwrite").parquet(path)
-    spark.read.parquet(path).createOrReplaceTempView("__cc_map")
-    return "__cc_map"
+    def build():
+        _pairs_view(spark, sf_dir)
+        pairs = spark.table("__mh_pairs").select("id1", "id2").localCheckpoint()
+        return dd.connected_components(pairs)
+
+    return _doc_artifact_view(
+        spark, sf_dir, "mh_cc", _DEDUP_CLUSTERS_ORACLE, build, "__cc_map"
+    )
 
 
 def _run_cluster_sizes(spark, sf_dir):
@@ -5983,38 +5993,63 @@ _q(
 # ---------------------------------------- persisted near-dup pair table
 
 
-def _pairs_table_path(sf_dir: str) -> str:
-    """On-disk location of the MinHash near-dup PAIR table — the
-    offline dedup artifact downstream analytics (PageRank centrality,
-    estimator calibration) reuse, exactly like the IVF/PQ index
-    tables. Keyed by source identity + the pair-pipeline SQL text, so
-    a regenerated dataset OR any change to the pair semantics
-    invalidates the cache (the SQL text is the version stamp)."""
+def _doc_artifact_path(sf_dir: str, kind: str, version_sql: str) -> str:
+    """On-disk location of a documents-derived offline artifact (pair
+    table, CC cluster map). Same split-tag scheme as the quantization
+    artifacts: a SOURCE tag (path + kind — stable across regenerations)
+    and a STATE tag (mtime + size + the producing SQL text, which is
+    the version stamp — a regenerated dataset OR any change to the
+    semantics invalidates the cache), so stale states of the same
+    source can be swept at build time."""
     import hashlib
     import os as _os
 
     src = _os.path.join(_os.path.abspath(sf_dir), "documents.parquet")
     st = _os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:"
-        f"{ORACLE_SQL['doc_minhash_pairs']}".encode()
-    ).hexdigest()[:12]
+    src_tag = hashlib.md5(f"{src}:{kind}".encode()).hexdigest()[:8]
+    state_tag = hashlib.md5(
+        f"{st.st_mtime_ns}:{st.st_size}:{version_sql}".encode()
+    ).hexdigest()[:8]
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    return _os.path.join(repo, "spark-warehouse", f"mh_pairs_{tag}")
+    return _os.path.join(repo, "spark-warehouse", f"{kind}_{src_tag}_{state_tag}")
+
+
+def _doc_artifact_view(spark, sf_dir: str, kind: str, version_sql: str,
+                       build, view: str) -> str:
+    """Build (or reuse) a persisted documents-derived artifact and
+    expose it as a temp view; sweeps stale sibling states of the same
+    source after a fresh build (the _emb_codes_view lifecycle)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    path = _doc_artifact_path(sf_dir, kind, version_sql)
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+        prefix = path.rsplit("_", 1)[0]
+        for stale in _glob.glob(f"{prefix}_*"):
+            if _os.path.abspath(stale) != _os.path.abspath(path):
+                _shutil.rmtree(stale, ignore_errors=True)
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    return view
+
+
+def _pairs_table_path(sf_dir: str) -> str:
+    """MinHash near-dup PAIR table location — the offline dedup
+    artifact downstream analytics (PageRank centrality, leakage,
+    estimator calibration) reuse, exactly like the IVF/PQ index
+    tables."""
+    return _doc_artifact_path(sf_dir, "mh_pairs", ORACLE_SQL["doc_minhash_pairs"])
 
 
 def _pairs_view(spark, sf_dir) -> str:
     """Expose the persisted pair table as `__mh_pairs`, building it on
     first use per dataset."""
-    import os as _os
-
-    path = _pairs_table_path(sf_dir)
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        SPARK_QUERIES["doc_minhash_pairs"](spark, sf_dir).write.mode(
-            "overwrite"
-        ).parquet(path)
-    spark.read.parquet(path).createOrReplaceTempView("__mh_pairs")
-    return "__mh_pairs"
+    return _doc_artifact_view(
+        spark, sf_dir, "mh_pairs", ORACLE_SQL["doc_minhash_pairs"],
+        lambda: SPARK_QUERIES["doc_minhash_pairs"](spark, sf_dir),
+        "__mh_pairs",
+    )
 
 
 # ------------------------------------------------- kNN classification
