@@ -151,12 +151,19 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    t_main = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     # median-of-N per query: single-shot walls at this data size are
     # dominated by janino codegen compiles + GC storms (measured ±3×
     # run-to-run in round 1); the median of 3 measures the plan
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
+    # wall-clock budget for the OPTIONAL tail sections (the sf1 spot
+    # checks): once the timed sf0.1 section is done, tail work runs
+    # only while elapsed < budget, so a harness timeout can never
+    # swallow the result line — the 112-query suite measured right at
+    # a 600 s cap and lost its JSON twice before this guard
+    budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "500"))
 
     from edgelake_spark import get_spark
     from edgelake_spark.queries import SPARK_QUERIES
@@ -280,9 +287,20 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and not only:
         try:
             sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
+            if time.perf_counter() - t_main > budget_s:
+                raise TimeoutError(
+                    f"wall budget {budget_s:.0f}s reached before sf1 section"
+                )
             _ensure_sf1(spark, sf_dir, sf1_dir)
             sf1_timings: dict[str, float] = {}
             for name in SF1_FAMILIES:
+                if time.perf_counter() - t_main > budget_s:
+                    print(
+                        f"# sf1 section truncated at {name}: wall budget "
+                        f"{budget_s:.0f}s reached (SPARK_GRAFT_BUDGET_S)",
+                        file=sys.stderr,
+                    )
+                    break
                 walls = []
                 for _ in range(2):
                     t0 = time.perf_counter()
