@@ -99,3 +99,40 @@ def test_distributed_branch_on_real_lsh_pairs(spark):
         for r in connected_components(pairs, driver_threshold=0).collect()
     ]
     assert drv == dist and len(drv) > 0
+
+
+def test_doc_artifact_sweep_replaces_stale_states(spark, tmp_path):
+    """A version (or dataset-state) change rebuilds the artifact and
+    sweeps the stale sibling of the same source; other kinds and other
+    sources are untouched."""
+    import os
+    import shutil
+
+    from edgelake_spark.queries import _doc_artifact_path, _doc_artifact_view
+
+    src = tmp_path / "ds"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                src / "documents.parquet")
+
+    build = lambda: spark.range(3).selectExpr("id AS doc_id")
+    p1 = _doc_artifact_path(str(src), "t_art", "v1")
+    _doc_artifact_view(spark, str(src), "t_art", "v1", build, "__t_art")
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+
+    # semantics change -> new state tag; old state swept on build
+    p2 = _doc_artifact_path(str(src), "t_art", "v2")
+    assert p2 != p1
+    _doc_artifact_view(spark, str(src), "t_art", "v2", build, "__t_art")
+    assert os.path.exists(os.path.join(p2, "_SUCCESS"))
+    assert not os.path.exists(p1)
+
+    # a different KIND of the same source survives the sweep
+    p3 = _doc_artifact_path(str(src), "t_other", "v1")
+    _doc_artifact_view(spark, str(src), "t_other", "v1", build, "__t_other")
+    assert os.path.exists(os.path.join(p3, "_SUCCESS"))
+    _doc_artifact_view(spark, str(src), "t_art", "v3", build, "__t_art")
+    assert os.path.exists(os.path.join(p3, "_SUCCESS"))  # untouched
+    assert not os.path.exists(p2)
+    for p in (_doc_artifact_path(str(src), "t_art", "v3"), p3):
+        shutil.rmtree(p, ignore_errors=True)  # keep spark-warehouse clean
