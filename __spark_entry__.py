@@ -113,6 +113,7 @@ _STAGED = (
     "doc_vocab_shift",
     "doc_split_leakage",
     "doc_cluster_sizes",
+    "doc_len_histogram",
 )
 
 

@@ -4379,6 +4379,45 @@ _q(
 )
 
 
+def _len_hist_sql(engine: str) -> str:
+    """Sequence-length distribution: power-of-two histogram of per-doc
+    token counts with cumulative doc fraction — the diagnostic read
+    before choosing a packing length (doc_pack_sequences' parameter):
+    the smallest bucket whose cumulative fraction clears the target
+    coverage is the candidate max_len. Integer counts + one division
+    per row; floor(log2(integer)) buckets are engine-exact.
+
+    Scale shape: tokenize is map-side, the histogram groups on ~20
+    buckets, and the cumulative sum is a window over those 20 rows —
+    nothing scales past the scan."""
+    toks = tx.spark_tokens("text") if engine == "spark" else tx.duck_tokens("text")
+    docs = "documents_rep" if engine == "spark" else "documents"
+    size = "size" if engine == "spark" else "len"
+    return f"""
+WITH lens AS (
+  SELECT CAST({size}({toks}) AS BIGINT) AS n_tokens FROM {docs}
+),
+hist AS (
+  SELECT CAST(FLOOR(LOG2(GREATEST(n_tokens, CAST(1 AS BIGINT)))) AS BIGINT)
+           AS log2_len,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+  FROM lens GROUP BY 1
+)
+SELECT log2_len, n_docs, n_tokens_total,
+  CAST(SUM(n_docs) OVER (ORDER BY log2_len) AS DOUBLE)
+    / CAST(SUM(n_docs) OVER () AS DOUBLE) AS cum_doc_frac
+FROM hist ORDER BY log2_len
+"""
+
+
+_q(
+    "doc_len_histogram",
+    _sql(_len_hist_sql("spark"), rep=("documents",)),
+    _len_hist_sql("duck"),
+)
+
+
 _CLUSTER_SIZES_BODY = """
 WITH sizes AS (
   SELECT component_id, CAST(count(*) AS BIGINT) AS sz
