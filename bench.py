@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "doc_vocab_shift",
     "doc_split_leakage",
     "doc_cluster_sizes",
+    "doc_len_histogram",
 ]
 
 
