@@ -2898,46 +2898,65 @@ ORDER BY query_id, adc_dist ASC, neighbor_id
 """
 
 
-def _emb_artifact_path(sf_dir: str, kind: str, params: str) -> str:
-    """Deterministic on-disk location for a dataset's quantization
-    artifact (PQ/SQ8/BQ code table). The name splits into a SOURCE tag
-    (path + params — stable across regenerations, one per dataset) and
-    a STATE tag (mtime + size — a regenerated dataset gets a fresh
-    one), so stale states of the SAME source can be swept without
-    touching other datasets' artifacts (sf0.001/sf0.1 coexist)."""
+def _artifact_path(source_file: str, kind: str, version: str) -> str:
+    """Deterministic on-disk location for a dataset-derived offline
+    artifact (PQ/SQ8/BQ code tables, MinHash pairs, CC cluster maps).
+    The name splits into a SOURCE tag (source path + kind — stable
+    across regenerations, one per dataset) and a STATE tag (mtime +
+    size + a version string, typically the producing SQL text — so a
+    regenerated dataset OR a semantics change invalidates the cache),
+    letting stale states of the SAME source be swept without touching
+    other datasets' artifacts (sf0.001/sf0.1 coexist)."""
     import hashlib
     import os as _os
 
-    src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+    src = _os.path.abspath(source_file)
     st = _os.stat(src)
-    src_tag = hashlib.md5(f"{src}:{params}".encode()).hexdigest()[:8]
-    state_tag = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:8]
+    src_tag = hashlib.md5(f"{src}:{kind}".encode()).hexdigest()[:8]
+    state_tag = hashlib.md5(
+        f"{st.st_mtime_ns}:{st.st_size}:{version}".encode()
+    ).hexdigest()[:8]
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     return _os.path.join(repo, "spark-warehouse", f"{kind}_{src_tag}_{state_tag}")
 
 
-def _emb_codes_view(spark, sf_dir: str, kind: str, params: str, sql: str, view: str) -> str:
-    """Build (or reuse) a persisted quantization code table: the encode
-    job writes straight from executors to parquet ONCE per dataset and
-    every query reads the artifact — the offline/online split all ANN
-    families share (no driver materialization, no per-query rebuild)."""
+def _artifact_view(spark, source_file: str, kind: str, version: str,
+                   build, view: str) -> str:
+    """Build (or reuse) a persisted dataset-derived artifact: `build()`
+    returns the DataFrame, written executor-side to parquet ONCE per
+    (dataset, version); every query reads the artifact — the
+    offline/online split all index families share (no driver
+    materialization, no per-query rebuild). A fresh build sweeps stale
+    sibling states of the same source, plus any directory of this kind
+    left by the pre-split single-tag naming (kind_<12hex>[_cc]), so
+    orphans never accumulate."""
     import glob as _glob
     import os as _os
+    import re as _re
     import shutil as _shutil
 
-    path = _emb_artifact_path(sf_dir, kind, params)
+    path = _artifact_path(source_file, kind, version)
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        spark.sql(sql).write.mode("overwrite").parquet(path)
-        # a regenerated dataset gets a fresh state tag; sweep stale
-        # states of THIS source (the shared kind_srctag_ prefix) so
-        # orphaned code tables don't accumulate forever — other
-        # datasets' artifacts (different source tag) are untouched
+        build().write.mode("overwrite").parquet(path)
         prefix = path.rsplit("_", 1)[0]
         for stale in _glob.glob(f"{prefix}_*"):
             if _os.path.abspath(stale) != _os.path.abspath(path):
                 _shutil.rmtree(stale, ignore_errors=True)
+        legacy = _re.compile(rf"^{_re.escape(kind)}_[0-9a-f]{{12}}(_cc)?$")
+        for old in _glob.glob(_os.path.join(_os.path.dirname(path), f"{kind}_*")):
+            if legacy.match(_os.path.basename(old)):
+                _shutil.rmtree(old, ignore_errors=True)
     spark.read.parquet(path).createOrReplaceTempView(view)
     return view
+
+
+def _emb_codes_view(spark, sf_dir: str, kind: str, params: str, sql: str, view: str) -> str:
+    """Quantization code table (PQ/SQ8/BQ) on the shared artifact
+    lifecycle; `params` version-stamps the encoding configuration."""
+    import os as _os
+
+    src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+    return _artifact_view(spark, src, kind, params, lambda: spark.sql(sql), view)
 
 
 def _run_pq_adc(spark, sf_dir):
@@ -6033,57 +6052,29 @@ _q(
 
 
 def _doc_artifact_path(sf_dir: str, kind: str, version_sql: str) -> str:
-    """On-disk location of a documents-derived offline artifact (pair
-    table, CC cluster map). Same split-tag scheme as the quantization
-    artifacts: a SOURCE tag (path + kind — stable across regenerations)
-    and a STATE tag (mtime + size + the producing SQL text, which is
-    the version stamp — a regenerated dataset OR any change to the
-    semantics invalidates the cache), so stale states of the same
-    source can be swept at build time."""
-    import hashlib
+    """Documents-derived artifact location (pair table, CC cluster
+    map) on the shared _artifact_path scheme."""
     import os as _os
 
     src = _os.path.join(_os.path.abspath(sf_dir), "documents.parquet")
-    st = _os.stat(src)
-    src_tag = hashlib.md5(f"{src}:{kind}".encode()).hexdigest()[:8]
-    state_tag = hashlib.md5(
-        f"{st.st_mtime_ns}:{st.st_size}:{version_sql}".encode()
-    ).hexdigest()[:8]
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    return _os.path.join(repo, "spark-warehouse", f"{kind}_{src_tag}_{state_tag}")
+    return _artifact_path(src, kind, version_sql)
 
 
 def _doc_artifact_view(spark, sf_dir: str, kind: str, version_sql: str,
                        build, view: str) -> str:
-    """Build (or reuse) a persisted documents-derived artifact and
-    expose it as a temp view; sweeps stale sibling states of the same
-    source after a fresh build (the _emb_codes_view lifecycle)."""
-    import glob as _glob
+    """Documents-derived artifact on the shared _artifact_view
+    lifecycle (build once per dataset+version, sweep stale states)."""
     import os as _os
-    import shutil as _shutil
 
-    path = _doc_artifact_path(sf_dir, kind, version_sql)
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
-        prefix = path.rsplit("_", 1)[0]
-        for stale in _glob.glob(f"{prefix}_*"):
-            if _os.path.abspath(stale) != _os.path.abspath(path):
-                _shutil.rmtree(stale, ignore_errors=True)
-    spark.read.parquet(path).createOrReplaceTempView(view)
-    return view
-
-
-def _pairs_table_path(sf_dir: str) -> str:
-    """MinHash near-dup PAIR table location — the offline dedup
-    artifact downstream analytics (PageRank centrality, leakage,
-    estimator calibration) reuse, exactly like the IVF/PQ index
-    tables."""
-    return _doc_artifact_path(sf_dir, "mh_pairs", ORACLE_SQL["doc_minhash_pairs"])
+    src = _os.path.join(_os.path.abspath(sf_dir), "documents.parquet")
+    return _artifact_view(spark, src, kind, version_sql, build, view)
 
 
 def _pairs_view(spark, sf_dir) -> str:
     """Expose the persisted pair table as `__mh_pairs`, building it on
-    first use per dataset."""
+    first use per dataset — the offline dedup artifact downstream
+    analytics (PageRank centrality, leakage, estimator calibration)
+    reuse, exactly like the IVF/PQ index tables."""
     return _doc_artifact_view(
         spark, sf_dir, "mh_pairs", ORACLE_SQL["doc_minhash_pairs"],
         lambda: SPARK_QUERIES["doc_minhash_pairs"](spark, sf_dir),
