@@ -145,10 +145,14 @@ def _verified_from_disk() -> frozenset:
 
 
 def _window_order(names) -> list[str]:
+    """Never-driver-verified gates fill the 50-slot window first; the
+    round-5 _STAGED backlog outranks gates added this round (rank 0 vs
+    2) so the backlog converges to zero before new gates compete for
+    slots; _DEFER is historical (all driver-green by r5)."""
     verified = _verified_from_disk()
     rank = {n: 1 for n in _DEFER}
-    rank.update({n: 2 for n in _STAGED})
-    return sorted(names, key=lambda n: 3 if n in verified else rank.get(n, 0))
+    rank.update({n: 0 for n in _STAGED})
+    return sorted(names, key=lambda n: 3 if n in verified else rank.get(n, 2))
 
 
 def entry(spark: SparkSession) -> DataFrame:

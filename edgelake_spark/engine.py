@@ -1687,7 +1687,15 @@ class EdgeLakeEngine:
         view = self.blob_views.get((dbms, table))
         if view is None:
             raise ValueError(f"no blobs stored for {dbms}.{table}")
-        if opts.get("version") and self._durable:
+        if opts.get("version"):
+            if not self._durable:
+                # returning the latest blobs here would silently answer a
+                # time-travel request with wrong data
+                raise ValueError(
+                    "file retrieve with 'version =' requires a durable "
+                    "node (log-backed blob store); this engine has no "
+                    "work_dir, so no snapshot history exists"
+                )
             # time-travel retrieve from the log-backed blob store: the
             # same commit-log versioning the DML layer exposes
             df = self._tx_table("blobs", f"{dbms}.{table}").read(
@@ -2156,9 +2164,18 @@ class EdgeLakeEngine:
 
     def _work_dir(self) -> str:
         if self._work_dir_path is None:
+            import shutil
             import tempfile
+            import weakref
 
             self._work_dir_path = tempfile.mkdtemp(prefix="edgelake_tx_")
+            # non-durable engines own their throwaway dir: reclaim it when
+            # the engine is collected (weakref.finalize also runs at
+            # interpreter exit), so repeated gate/bench engines don't leak
+            # table-sized snapshots into /tmp
+            weakref.finalize(
+                self, shutil.rmtree, self._work_dir_path, ignore_errors=True
+            )
         return self._work_dir_path
 
     def _tx_table(self, kind: str, key: str):

@@ -94,9 +94,13 @@ class BlobArchiver:
         view = self.engine.blob_views.get((f"blobs_{dbms}", table))
         if view is None:
             return None
+        from pyspark.sql import functions as F
+
+        # Column equality, not SQL-string interpolation: a quote in the
+        # blob file name must stay a literal, not an injection/parse error
         hit = (
             self.engine.spark.table(view)
-            .filter(f"source_name = '{source_name}'")
+            .filter(F.col("source_name") == source_name)
             .select("blob_hash")
             .take(1)
         )

@@ -97,6 +97,12 @@ class TxTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    def partition_by(self) -> str | None:
+        """The latest snapshot's partition column (None = unpartitioned
+        or no commits)."""
+        base = self.latest_version()
+        return self.manifest(base).get("partition_by") if base else None
+
     def history(self) -> list[dict]:
         return [self.manifest(v) for v in self.versions()]
 
@@ -120,8 +126,12 @@ class TxTable:
                     files.append(rel)
         return sorted(files), df.schema.json()
 
+    #: _publish partition_by sentinel: "inherit the previous manifest's"
+    _INHERIT = object()
+
     def _publish(self, build, op: str, schema_json: str | None, meta: dict | None,
-                 expected_base: int | None = None) -> int:
+                 expected_base: int | None = None,
+                 partition_by=_INHERIT) -> int:
         """Optimistic-concurrency commit loop. ``build(prev_manifest)``
         returns the complete relative file list for the new version.
 
@@ -143,12 +153,21 @@ class TxTable:
                     f"head is v{base} at {self.path}; re-run the operation"
                 )
             prev = self.manifest(base) if base else None
+            # the manifest records the table's partition column so every
+            # restage (compact / DML rewrite) preserves the _par_bucket=
+            # path embedding that tx_partitions() parses from file paths
+            pb = (
+                (prev or {}).get("partition_by")
+                if partition_by is self._INHERIT
+                else partition_by
+            )
             manifest = {
                 "version": base + 1,
                 "op": op,
                 "timestamp": datetime.now(timezone.utc).isoformat(),
                 "files": build(prev),
                 "schema": schema_json or (prev or {}).get("schema"),
+                "partition_by": pb,
                 "meta": meta or {},
             }
             tmp = os.path.join(self.log_dir, f"_tmp.{uuid.uuid4().hex}.json")
@@ -176,14 +195,19 @@ class TxTable:
         """Replace the table contents with ``df`` (copy-on-write: new
         files, old snapshots still readable)."""
         files, schema = self._stage(df, partition_by)
-        return self._publish(lambda prev: files, op, schema, meta)
+        return self._publish(lambda prev: files, op, schema, meta,
+                             partition_by=partition_by)
 
     def append(self, df: DataFrame, partition_by: str | None = None,
                meta: dict | None = None) -> int:
+        if partition_by is None:
+            # appends into a partitioned table keep its layout (and path
+            # embedding) even when the caller doesn't restate it
+            partition_by = self.partition_by()
         files, schema = self._stage(df, partition_by)
         return self._publish(
             lambda prev: sorted((prev or {}).get("files", []) + files),
-            "append", schema, meta,
+            "append", schema, meta, partition_by=partition_by,
         )
 
     def remove_files(self, predicate, op: str = "remove", meta: dict | None = None) -> tuple[int, list[str]]:
@@ -275,7 +299,8 @@ class TxTable:
 
         def attempt():
             base = self.latest_version()
-            files, schema = self._stage(self.read(spark, version=base))
+            pb = self.manifest(base).get("partition_by") if base else None
+            files, schema = self._stage(self.read(spark, version=base), pb)
             return self._publish(
                 lambda prev: files, "compact", schema, None, expected_base=base
             )
@@ -315,7 +340,8 @@ class TxTable:
                     .parquet(*[os.path.join(self.path, f) for f in stages[s]])
                 )
                 parts = p if parts is None else parts.unionByName(p)
-            new_files, schema_json = self._stage(parts.coalesce(1))
+            pb = m.get("partition_by")
+            new_files, schema_json = self._stage(parts.coalesce(1), pb)
             folded = {f for s in small for f in stages[s]}
 
             def build(prev):
@@ -373,7 +399,8 @@ class TxTable:
         replaced = transform(
             df.withColumn("__rel", rel).filter(F.col("__rel").isin(touched)).drop("__rel")
         )
-        new_files, schema = self._stage(replaced)
+        pb = self.manifest(base).get("partition_by")
+        new_files, schema = self._stage(replaced, pb)
 
         def build(prev):
             kept = [f for f in (prev or {}).get("files", []) if f not in touched_set]
@@ -465,7 +492,10 @@ class TxTable:
             return rows.select(*projected)
 
         if condition is None:
-            return self.overwrite(apply_set(self.read(spark)), op="update")
+            return self.overwrite(
+                apply_set(self.read(spark)), op="update",
+                partition_by=self.partition_by(),
+            )
 
         def attempt():
             base = self.latest_version()
@@ -488,9 +518,24 @@ class TxTable:
             os.unlink(self._manifest_path(v))
         return dropped
 
-    def vacuum(self) -> list[str]:
+    #: vacuum grace period: unreferenced files younger than this are
+    #: presumed to be a concurrent writer's in-flight stage (written but
+    #: not yet published) and are skipped — deleting them would let the
+    #: racing commit publish a manifest pointing at vanished files
+    #: (the Delta-style retention default, scaled to edge workloads)
+    VACUUM_RETENTION_SECONDS = 3600.0
+
+    def vacuum(self, retention_seconds: float | None = None) -> list[str]:
         """Delete data files referenced by NO retained manifest (crash
-        orphans + expired-snapshot files); prune empty stage dirs."""
+        orphans + expired-snapshot files) and older than the retention
+        grace period; prune stage dirs emptied by the sweep. Retention
+        protects concurrent writers mid-stage: ``retention_seconds=0``
+        opts into the unguarded sweep (safe only with no other writer)."""
+        import time
+
+        if retention_seconds is None:
+            retention_seconds = self.VACUUM_RETENTION_SECONDS
+        cutoff = time.time() - retention_seconds
         live: set[str] = set()
         for v in self.versions():
             live.update(self.manifest(v)["files"])
@@ -500,11 +545,23 @@ class TxTable:
                 p = os.path.join(root, n)
                 rel = os.path.relpath(p, self.path)
                 if n.endswith(".parquet") and rel not in live:
+                    try:
+                        if os.path.getmtime(p) > cutoff:
+                            continue  # likely an in-flight stage
+                    except OSError:
+                        continue  # raced with its own writer/cleaner
                     os.unlink(p)
                     removed.append(rel)
         for entry in os.listdir(self.data_dir):
             d = os.path.join(self.data_dir, entry)
-            if os.path.isdir(d) and not any(
+            try:
+                # a young dir may be a writer mid-stage (only _temporary
+                # content, no .parquet yet) — never prune inside retention
+                if not os.path.isdir(d) or os.path.getmtime(d) > cutoff:
+                    continue
+            except OSError:
+                continue
+            if not any(
                 ns for _r, _d, ns in os.walk(d) if any(x.endswith(".parquet") for x in ns)
             ):
                 shutil.rmtree(d)

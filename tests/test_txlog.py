@@ -61,7 +61,9 @@ def test_crash_between_write_and_commit_reads_clean(spark, tmp_path):
     assert t.latest_version() == 1
     assert sorted(r.k for r in t.read(spark).collect()) == [1]
 
-    removed = t.vacuum()
+    # inside the retention window the orphan is presumed in-flight
+    assert t.vacuum() == []
+    removed = t.vacuum(retention_seconds=0)
     assert set(removed) == set(orphan_files)
     assert sorted(r.k for r in t.read(spark).collect()) == [1]
 
@@ -115,7 +117,7 @@ def test_expire_vacuum_bound_history(spark, tmp_path):
     all_files_v1 = t.manifest(1)["files"]
     assert t.expire(keep_last=2) == [1, 2]
     assert t.versions() == [3, 4]
-    removed = t.vacuum()
+    removed = t.vacuum(retention_seconds=0)
     assert set(all_files_v1) <= set(removed)
     # retained snapshots still read
     assert [r.k for r in t.read(spark, version=3).collect()] == [2]
@@ -351,3 +353,61 @@ def test_compact_small_folds_only_small_stages(spark, tmp_path):
     stages = {f.split("/", 2)[1] for f in m["files"]}
     assert len(stages) == 2  # big + one folded stage
     assert t.read(spark).count() == 20_004
+
+
+def test_compact_preserves_partition_embedding(spark, tmp_path):
+    """Compaction/DML restages of a partitioned table must keep the
+    _par_bucket= path embedding (review round-5 finding: a restage
+    without partition_by made tx_partitions() silently miss rows)."""
+    from edgelake_spark.ingest.partitions import tx_partitions
+
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-02-01")],
+        "k int, _par_bucket string",
+    )
+    t.overwrite(df, partition_by="_par_bucket")
+    assert t.partition_by() == "_par_bucket"
+
+    # appends inherit the layout even when the caller doesn't restate it
+    t.append(spark.createDataFrame([(4, "2024-03-01")], "k int, _par_bucket string"))
+    # full compaction restages WITH the embedding
+    t.compact(spark)
+    m = t.manifest(t.latest_version())
+    assert m["partition_by"] == "_par_bucket"
+    assert all("_par_bucket=" in f for f in m["files"])
+    assert tx_partitions(t) == ["2024-01-01", "2024-02-01", "2024-03-01"]
+
+    # file-granular DML rewrite also keeps it
+    t.update_where(spark, {"k": "k + 10"}, "k = 1")
+    m = t.manifest(t.latest_version())
+    assert all("_par_bucket=" in f for f in m["files"])
+    assert tx_partitions(t) == ["2024-01-01", "2024-02-01", "2024-03-01"]
+    assert sorted(r.k for r in t.read(spark).collect()) == [2, 3, 4, 11]
+
+    # small-stage folding too
+    t.compact_small(spark, small_bytes=32 << 20)
+    m = t.manifest(t.latest_version())
+    assert all("_par_bucket=" in f for f in m["files"])
+    assert sorted(r.k for r in t.read(spark).collect()) == [2, 3, 4, 11]
+
+
+def test_vacuum_spares_in_flight_stage(spark, tmp_path):
+    """vacuum() must not delete files a concurrent writer has staged but
+    not yet published (review round-5 finding): inside the retention
+    window unreferenced files survive, so the racing commit stays valid."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+
+    # a concurrent writer mid-commit: data staged, manifest not published
+    staged, schema = t._stage(_df(spark, [(2, "inflight")]))
+    assert t.vacuum() == []  # retention protects the stage
+    for f in staged:
+        assert os.path.exists(os.path.join(str(tmp_path / "t"), f))
+
+    # the racing commit can still publish and read its files
+    v = t._publish(
+        lambda prev: sorted((prev or {}).get("files", []) + staged),
+        "append", schema, None,
+    )
+    assert sorted(r.k for r in t.read(spark, version=v).collect()) == [1, 2]

@@ -150,6 +150,17 @@ def test_blob_retrieve_time_travel(spark, tmp_path):
     ).collect()
     assert sorted(o.source_name for o in out) == ["a.bin", "b.bin"]
 
+    # a NON-durable engine has no snapshot history: a version request
+    # must error, not silently return the latest blobs
+    import pytest
+
+    eng2 = EdgeLakeEngine(spark)
+    eng2.run(f"file store where dbms = d and table = t and file = {a}")
+    with pytest.raises(ValueError, match="durable"):
+        eng2.run(
+            f"file retrieve where dbms = d and table = t and version = 1 and dest = {tmp_path / 'nv'}"
+        )
+
 
 def test_insert_schema_evolution_null_fills_history(spark, tmp_path):
     """INSERT with a brand-new column: copy-on-write commit widens the
@@ -268,3 +279,32 @@ def test_drop_dbms_forgets_blob_store(spark, tmp_path):
     eng.run(f"file store where dbms = bx and table = photos and file = {a}")  # no dup error
     counts = eng.run("get files count").collect()
     assert [(c.dbms, c.table_name, c.n_files) for c in counts] == [("bx", "photos", 1)]
+
+
+def test_nondurable_work_dir_cleaned_on_gc(spark):
+    """A non-durable engine's throwaway tx work dir is reclaimed when
+    the engine is collected (review round-5 finding: every bench gate
+    leaked a table-sized temp dir until /tmp filled)."""
+    import gc
+    import os
+
+    eng = EdgeLakeEngine(spark)
+    eng.run('sql d "insert into gauges (k) values (1)"')
+    wd = eng._work_dir_path
+    assert wd is not None and os.path.isdir(wd)
+    del eng
+    gc.collect()
+    assert not os.path.exists(wd)
+
+
+def test_durable_work_dir_survives_gc(spark, tmp_path):
+    """An EXPLICIT work_dir is the node's durable state — never removed."""
+    import gc
+    import os
+
+    wd = str(tmp_path / "node")
+    eng = EdgeLakeEngine(spark, work_dir=wd)
+    eng.run('sql d "insert into gauges (k) values (1)"')
+    del eng
+    gc.collect()
+    assert os.path.isdir(wd)
