@@ -6305,3 +6305,49 @@ ORDER BY day
 
 
 _q("events_dau_wau", _sql(_dau_wau_sql("events")), _dau_wau_sql("events"))
+
+
+# =====================================================================
+# Grafana façade round-trip (SURVEY §2.1 REST/visualization surface;
+# reference edge_lake/api/al_grafana.py:2115-2125 increments emission)
+# =====================================================================
+
+
+def _grafana_increments(spark, sf_dir):
+    """A real Grafana panel payload driven through the façade: panel
+    range + interval → build_target_sql → dialect increments SQL →
+    engine. Hash-verified against the hand-built DuckDB equivalent, so
+    the façade's SQL emission (not just its HTTP plumbing) is gated.
+    min/max/count aggregates keep the hash float-exact (no double sums)."""
+    from edgelake_spark.api.grafana import build_target_sql
+
+    sql, table, is_ts = build_target_sql(
+        {
+            "target": "events",
+            "type": "timeseries",
+            "payload": {
+                "table": "events",
+                "time_column": "ts",
+                "value_column": "value",
+                "functions": ["min", "max", "count"],
+            },
+        },
+        "2024-01-05T00:00:00.000Z",
+        "2024-01-25T00:00:00.000Z",
+        "2h",
+    )
+    assert is_ts and table == "events"
+    eng = EdgeLakeEngine(spark, sf_dir, now=FIXED_NOW)
+    return eng.query(sql)
+
+
+_q(
+    "grafana_increments",
+    _grafana_increments,
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS increments_trunc, "
+    "CAST(CAST(extract(hour FROM ts) AS INTEGER) // 2 AS BIGINT) AS increments_extract, "
+    "max(ts) AS timestamp, min(value) AS min_val, max(value) AS max_val, "
+    "CAST(count(value) AS BIGINT) AS count_val FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-25 00:00:00' "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
