@@ -148,7 +148,42 @@ BENCH_QUERIES = [
     "doc_split_leakage",
     "doc_cluster_sizes",
     "doc_len_histogram",
+    # round 6: Grafana façade round-trip (panel payload → dialect SQL)
+    "grafana_increments",
 ]
+
+#: TIER 1 — the must-run core: one representative per distinct physical
+#: plan family (scan+agg, broadcast join, SMJ ladder, window, LSH band
+#: join, HOF pipeline, ANN scan-and-score, argmin downsample, prefix-sum
+#: packer, range join, as-of, profile Expand). Round-close runs under a
+#: wall budget keep these even when the budget trims the tail; the
+#: remaining BENCH_QUERIES entries are TIER 2 — diagnostic variants of an
+#: already-represented family (the TPC-H ladder breadth, the recall@5
+#:  companions, per-unit dialect variants). SPARK_GRAFT_TIER=core runs
+#: tier 1 only (fast iteration); default runs the full list.
+TIER1_CORE = frozenset({
+    # dialect core + flagship
+    "el_agg", "el_avg_group", "el_increments_hour", "el_period",
+    "el_include_mixed_schema",
+    # join/window/scan families
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q5ish", "tpch_q18ish",
+    "topk_per_group", "scalar_subquery", "lineitem_time_scan",
+    "events_sessionize", "events_pivot", "events_asof_orders",
+    "events_range_join", "orders_bucketed_join",
+    # dedup / corpus pipeline
+    "doc_exact_dedup", "doc_minhash_pairs", "doc_dedup_clusters",
+    "doc_simhash", "doc_winnow_fp", "doc_decontaminate",
+    "doc_remove_dup_chunks", "doc_pipeline_train_set",
+    # ANN ladder representatives
+    "emb_cosine_topk", "emb_ivf_topk", "emb_pq_adc_topk", "emb_sq8_topk",
+    "emb_bq_hamming_topk",
+    # quality / retrieval / packing / downsample
+    "doc_gopher_rules", "doc_bm25_topk", "doc_pack_sequences",
+    "events_m4_downsample", "events_profile", "doc_mean_token_rank",
+    # streaming-adjacent / stats
+    "events_ewma", "events_funnel", "events_quantiles",
+    "multimodal_features",
+})
 
 
 def main() -> None:
@@ -225,9 +260,12 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
-    # optional subset for iteration: SPARK_GRAFT_QUERIES=a,b,c
+    # optional subset for iteration: SPARK_GRAFT_QUERIES=a,b,c;
+    # SPARK_GRAFT_TIER=core restricts to the TIER1_CORE plan families
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     bench_queries = [q for q in BENCH_QUERIES if not only or q in only]
+    if os.environ.get("SPARK_GRAFT_TIER", "full") == "core" and not only:
+        bench_queries = [q for q in bench_queries if q in TIER1_CORE]
 
     # restart the SparkContext every N queries: cleanup() alone does not
     # bound accumulated JVM state (shuffle files, block-manager and

@@ -331,7 +331,8 @@ def _unpersist_rdd_ids(sc, ids) -> None:
             jmap.get(rid).unpersist(False)
 
 
-def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max_rounds: int = 20):
+def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max_rounds: int = 20,
+                         stats: dict | None = None):
     """Undirected connected components over a (id1, id2) pair DataFrame
     → DataFrame (doc_id, component_id) with component_id = min id
     reachable (the dedup keep-candidate).
@@ -344,11 +345,19 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
     rounds on any graph (the large-graph CC idiom). Raises RuntimeError
     if the fixpoint is not reached within ``max_rounds`` — convergence
     is verified, never assumed.
+
+    ``stats`` (optional dict) is filled with {n_edges, branch, rounds}
+    so callers/benchmarks can record which branch ran and its
+    rounds-to-fixpoint without re-deriving them.
     """
     from pyspark.sql import functions as F
 
     spark = pairs.sparkSession
     n_edges = pairs.count()
+    if stats is not None:
+        stats["n_edges"] = n_edges
+        stats["branch"] = "driver" if n_edges <= driver_threshold else "distributed"
+        stats["rounds"] = 0
     if n_edges <= driver_threshold:
         parent: dict = {}
 
@@ -429,12 +438,16 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
             )
             _unpersist_rdd_ids(sc, labels_ids)
             labels, labels_ids = jumped, jumped_ids
+            if stats is not None:
+                stats["rounds"] = round_no
             if changed == 0:
                 converged = True
                 break
         else:
             _unpersist_rdd_ids(sc, labels_ids)
             labels, labels_ids = jumped, jumped_ids
+            if stats is not None:
+                stats["rounds"] = round_no
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach a fixpoint in {max_rounds} rounds"

@@ -52,6 +52,20 @@ _COLUMN_LONG_RE = re.compile(
 _KV_RE = re.compile(r"\b(name|dbms|table)\s*=\s*(\w+)", re.IGNORECASE)
 
 
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True when the ``spark-sql-kafka`` connector is on the session's
+    JVM classpath (jar shipped with the distro, --packages, or
+    spark.jars). The ``format("kafka")`` branch needs it; the in-repo
+    wire consumer (streaming/kafka.py) does not."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 @dataclass
 class TopicMapping:
     """One topic's target table + column pulls."""

@@ -317,11 +317,19 @@ def test_funnel_and_pagerank_no_cartesian(spark):
     assert plan.count("Window") <= 1
 
 
-def test_profile_single_scan(spark):
+def test_profile_scan_and_agg_shape(spark):
     plan = plan_of(spark, "events_profile")
-    # the wide aggregate + stack unpivot reads events ONCE; the naive
-    # per-column UNION form would scan it five times
-    assert plan.count("FileScan parquet") == 1
+    # the wide aggregate + stack unpivot reads events ONCE for all
+    # numeric columns, plus one column-pruned scan for the event_type
+    # distinct set; the naive per-column UNION form would scan it five
+    # times
+    assert plan.count("FileScan parquet") == 2
+    # native-typed min/max keeps the fact-table aggregate in
+    # HashAggregate; the only string min/max runs over the DEDUPED
+    # event_type set (round-6 change: string buffers forced a
+    # SortAggregate over the Expand output, 2.4x slower)
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("SortAggregate") <= 2
 
 
 def test_rfm_and_basket_shapes(spark):
