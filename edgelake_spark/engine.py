@@ -2164,18 +2164,19 @@ class EdgeLakeEngine:
 
     def _work_dir(self) -> str:
         if self._work_dir_path is None:
+            import atexit
             import shutil
             import tempfile
-            import weakref
 
             self._work_dir_path = tempfile.mkdtemp(prefix="edgelake_tx_")
-            # non-durable engines own their throwaway dir: reclaim it when
-            # the engine is collected (weakref.finalize also runs at
-            # interpreter exit), so repeated gate/bench engines don't leak
-            # table-sized snapshots into /tmp
-            weakref.finalize(
-                self, shutil.rmtree, self._work_dir_path, ignore_errors=True
-            )
+            # non-durable engines own their throwaway dir: reclaim it at
+            # interpreter exit so repeated gate/bench runs don't leak
+            # table-sized snapshots into /tmp across processes. NOT
+            # GC-tied (weakref.finalize): DataFrames returned by a
+            # short-lived engine lazily scan these files after the
+            # engine is collected — deleting on GC broke every such
+            # deferred read (measured: dml gate FileNotFoundException)
+            atexit.register(shutil.rmtree, self._work_dir_path, ignore_errors=True)
         return self._work_dir_path
 
     def _tx_table(self, kind: str, key: str):
