@@ -414,7 +414,7 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
     # ts-shift in r3 that keeps temporal density constant) must
     # invalidate a previously synthesized directory, or stale data
     # silently benchmarks the old premise
-    gen = f"gen=v2-ts-shift replicas={replicas}\n"
+    gen = f"gen=v3-rot-alphabet replicas={replicas}\n"
     marker = os.path.join(dst_dir, "_SF1_READY")
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -452,24 +452,44 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
             else:
                 out = out.withColumn(c, F.col(c) + F.col("__r") * F.lit(stride))
         if text_tag:
-            # Suffix EVERY token with a per-replica marker (separator run
-            # → "q<r> "), so replicas share zero word-shingles and LSH
-            # pair counts stay linear in the data. Appending a tag at the
-            # end of the doc is NOT enough — such replicas are still
-            # near-duplicates and pair counts grow quadratically
-            # (measured: 16x runtime at 10x data before this change).
-            # Token count per doc is preserved, so per-doc minhash work
-            # scales exactly with row count.
-            out = out.withColumn(
-                text_tag,
-                F.when(F.col("__r") == 0, F.col(text_tag)).otherwise(
-                    F.regexp_replace(
-                        F.lower(F.col(text_tag)),
-                        F.lit("[^a-z0-9]+"),
-                        F.concat(F.lit("q"), F.col("__r").cast("string"), F.lit(" ")),
-                    )
-                ),
-            )
+            # Per-replica ALPHABET ROTATION (translate, a bijection on
+            # characters). v2 suffixed every token with a short replica
+            # marker — enough to de-duplicate word shingles (minhash
+            # stayed linear) but NOT char-level similarity: tokens ≥
+            # WINNOW_K+WINNOW_W-1 chars still produced shared winnow
+            # fingerprints and most char 3-grams matched, so replicas of
+            # one base doc formed 45-pair cliques — doc_winnow_pairs
+            # output exploded 397 → 7.4 M rows (measured, round 6) and
+            # doc_ngram_jaccard grew 110×. A rotated alphabet shares
+            # zero letter n-grams AND zero word tokens across replicas,
+            # while WITHIN a replica every similarity statistic (char
+            # jaccard, shingle sets, winnow fingerprints) is EXACTLY the
+            # base corpus's — translate is an isomorphism on the gram
+            # space — so every dedup family's pair count scales exactly
+            # linearly in replica count. Text length, token boundaries,
+            # and token counts are all preserved (digits/punctuation
+            # pass through), so per-doc compute cost is unchanged.
+            import string
+
+            lo = string.ascii_lowercase
+            up = string.ascii_uppercase
+            dg = string.digits
+            expr = F.col(text_tag)
+            for r in range(1, replicas):
+                # digits rotate too (mod 10): winnow fingerprints hash
+                # RAW k-grams, and un-rotated digit runs ≥ K+W-1 chars
+                # gave every replica set a shared fingerprint clique —
+                # measured 5 → 621 k pairs at 10× before this line
+                rot = (
+                    lo[r % 26:] + lo[: r % 26]
+                    + up[r % 26:] + up[: r % 26]
+                    + dg[r % 10:] + dg[: r % 10]
+                )
+                expr = F.when(
+                    F.col("__r") == r,
+                    F.translate(F.col(text_tag), lo + up + dg, rot),
+                ).otherwise(expr)
+            out = out.withColumn(text_tag, expr)
         return out.drop("__r")
 
     def stride_of(df, col):

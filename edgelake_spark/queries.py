@@ -2519,14 +2519,17 @@ HAVING count(*) >= 2
 ORDER BY id1, id2
 """
 
-#: stop-gram cap scales with corpus size (1% of docs, floor 5): a fixed
-#: cap empties as the corpus grows — df of every common gram rises
-#: linearly with doc count, so "rare" must be relative
-_WINNOW_RARE = (
-    "SELECT fp FROM {x} GROUP BY fp "
-    "HAVING count(*) <= (SELECT greatest(5, CAST(floor(count(*) / 100.0) AS BIGINT)) "
-    "FROM documents)"
-)
+#: stop-gram cap is ABSOLUTE (df ≤ 5 docs), not corpus-relative. A
+#: genuinely rare fingerprint — one shared by a handful of near-dup
+#: docs — keeps a CONSTANT df as the corpus grows (df rises with corpus
+#: size only for common/boilerplate grams, which the filter exists to
+#: exclude), so an absolute cap loses no recall; and only an absolute
+#: cap bounds the self-join: bucket pairs are C(df,2), so a relative
+#: cap (1% of docs) makes the pair join quadratic at the cap boundary —
+#: measured in round 6 as a 5 → 621 k pair explosion at 10× data when
+#: the rising cap unlocked base stop-grams. Same reason LSH band
+#: buckets are capped absolutely at 100 TB.
+_WINNOW_RARE = "SELECT fp FROM {x} GROUP BY fp HAVING count(*) <= 5"
 
 
 def _run_winnow_pairs(spark, sf_dir):
