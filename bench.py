@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     "doc_len_histogram",
     # round 6: Grafana façade round-trip (panel payload → dialect SQL)
     "grafana_increments",
+    # round 6: CCNet quality buckets, Zipf rank-octave spectrum
+    "doc_ccnet_buckets",
+    "doc_zipf_octaves",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -6383,3 +6383,107 @@ _q(
     "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-25 00:00:00' "
     "GROUP BY 1, 2 ORDER BY 1, 2",
 )
+
+
+# ------------------------------- CCNet-style per-language quality buckets
+
+
+def _ccnet_buckets_sql(engine: str, vocab_top: int = 20) -> str:
+    """CCNet's signature move (reference has no LM surface; this is the
+    training-data superset): bucket each language's documents into
+    head / middle / tail by a language-model fluency proxy — here the
+    mean corpus-frequency rank of the document's tokens, the same
+    engine-exact score doc_mean_token_rank gates (real CCNet uses
+    wiki-LM perplexity; ranks are bit-stable across engines, libm
+    log-probs are not).
+
+    Scale shape: the rank table is vocabulary-bounded and broadcasts to
+    the scoring join; the per-doc aggregation shuffles on doc_id; the
+    ntile partitions by lang. At 100 TB you would not global-sort each
+    language — CCNet itself assigns buckets from SAMPLED perplexity
+    thresholds, i.e. approx_percentile(mean_rank, [1/3, 2/3]) per lang
+    broadcast back as map-side boundaries. The gate keeps exact ntile
+    (deterministic: ties broken by doc_id) so DuckDB can verify it."""
+    if engine == "spark":
+        tok = f"SELECT doc_id, explode({tx.spark_tokens('text')}) AS term FROM documents_rep"
+        docs = "documents_rep"
+    else:
+        tok = f"SELECT doc_id, unnest({tx.duck_tokens('text')}) AS term FROM documents"
+        docs = "documents"
+    return f"""
+WITH tok AS ({tok}),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY term),
+ranked AS (
+  SELECT term, rnk FROM (
+    SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM tf
+  ) WHERE rnk <= {vocab_top}
+),
+per_doc AS (
+  SELECT t.doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(coalesce(r.rnk, {vocab_top + 1})) AS BIGINT) AS sum_rank
+  FROM tok t LEFT JOIN ranked r ON t.term = r.term
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT p.doc_id, d.lang,
+    CAST(p.sum_rank AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS mean_rank
+  FROM per_doc p JOIN {docs} d ON p.doc_id = d.doc_id
+)
+SELECT doc_id, lang, mean_rank,
+  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY mean_rank, doc_id) AS BIGINT) AS bucket
+FROM scored ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_ccnet_buckets",
+    _sql(_ccnet_buckets_sql("spark"), rep=("documents",)),
+    _ccnet_buckets_sql("duck"),
+)
+
+
+# --------------------------------- Zipf rank-octave vocabulary spectrum
+
+
+def _zipf_octaves_sql(engine: str) -> str:
+    """Corpus-health diagnostic: per source, the vocabulary's mass
+    spectrum over rank OCTAVES (terms ranked by frequency, grouped by
+    floor(log2(rank))). A natural-language source follows Zipf — each
+    octave carries roughly constant total mass; synthetic/boilerplate
+    sources show a cliff. Integer-exact everywhere: raw OLS slope of
+    ln(freq) vs ln(rank) would sum 1000 libm doubles in engine- and
+    partition-dependent order, which can never hash-match — the octave
+    histogram keeps the same diagnostic shape with only
+    floor(log2(<integer>)) (exact: log2 of a non-power integer is
+    bounded away from an integer by far more than one ulp).
+
+    Scale shape: token explode is map-side Generate; the (source, term)
+    count table is vocabulary-bounded per source; the per-source rank
+    window sorts only that vocabulary, never the corpus."""
+    if engine == "spark":
+        tok = f"SELECT source, explode({tx.spark_tokens('text')}) AS term FROM documents_rep"
+    else:
+        tok = f"SELECT source, unnest({tx.duck_tokens('text')}) AS term FROM documents"
+    return f"""
+WITH tok AS ({tok}),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+       FROM tok GROUP BY source, term),
+ranked AS (
+  SELECT source, n,
+    row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rnk
+  FROM tf
+)
+SELECT source, CAST(floor(log2(rnk)) AS BIGINT) AS octave,
+  CAST(count(*) AS BIGINT) AS n_terms,
+  CAST(sum(n) AS BIGINT) AS octave_mass,
+  CAST(max(n) AS BIGINT) AS top_freq
+FROM ranked GROUP BY source, octave ORDER BY source, octave
+"""
+
+
+_q(
+    "doc_zipf_octaves",
+    _sql(_zipf_octaves_sql("spark"), rep=("documents",)),
+    _zipf_octaves_sql("duck"),
+)
