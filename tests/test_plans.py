@@ -448,3 +448,31 @@ def test_split_leakage_runs_on_pair_artifact(spark):
     # corpus text is never re-shuffled for this check
     assert "mh_pairs_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_band_blocked_join(spark):
+    plan = plan_of(spark, "doc_ngram_jaccard")
+    # the ±10-char length tolerance is part of the JOIN KEY (len_band /
+    # probe_band), not a post-shuffle filter — without it candidate
+    # enumeration is quadratic in (lang, source) block size (14.4× wall
+    # at 10× data, round-6 sf1 table)
+    assert "probe_band" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ccnet_buckets_rank_table_broadcasts(spark):
+    plan = plan_of(spark, "doc_ccnet_buckets")
+    # the vocabulary-bounded rank table rides a BroadcastHashJoin into
+    # the token scoring join; the corpus side is never the build side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_octaves_vocab_bounded_window(spark):
+    plan = plan_of(spark, "doc_zipf_octaves")
+    # the per-source rank window sorts the (source, term) COUNT table
+    # (vocabulary-bounded), never the token stream: exactly one window,
+    # fed by the post-aggregation exchange
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
