@@ -150,9 +150,11 @@ BENCH_QUERIES = [
     "doc_len_histogram",
     # round 6: Grafana façade round-trip (panel payload → dialect SQL)
     "grafana_increments",
-    # round 6: CCNet quality buckets, Zipf rank-octave spectrum
+    # round 6: CCNet quality buckets, Zipf rank-octave spectrum,
+    # corpus-order shingle novelty
     "doc_ccnet_buckets",
     "doc_zipf_octaves",
+    "doc_gram_novelty",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -527,24 +527,32 @@ SELECT id1, id2, jac FROM (
     ON a.lang = b.lang AND a.source = b.source AND a.len_band = b.probe_band
   WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 10
     AND 3 * size(array_intersect(a.grams, b.grams)) >= size(a.grams) + size(b.grams)
-) ORDER BY id1, id2
+)
 """
 
 
 def _run_ngram_pairs(spark, sf_dir):
     """Blocked exact Jaccard verify. Blocking keys (lang, source,
-    length band) bound the candidate count; the gram arrays are cached so
-    both join sides reuse one computation."""
+    length band) bound the candidate count.
+
+    Two deliberate absences, both measured at sf1 (round 6):
+    no localCheckpoint — materializing the gram table pinned ~1 GB of
+    block-manager memory per run and the ensuing GC storms swamped the
+    join itself (median 18.6 s vs 4.5 s without; recomputing the
+    map-side gram pipeline on both join sides is far cheaper than the
+    materialization); and no final ORDER BY — a global sort without a
+    materialized child re-executes the whole plan for range-boundary
+    sampling (~2×), and the driver's correctness compare is
+    order-insensitive (sorts rows itself), as is the oracle diff."""
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "documents")
-    g = spark.sql(
+    spark.sql(
         f"SELECT doc_id, lang, source, n_chars, "
         f"CAST(floor(n_chars / 16) AS INT) AS len_band, "
         f"{dd.spark_char_ngrams_over('norm')} AS grams FROM "
         f"(SELECT doc_id, lang, source, n_chars, {dd.spark_normalize('text')} AS norm "
         f"FROM documents_rep)"
-    ).localCheckpoint()
-    g.createOrReplaceTempView("__ng_g")
+    ).createOrReplaceTempView("__ng_g")
     return spark.sql(
         _NGRAM_PAIRS_SPARK_BODY.format(jac=dd.spark_jaccard("a.grams", "b.grams"), g="__ng_g")
     )
@@ -6486,4 +6494,48 @@ _q(
     "doc_zipf_octaves",
     _sql(_zipf_octaves_sql("spark"), rep=("documents",)),
     _zipf_octaves_sql("duck"),
+)
+
+
+# ------------------------------------ corpus-order shingle novelty
+
+
+def _gram_novelty_sql(engine: str) -> str:
+    """Per-document novelty profile: the fraction of a document's
+    distinct word-shingles whose FIRST corpus occurrence (min doc_id —
+    ingest order) is this document. Curation teams read this curve to
+    find where a crawl stops contributing new content (novelty → 0
+    means the tail is near-duplicate mass the dedup pass will discard
+    anyway). Integer counts + one exact IEEE division keep the hash
+    engine-exact.
+
+    Scale shape: the shingle explode is a map-side Generate over staged
+    tokens; every downstream step — per-doc distinct, the min(doc_id)
+    first-occurrence table, and the marking join — shuffles on the
+    shingle key alone, so the whole plan is linear in corpus shingle
+    count with no self-join on documents."""
+    if engine == "spark":
+        toks = f"SELECT doc_id, {tx.spark_tokens('text')} AS toks FROM documents_rep"
+        sh = f"SELECT DISTINCT doc_id, explode({dd.spark_shingles_over('toks')}) AS gram FROM t"
+    else:
+        toks = f"SELECT doc_id, {tx.duck_tokens('text')} AS toks FROM documents"
+        sh = f"SELECT DISTINCT doc_id, unnest({dd.duck_shingles_over('toks')}) AS gram FROM t"
+    return f"""
+WITH t AS ({toks}),
+sh AS ({sh}),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM sh GROUP BY gram)
+SELECT s.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS novelty
+FROM sh s JOIN firsts f ON s.gram = f.gram
+GROUP BY s.doc_id ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_gram_novelty",
+    _sql(_gram_novelty_sql("spark"), rep=("documents",)),
+    _gram_novelty_sql("duck"),
 )

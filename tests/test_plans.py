@@ -476,3 +476,11 @@ def test_zipf_octaves_vocab_bounded_window(spark):
     # fed by the post-aggregation exchange
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_gram_novelty_shuffles_on_gram_only(spark):
+    plan = plan_of(spark, "doc_gram_novelty")
+    # distinct, first-occurrence min, and the marking join all key on
+    # the shingle — no documents self-join, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
