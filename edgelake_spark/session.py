@@ -45,6 +45,11 @@ def get_spark(
         # local mode = driver-only JVM: size its heap to the machine, or
         # 32 executor threads + checkpointed intermediates GC-thrash
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # explicit System.gc() (bench inter-query cleanup, block-manager
+        # housekeeping) must not stop the world for a ~48 GB heap: run it
+        # as a concurrent G1 cycle so a timed query never eats a full STW
+        # collection triggered by the previous query's cleanup
+        .config("spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata ships timestamp[ns] columns (events.ts); Spark has no
