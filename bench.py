@@ -155,6 +155,12 @@ BENCH_QUERIES = [
     "doc_ccnet_buckets",
     "doc_zipf_octaves",
     "doc_gram_novelty",
+    # round 6: hashed-feature linear classifier (model-based quality
+    # filter), contrastive hard-pos/neg pair mining, alpha=1/2
+    # temperature mixture weights
+    "doc_linear_classifier",
+    "emb_contrastive_pairs",
+    "doc_alpha_mix",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

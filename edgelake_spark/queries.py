@@ -6539,3 +6539,180 @@ _q(
     _sql(_gram_novelty_sql("spark"), rep=("documents",)),
     _gram_novelty_sql("duck"),
 )
+
+
+# =====================================================================
+# Model-based quality filtering: hashed-feature linear classifier
+# =====================================================================
+
+
+def _linear_classifier_sql(engine: str, dim: int = 32768) -> str:
+    """Hashed-n-gram linear text classifier, trained and scored in one
+    relational plan (the CCNet/fastText "model-based quality filter"
+    shape: featurize → per-class feature counts → linear weights →
+    broadcast-join scoring). Pseudo-task here: predict lang='en' from
+    hashed unigram+bigram features.
+
+    Exactness: the weight for feature f is the scaled rate difference
+      w(f) = c_en(f)·N_rest − c_rest(f)·N_en
+    kept as an exact BIGINT numerator over the common denominator
+    N_en·N_rest; a document's score does ONE double division at the
+    end, so hashes match the oracle bit-for-bit. (At 100 TB the counts
+    would be trained offline and frozen as double rates — exact
+    integer weights are the oracle-checkable small-scale form; the
+    scoring plan is identical either way.)
+
+    Scale shape: featurization is a map-side Generate; the training
+    aggregation shuffles on the hashed feature id whose domain is
+    capped at {dim} buckets, so the weight table is tiny and
+    broadcast back for scoring (one narrow doc_id shuffle to finish).
+    No self-joins, nothing quadratic.
+    """
+    if engine == "spark":
+        # the feature array is built INSIDE the generator expression —
+        # explode(<hof chain>) iterates the freshly-built array
+        # directly, while explode(<staged array column>) first
+        # materializes every per-doc array row (measured 8× slower at
+        # sf0.1: 4.4 s vs 0.7 s for the same 536 k features)
+        tk = f"SELECT doc_id, (lang = 'en') AS is_en, {tx.spark_tokens('text')} AS toks FROM documents_rep"
+        fx = (
+            f"SELECT doc_id, is_en, {dd.spark_hex60('md5(ftxt)')} % {dim} AS f "
+            f"FROM tk LATERAL VIEW explode(concat(toks, {dd.spark_word_grams_over('toks', 2)})) _ex AS ftxt"
+        )
+    else:
+        tk = f"SELECT doc_id, (lang = 'en') AS is_en, {tx.duck_tokens('text')} AS toks FROM documents"
+        fx = (
+            f"SELECT doc_id, is_en, {dd.duck_hex60('md5(ftxt)')} % {dim} AS f "
+            f"FROM (SELECT doc_id, is_en, "
+            f"unnest(list_concat(toks, {dd.duck_word_grams_over('toks', 2)})) AS ftxt FROM tk)"
+        )
+    return f"""
+WITH tk AS ({tk}),
+fx AS ({fx}),
+cls AS (
+  SELECT f,
+    CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+    CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+  FROM fx GROUP BY f
+),
+tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r FROM cls),
+w AS (SELECT f, c_t * n_r - c_r * n_t AS w_num FROM cls CROSS JOIN tot)
+SELECT /*+ BROADCAST(w) */ fx.doc_id, fx.is_en,
+  CAST(count(*) AS BIGINT) AS n_feat,
+  CAST(sum(w.w_num) AS BIGINT) AS score_num,
+  CAST(sum(w.w_num) AS DOUBLE)
+    / ((CAST(t.n_t AS DOUBLE) * CAST(t.n_r AS DOUBLE)) * CAST(count(*) AS DOUBLE)) AS score,
+  (CAST(sum(w.w_num) AS BIGINT) > 0) AS pred_en
+FROM fx JOIN w ON fx.f = w.f CROSS JOIN tot t
+GROUP BY fx.doc_id, fx.is_en, t.n_t, t.n_r
+ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_linear_classifier",
+    _sql(_linear_classifier_sql("spark"), rep=("documents",)),
+    _linear_classifier_sql("duck"),
+)
+
+
+# =====================================================================
+# Contrastive-pair mining over embeddings (hard positives/negatives)
+# =====================================================================
+
+#: Hard-negative = highest-cosine neighbor with a DIFFERENT label;
+#: hard-positive = lowest-cosine neighbor with the SAME label — the
+#: pair-mining pass a contrastive/metric-learning pipeline runs over
+#: its corpus before training. One broadcast of the (tiny) query set
+#: against the staged (demb, norm) scan, cosine computed once as a
+#: column, then a single window per (query, side) — the same
+#: scan-and-score shape as emb_cosine_topk, never an open self-join.
+_CONTRASTIVE_BODY = """
+SELECT query_id,
+  CASE WHEN same_label THEN 'hard_pos' ELSE 'hard_neg' END AS kind,
+  rnk, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, same_label, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id, same_label
+      ORDER BY CASE WHEN same_label THEN cos_sim ELSE -cos_sim END, neighbor_id) AS rnk
+  FROM (
+    SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id,
+           (c.label = q.label) AS same_label,
+           c.vec_id AS neighbor_id, {cos} AS cos_sim
+    FROM {n} q JOIN {n} c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+  )
+) WHERE rnk <= 5
+ORDER BY query_id, kind, rnk
+"""
+
+
+def _run_contrastive_pairs(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    n = _emb_norm_view(spark)
+    return spark.sql(_CONTRASTIVE_BODY.format(cos=sim.spark_cosine_staged("q", "c"), n=n))
+
+
+_q(
+    "emb_contrastive_pairs",
+    _run_contrastive_pairs,
+    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')})"
+    + _CONTRASTIVE_BODY.format(cos=sim.duck_cosine_staged("q", "c"), n="n"),
+)
+
+
+# =====================================================================
+# Temperature (alpha) mixture sampling weights
+# =====================================================================
+
+
+def _alpha_mix_sql(engine: str) -> str:
+    """Temperature-based source sampling at alpha = 1/2: weight_i
+    proportional to share_i^alpha — the multilingual-pretraining move
+    that upsamples tail sources without letting any head source
+    dominate. alpha = 1/2 is the common choice AND the one exponent
+    whose power is IEEE-exact (sqrt is correctly rounded on both
+    engines; any other alpha needs pow/exp/log, whose last bits are
+    libm-specific). Weights are emitted unnormalized plus the
+    per-source boost factor sqrt(share)/share = share^(alpha-1); the
+    sampler's normalizing constant is a single sum over the (tiny)
+    source dimension, computed driver-side at any scale.
+
+    Scale shape: map-side token counting, ONE narrow shuffle keyed on
+    source; the grand total comes from an unpartitioned window over
+    the already-aggregated (tiny) source table, so the corpus is
+    scanned exactly once — unlike a CTE'd total, which Catalyst would
+    inline into a second full scan."""
+    count = (
+        tx.spark_bpe_count("text") if engine == "spark" else tx.duck_bpe_count("text")
+    )
+    docs = "documents_rep" if engine == "spark" else "documents"
+    share = "(CAST(n_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE))"
+    return f"""
+WITH per_doc AS (
+  SELECT source, {count} AS n_tok FROM {docs}
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS all_tokens
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+  {share} AS share,
+  sqrt({share}) AS alpha_weight,
+  (sqrt({share}) / {share}) AS boost
+FROM w
+ORDER BY source
+"""
+
+
+_q(
+    "doc_alpha_mix",
+    _sql(_alpha_mix_sql("spark"), rep=("documents",)),
+    _alpha_mix_sql("duck"),
+)

@@ -484,3 +484,35 @@ def test_gram_novelty_shuffles_on_gram_only(spark):
     # the shingle — no documents self-join, no cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_linear_classifier_weight_table_broadcasts(spark):
+    plan = plan_of(spark, "doc_linear_classifier")
+    # the hashed-feature weight table (domain-capped at 32768 ids) is
+    # the BUILD side of the scoring join; the exploded feature stream
+    # is never built. Training agg is partial/final on the feature id.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_contrastive_pairs_query_side_broadcasts(spark):
+    plan = plan_of(spark, "emb_contrastive_pairs")
+    # same scan-and-score shape as emb_cosine_topk: the 5-query set is
+    # broadcast (BuildLeft), one window ranks both pair kinds — with
+    # the rank<=5 pushed down as a WindowGroupLimit so partitions
+    # retain top-5 per (query, side) before the window exchange — and
+    # the corpus is scanned once, no open self-join
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_alpha_mix_single_source_shuffle(spark):
+    plan = plan_of(spark, "doc_alpha_mix")
+    # one narrow shuffle keyed on source, ONE corpus scan: the grand
+    # total is a window over the aggregated source table, not a CTE
+    # Catalyst would inline into a second full token-count scan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
