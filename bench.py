@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "doc_linear_classifier",
     "emb_contrastive_pairs",
     "doc_alpha_mix",
+    # round 6: SemDeDup (cluster-scoped semantic dedup over the
+    # persisted IVF index)
+    "emb_semdedup",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -6716,3 +6716,69 @@ _q(
     _sql(_alpha_mix_sql("spark"), rep=("documents",)),
     _alpha_mix_sql("duck"),
 )
+
+
+# =====================================================================
+# SemDeDup: cluster-scoped semantic dedup over embeddings
+# =====================================================================
+
+
+def _semdedup_body(engine: str, n: str, assign_src: str | None = None, tau: float = 0.2) -> str:
+    """Semantic dedup in the SemDeDup shape: assign every vector to its
+    k-means cluster (the SAME persisted IVF index the ANN gates use —
+    semantic dedup and IVF search share one offline clustering), then
+    compare pairs only WITHIN a cluster; a vector is dropped when some
+    lower-id cluster-mate sits above the cosine threshold. Emits one
+    row per vector: cluster id, max cosine to any lower-id cluster-mate
+    (NULL for the cluster's first vector), and the keep decision.
+
+    Scale shape: the only quadratic work is intra-cluster, which is the
+    algorithm's own definition; the join keys on cid so each cluster's
+    pairs stay in one task, and cluster size is bounded by the
+    clustering itself (at 100 TB you raise C so N/C stays ~1e4 —
+    re-clustering cost is the IVF build, already amortized as a
+    persisted artifact). max() is order-independent, so the per-vector
+    aggregate is hash-exact across engines."""
+    def cos(a, b):
+        return (
+            sim.spark_cosine_staged(a, b)
+            if engine == "spark"
+            else sim.duck_cosine_staged(a, b)
+        )
+
+    if assign_src is not None:
+        assign_cte = f"assign AS (SELECT vec_id, cid FROM {assign_src})"
+    else:
+        assign_cte = _ivf_assign_cte(engine, n)
+    return f"""
+{assign_cte},
+av AS (
+  SELECT a.cid, e.vec_id, e.demb, e.norm
+  FROM assign a JOIN {n} e ON e.vec_id = a.vec_id
+),
+mx AS (
+  SELECT b.vec_id, max({cos('u', 'b')}) AS max_cos_lower
+  FROM av b JOIN av u ON u.cid = b.cid AND u.vec_id < b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT v.vec_id, v.cid, m.max_cos_lower,
+  (m.max_cos_lower IS NULL OR m.max_cos_lower < {tau}) AS keep
+FROM av v LEFT JOIN mx m ON m.vec_id = v.vec_id
+ORDER BY v.vec_id
+"""
+
+
+def _run_semdedup(spark, sf_dir):
+    n = _emb_norm_view_for(spark, sf_dir)
+    _ivf_index_views(spark, sf_dir, n)
+    return spark.sql("WITH " + _semdedup_body("spark", n, assign_src="__ivf_assign"))
+
+
+_q(
+    "emb_semdedup",
+    _run_semdedup,
+    f"WITH n AS ({sim.duck_norm_stage_sql('embeddings')}),\n"
+    + sim.duck_kmeans_centroids_cte("n", sim.CENTROID_STRIDE)
+    + ",\n"
+    + _semdedup_body("duck", "n"),
+)

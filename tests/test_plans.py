@@ -516,3 +516,14 @@ def test_alpha_mix_single_source_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_intra_cluster_join_keys_on_cid(spark):
+    plan = plan_of(spark, "emb_semdedup")
+    # the quadratic pair work is confined WITHIN clusters: the pair
+    # join carries the cid equi-key (one task per cluster's pairs),
+    # and the assignment comes from the persisted IVF artifact scan —
+    # no open self-join over the whole embedding table
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.lower().count("ivf_assign") >= 1
