@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     # round 6: SemDeDup (cluster-scoped semantic dedup over the
     # persisted IVF index)
     "emb_semdedup",
+    # round 6: BPE tokenizer-training pair counts
+    "doc_bpe_pairs",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

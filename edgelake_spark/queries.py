@@ -6782,3 +6782,52 @@ _q(
     + ",\n"
     + _semdedup_body("duck", "n"),
 )
+
+
+# =====================================================================
+# Tokenizer training: BPE pair-frequency counting
+# =====================================================================
+
+
+def _bpe_pairs_sql(engine: str, topk: int = 20) -> str:
+    """The inner loop of BPE tokenizer training: count adjacent
+    character pairs across the corpus, weighted by word frequency —
+    the statistic whose argmax is the next merge rule. Emits the
+    top-{topk} pairs (total DESC, pair tie-break).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    token-keyed shuffle with map-side partial counts — the word
+    frequency table is vocabulary-bounded, not corpus-bounded), and
+    pair generation explodes distinct words only, weighted by freq;
+    the final shuffle keys on the pair (alphabet²-bounded). Both
+    post-scan stages are size-capped at any corpus scale — this is
+    why BPE training parallelizes: the corpus is touched once.
+    Exact integers end to end."""
+    if engine == "spark":
+        toks = f"SELECT explode({tx.spark_tokens('text')}) AS word FROM documents_rep"
+        prs = (
+            "SELECT explode(transform(sequence(1, length(word) - 1), "
+            "i -> substring(word, i, 2))) AS pair, freq FROM wv WHERE length(word) >= 2"
+        )
+    else:
+        toks = f"SELECT unnest({tx.duck_tokens('text')}) AS word FROM documents"
+        prs = (
+            "SELECT unnest([word[i:i+1] for i in range(1, length(word))]) AS pair, freq "
+            "FROM wv WHERE length(word) >= 2"
+        )
+    return f"""
+WITH w AS ({toks}),
+wv AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+pc AS ({prs})
+SELECT pair, CAST(sum(freq) AS BIGINT) AS total
+FROM pc GROUP BY pair
+ORDER BY total DESC, pair
+LIMIT {topk}
+"""
+
+
+_q(
+    "doc_bpe_pairs",
+    _sql(_bpe_pairs_sql("spark"), rep=("documents",)),
+    _bpe_pairs_sql("duck"),
+)

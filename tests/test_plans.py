@@ -527,3 +527,13 @@ def test_semdedup_intra_cluster_join_keys_on_cid(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.lower().count("ivf_assign") >= 1
+
+
+def test_bpe_pairs_vocab_bounded_stages(spark):
+    plan = plan_of(spark, "doc_bpe_pairs")
+    # corpus → vocabulary is a partial/final count (map-side combine
+    # before the token shuffle); pair counting explodes DISTINCT words
+    # only; the final top-k is a TakeOrdered, not a global sort
+    assert plan.count("HashAggregate") >= 4
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
