@@ -118,15 +118,35 @@ _STAGED = (
 
 
 def _verified_from_disk() -> frozenset:
-    """Union of gates that went fully green (rows+schema+hash) in any
-    recorded driver correctness run — they queue BEHIND never-verified
-    gates in the 50-slot window."""
+    """Gates whose CURRENT content fingerprint went fully green
+    (rows+schema+hash) in a recorded driver correctness run — they
+    queue BEHIND never-verified gates in the 50-slot window.
+
+    Keyed on (gate, fingerprint), not name alone (round-6 advice): a
+    gate edited after its last green run — Spark side or oracle side —
+    drops out of the verified set and automatically re-enters the
+    window. VERIFIED_GATES.json is regenerated per round by
+    tools/refresh_verified_gates.py from git history; if it is absent,
+    fall back to the historical name-keyed union so the driver contract
+    never breaks."""
     import glob
     import json
     import os
 
-    names = set(_R03_VERIFIED)
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "VERIFIED_GATES.json")) as fh:
+            verified_fps = json.load(fh)
+        from edgelake_spark.fingerprint import all_fingerprints
+
+        current = all_fingerprints()
+        return frozenset(
+            g for g, fp in current.items() if fp in verified_fps.get(g, ())
+        )
+    except (OSError, ValueError, ImportError):
+        pass
+
+    names = set(_R03_VERIFIED)
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:

@@ -1,0 +1,119 @@
+"""Content fingerprints for correctness gates.
+
+The driver's 50-slot correctness window is ordered by ``__spark_entry__``
+so never-verified gates run first. "Verified" used to be keyed on the
+gate NAME alone, which let an edited gate keep its verified status from
+a run against the OLD emission (round-6 advice, medium: events_profile
+was rewritten after its last green run and never re-checked). This
+module keys verification on *content*: a gate's fingerprint covers its
+DuckDB oracle SQL text and the Spark callable's code — compiled
+bytecode, constants, closure cells (where the dialect/SQL strings
+live), and directly referenced helper functions inside
+``edgelake_spark`` (depth-limited so an engine-wide refactor does not
+flood the window; the engine has its own pytest + plan-shape coverage).
+
+``VERIFIED_GATES.json`` at the repo root maps each gate to the list of
+fingerprints that were current when a driver CORRECTNESS run recorded
+it fully green (rows+schema+hash). A gate counts as verified only if
+its CURRENT fingerprint is in that list — editing a gate (Spark side or
+oracle side) automatically re-queues it for the next driver window.
+
+``tools/refresh_verified_gates.py`` regenerates the file from git
+history (one snapshot import per recorded round).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import types
+
+_MAX_DEPTH = 2  # gate fn -> direct helper fns; deeper layers are named only
+
+
+def _update_code(h, code: types.CodeType, seen: set, depth: int) -> None:
+    h.update(code.co_code)
+    h.update(repr(code.co_names).encode())
+    h.update(repr(code.co_varnames).encode())
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            _update_code(h, const, seen, depth)
+        else:
+            h.update(repr(const).encode())
+
+
+def _update_value(h, val, seen: set, depth: int) -> None:
+    """Hash a closure-cell / default value without ever repr()-ing an
+    object whose repr embeds a memory address."""
+    if isinstance(val, types.FunctionType):
+        _update_function(h, val, seen, depth)
+    elif isinstance(val, (str, bytes, int, float, bool, type(None))):
+        h.update(repr(val).encode())
+    elif isinstance(val, (tuple, list)):
+        h.update(f"<{type(val).__name__}:{len(val)}>".encode())
+        for item in val:
+            _update_value(h, item, seen, depth)
+    elif isinstance(val, dict):
+        h.update(f"<dict:{len(val)}>".encode())
+        for k, v in val.items():
+            _update_value(h, k, seen, depth)
+            _update_value(h, v, seen, depth)
+    elif isinstance(val, type):
+        h.update(f"<class {val.__module__}.{val.__qualname__}>".encode())
+    else:
+        h.update(f"<{type(val).__module__}.{type(val).__qualname__}>".encode())
+
+
+def _update_function(h, fn: types.FunctionType, seen: set, depth: int) -> None:
+    key = (fn.__module__, fn.__qualname__)
+    h.update(f"<fn {key[0]}.{key[1]}>".encode())
+    if key in seen or depth > _MAX_DEPTH:
+        return
+    seen.add(key)
+    _update_code(h, fn.__code__, seen, depth)
+    if fn.__defaults__:
+        for d in fn.__defaults__:
+            _update_value(h, d, seen, depth + 1)
+    if fn.__closure__:
+        for cell in fn.__closure__:
+            try:
+                _update_value(h, cell.cell_contents, seen, depth + 1)
+            except ValueError:  # empty cell
+                h.update(b"<empty-cell>")
+    # Direct helper functions referenced by name from edgelake_spark
+    # modules (e.g. a module-level _events_profile_spark referenced in
+    # the _q call). Classes/third-party modules are named only.
+    for name in fn.__code__.co_names:
+        ref = fn.__globals__.get(name)
+        if isinstance(ref, types.FunctionType) and (
+            ref.__module__ or ""
+        ).startswith("edgelake_spark"):
+            _update_function(h, ref, seen, depth + 1)
+
+
+def gate_fingerprint(name: str, spark_fn, oracle_sql: str | None) -> str:
+    """Stable content hash of one gate's (Spark callable, oracle SQL)."""
+    h = hashlib.sha256()
+    h.update(name.encode())
+    h.update(b"\x00")
+    h.update((oracle_sql or "<no-oracle>").encode())
+    h.update(b"\x00")
+    seen: set = set()
+    _update_value(h, spark_fn, seen, 0)
+    return h.hexdigest()
+
+
+def all_fingerprints() -> dict[str, str]:
+    from edgelake_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    return {
+        name: gate_fingerprint(name, fn, ORACLE_SQL.get(name))
+        for name, fn in SPARK_QUERIES.items()
+    }
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+
+    json.dump(all_fingerprints(), sys.stdout, indent=0, sort_keys=True)
+    sys.stdout.write("\n")

@@ -6687,7 +6687,15 @@ def _alpha_mix_sql(engine: str) -> str:
         tx.spark_bpe_count("text") if engine == "spark" else tx.duck_bpe_count("text")
     )
     docs = "documents_rep" if engine == "spark" else "documents"
-    share = "(CAST(n_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE))"
+    # zero-token guards (round-6 advice): a source whose documents all
+    # tokenize to zero tokens has share = 0 and sqrt(share)/share would
+    # be 0.0/0.0 — engine-specific NaN/Inf behavior, a hash-divergence
+    # risk on degenerate data. NULL on both engines instead; same for
+    # share itself when the whole corpus is empty (all_tokens = 0).
+    share = (
+        "(CASE WHEN all_tokens = 0 THEN NULL "
+        "ELSE CAST(n_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE) END)"
+    )
     return f"""
 WITH per_doc AS (
   SELECT source, {count} AS n_tok FROM {docs}
@@ -6705,7 +6713,7 @@ w AS (
 SELECT source, n_docs, n_tokens,
   {share} AS share,
   sqrt({share}) AS alpha_weight,
-  (sqrt({share}) / {share}) AS boost
+  (CASE WHEN n_tokens = 0 THEN NULL ELSE sqrt({share}) / {share} END) AS boost
 FROM w
 ORDER BY source
 """
