@@ -477,12 +477,16 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
             # one base doc formed 45-pair cliques — doc_winnow_pairs
             # output exploded 397 → 7.4 M rows (measured, round 6) and
             # doc_ngram_jaccard grew 110×. A rotated alphabet shares
-            # zero letter n-grams AND zero word tokens across replicas,
-            # while WITHIN a replica every similarity statistic (char
-            # jaccard, shingle sets, winnow fingerprints) is EXACTLY the
-            # base corpus's — translate is an isomorphism on the gram
-            # space — so every dedup family's pair count scales exactly
-            # linearly in replica count. Text length, token boundaries,
+            # essentially no letter n-grams and no word tokens across
+            # replicas (not exactly zero: Caesar rotations can collide
+            # when the base corpus contains both a gram g and its shift
+            # rot_d(g) — e.g. digit runs '123'/'234' — so replicas r and
+            # r+d share that gram; round-6 measurements show such
+            # collisions are negligible, making pair counts near-linear
+            # rather than exactly linear in replica count), while WITHIN
+            # a replica every similarity statistic (char jaccard,
+            # shingle sets, winnow fingerprints) is EXACTLY the base
+            # corpus's — translate is an isomorphism on the gram space. Text length, token boundaries,
             # and token counts are all preserved (digits/punctuation
             # pass through), so per-doc compute cost is unchanged.
             import string

@@ -2544,12 +2544,17 @@ ORDER BY id1, id2
 #: genuinely rare fingerprint — one shared by a handful of near-dup
 #: docs — keeps a CONSTANT df as the corpus grows (df rises with corpus
 #: size only for common/boilerplate grams, which the filter exists to
-#: exclude), so an absolute cap loses no recall; and only an absolute
-#: cap bounds the self-join: bucket pairs are C(df,2), so a relative
-#: cap (1% of docs) makes the pair join quadratic at the cap boundary —
-#: measured in round 6 as a 5 → 621 k pair explosion at 10× data when
-#: the rising cap unlocked base stop-grams. Same reason LSH band
-#: buckets are capped absolutely at 100 TB.
+#: exclude). The cap is NOT recall-free: it bounds the detectable
+#: clique size — a near-dup cluster of >5 docs has every shared
+#: fingerprint dropped (df > 5), so pairs inside such clusters are
+#: missed here and only surface via the MinHash/SimHash families, whose
+#: band buckets key on the whole signature rather than single grams.
+#: The trade is deliberate: only an absolute cap bounds the self-join —
+#: bucket pairs are C(df,2), so a relative cap (1% of docs) makes the
+#: pair join quadratic at the cap boundary — measured in round 6 as a
+#: 5 → 621 k pair explosion at 10× data when the rising cap unlocked
+#: base stop-grams. Same reason LSH band buckets are capped absolutely
+#: at 100 TB.
 _WINNOW_RARE = "SELECT fp FROM {x} GROUP BY fp HAVING count(*) <= 5"
 
 

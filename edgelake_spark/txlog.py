@@ -198,12 +198,21 @@ class TxTable:
         return self._publish(lambda prev: files, op, schema, meta,
                              partition_by=partition_by)
 
-    def append(self, df: DataFrame, partition_by: str | None = None,
+    def append(self, df: DataFrame, partition_by=_INHERIT,
                meta: dict | None = None) -> int:
-        if partition_by is None:
-            # appends into a partitioned table keep its layout (and path
-            # embedding) even when the caller doesn't restate it
+        """Append ``df``'s rows as new files. ``partition_by`` defaults
+        to inheriting the table's current layout (and path embedding) so
+        callers need not restate it; pass None explicitly to append an
+        unpartitioned batch into a partitioned table."""
+        if partition_by is self._INHERIT:
             partition_by = self.partition_by()
+        if partition_by and partition_by not in df.columns:
+            raise ValueError(
+                f"append inherits partition_by={partition_by!r} from the "
+                f"table's latest snapshot, but the DataFrame has no such "
+                f"column (columns: {df.columns}); pass partition_by=None "
+                f"to append unpartitioned"
+            )
         files, schema = self._stage(df, partition_by)
         return self._publish(
             lambda prev: sorted((prev or {}).get("files", []) + files),

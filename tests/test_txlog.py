@@ -411,3 +411,29 @@ def test_vacuum_spares_in_flight_stage(spark, tmp_path):
         "append", schema, None,
     )
     assert sorted(r.k for r in t.read(spark, version=v).collect()) == [1, 2]
+
+
+def test_append_partition_sentinel(spark, tmp_path):
+    """append() inherits the table's partition layout by default, but
+    partition_by=None still means "explicitly unpartitioned", and an
+    inherited layout with a missing partition column is a clear error
+    instead of a deep _stage failure (round-6 advice)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "2024-01-01")], "k int, _par_bucket string"),
+        partition_by="_par_bucket",
+    )
+
+    # inherited layout but the batch lacks the partition column → clear error
+    with pytest.raises(ValueError, match="_par_bucket"):
+        t.append(spark.createDataFrame([(2,)], "k int"))
+
+    # explicit None: unpartitioned append into the partitioned table
+    t.append(
+        spark.createDataFrame([(3, "2024-02-01")], "k int, _par_bucket string"),
+        partition_by=None,
+    )
+    m = t.manifest(t.latest_version())
+    new_files = [f for f in m["files"] if "_par_bucket=" not in f]
+    assert new_files, "explicit None should write unembedded files"
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3]
