@@ -166,6 +166,12 @@ BENCH_QUERIES = [
     "emb_semdedup",
     # round 6: BPE tokenizer-training pair counts
     "doc_bpe_pairs",
+    # round 7: mergeable sketches (HLL registers, Count-Min cells, KMV
+    # bottom-k) + gaps-and-islands maximal duplicated spans
+    "events_hll_distinct",
+    "doc_heavy_hitters",
+    "doc_kmv_jaccard",
+    "doc_dup_spans",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical
@@ -199,6 +205,8 @@ TIER1_CORE = frozenset({
     # streaming-adjacent / stats
     "events_ewma", "events_funnel", "events_quantiles",
     "multimodal_features",
+    # sketch family (register/cell/bottom-k merge plans)
+    "events_hll_distinct", "doc_heavy_hitters",
 })
 
 

@@ -1,0 +1,302 @@
+"""Mergeable sketch operators: HyperLogLog, Count-Min, KMV bottom-k.
+
+At 100 TB, exact DISTINCT / heavy-hitter / set-overlap queries shuffle
+the full key set; sketches bound the shuffled state to a fixed set of
+registers / cells / k samples that merge ASSOCIATIVELY — exactly the
+shape Spark's two-phase (partial → final) aggregation wants. Each
+builder here emits engine-templated SQL ("spark" | "duck") over the
+repo's md5 conventions (functions/dedup.py hex60) so both engines
+produce BIT-IDENTICAL sketches:
+
+- register indices, rho values, cells, and bottom-k ranks are pure
+  integer arithmetic (shifts, div/mod, bin-length for integer log2);
+- the few floating-point steps are single IEEE multiplies/divides of
+  values both engines hold exactly (integers < 2^53 and a shared
+  decimal literal parsed via CAST(.. AS DOUBLE)) — correctly rounded,
+  hence engine-independent. No libm (ln/pow) anywhere, for the same
+  reason bm25 uses a rational idf.
+
+The HLL estimator is the raw HyperLogLog form (Flajolet et al. 2007,
+alpha_m * m^2 * sum(2^-M)^-1) with the inverse-power sum carried as ONE
+BIGINT (sum of 2^(maxrho - M), max m * 2^maxrho = 2^61 < 2^63) so the
+register merge is an integer sum — order-independent across partitions,
+unlike a float sum. Bias corrections (linear counting) need ln(); they
+are presentation-side policy, deliberately left to the caller, so the
+gate output stays bit-exact.
+
+Reference parity: the reference engine has no sketch surface; this is
+part of the training-data/OLAP superset (SURVEY.md §2 "beyond the
+reference"), next to approx row-count estimation (admin.py `get rows
+count estimate`).
+"""
+
+from __future__ import annotations
+
+from edgelake_spark.functions import dedup as dd
+
+# ------------------------------------------------------------------ HLL
+
+#: HLL precision: p index bits -> m = 2^p registers.
+HLL_P = 9
+HLL_M = 1 << HLL_P
+#: hex60 leaves 60 - p bits of hash material for the rho ruler.
+_HLL_WBITS = 60 - HLL_P
+_HLL_MAXRHO = _HLL_WBITS + 1
+#: alpha_m * m^2 for the raw estimator, precomputed in Python so both
+#: engines parse the SAME decimal literal (CAST('..' AS DOUBLE) is
+#: correctly rounded on both).
+_HLL_AM2 = repr(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M)
+
+
+def hll_distinct_sql(engine: str, table: str, group: str, key: str) -> str:
+    """Per-``group`` HyperLogLog distinct-count estimate of ``key``,
+    emitted next to the exact count so the gate pins the estimator's
+    accuracy, not just its determinism.
+
+    Scale shape: one map-side hash per row; ONE shuffle on
+    (group, register-index) with partial max(rho) combine — at any
+    corpus size each group's state is ≤ m = 2^p BIGINTs, and registers
+    from different partitions/days/segments merge by max(), so the
+    sketch is also a storable per-partition artifact (sketch once,
+    re-aggregate forever). The exact count(DISTINCT) column is the
+    verification yardstick and would be dropped at 100 TB.
+    """
+    if engine == "spark":
+        h = f"md5(concat('hll:', CAST({key} AS STRING)))"
+        h60 = dd.spark_hex60(h)
+        idx = f"h60 div {1 << _HLL_WBITS}"
+        w = f"h60 % {1 << _HLL_WBITS}"
+        shift = f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAXRHO} - m)"
+    else:
+        h = f"md5('hll:' || CAST({key} AS VARCHAR))"
+        h60 = dd.duck_hex60(h)
+        idx = f"h60 // {1 << _HLL_WBITS}"
+        w = f"h60 % {1 << _HLL_WBITS}"
+        shift = f"(CAST(1 AS BIGINT) << ({_HLL_MAXRHO} - m))"
+    est = (
+        f"CAST('{_HLL_AM2}' AS DOUBLE) * CAST({1 << _HLL_MAXRHO} AS DOUBLE) "
+        f"/ CAST(sum_inv + ({HLL_M} - hit) * {1 << _HLL_MAXRHO} AS DOUBLE)"
+    )
+    return f"""
+WITH h AS (
+  SELECT {group} AS grp, {h60} AS h60 FROM {table}
+),
+r AS (
+  SELECT grp, {idx} AS idx, {w} AS w FROM h
+),
+reg AS (
+  -- rho = leading zeros of the {_HLL_WBITS}-bit suffix + 1; integer
+  -- log2 via bin-string length (exact on both engines)
+  SELECT grp, idx,
+         max(CASE WHEN w = 0 THEN {_HLL_MAXRHO}
+                  ELSE {_HLL_MAXRHO} - length(bin(w)) END) AS m
+  FROM r GROUP BY grp, idx
+),
+agg AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS hit,
+         CAST(sum({shift}) AS BIGINT) AS sum_inv
+  FROM reg GROUP BY grp
+),
+ex AS (
+  SELECT {group} AS grp, CAST(count(DISTINCT {key}) AS BIGINT) AS exact_distinct
+  FROM {table} GROUP BY {group}
+)
+SELECT agg.grp AS {group},
+       ex.exact_distinct,
+       {est} AS est_hll,
+       agg.hit AS registers_hit,
+       abs({est} - CAST(ex.exact_distinct AS DOUBLE))
+         / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+FROM agg JOIN ex ON ex.grp = agg.grp
+ORDER BY {group}
+"""
+
+
+# ------------------------------------------------------------ Count-Min
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_heavy_hitters_sql(engine: str, docs: str, topk: int = 20) -> str:
+    """Count-Min sketch over the corpus token frequencies, probed at the
+    exact top-``topk`` tokens: emits exact count, CMS estimate, and the
+    overcount (always ≥ 0 — CMS never underestimates), pinning both the
+    construction and the CMS error bound (≤ total_tokens / width per
+    row, min over depth rows).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    token-keyed shuffle with map-side partial counts), rows fan out
+    depth× over distinct words only, and the sketch aggregate is
+    ≤ depth × width cells — fixed-size state that merges by cell-wise
+    sum, so per-shard sketches combine without re-reading text. The
+    exact top-k CTE is the verification yardstick (vocabulary-bounded,
+    same cost class as doc_bpe_pairs' word-frequency table).
+    """
+    if engine == "spark":
+        toks = f"SELECT explode({_toks_spark()}) AS word FROM {docs}"
+        js = "explode(sequence(0, {d})) AS j".format(d=CMS_DEPTH - 1)
+        h = "md5(concat('cms', CAST(j AS STRING), ':', word))"
+        col = dd.spark_hex60(h) + f" % {CMS_WIDTH}"
+    else:
+        toks = f"SELECT unnest({_toks_duck()}) AS word FROM {docs}"
+        js = "unnest([{}]) AS j".format(", ".join(str(i) for i in range(CMS_DEPTH)))
+        h = "md5('cms' || CAST(j AS VARCHAR) || ':' || word)"
+        col = dd.duck_hex60(h) + f" % {CMS_WIDTH}"
+    return f"""
+WITH w AS ({toks}),
+wv AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+rows_j AS (SELECT word, freq, {js} FROM wv),
+cells AS (SELECT j, {col} AS col, word, freq FROM rows_j),
+sketch AS (
+  SELECT j, col, CAST(sum(freq) AS BIGINT) AS cell
+  FROM cells GROUP BY j, col
+),
+top AS (
+  SELECT word, freq FROM wv ORDER BY freq DESC, word LIMIT {topk}
+),
+probe AS (SELECT j, {col} AS col, word, freq
+          FROM (SELECT word, freq, {js} FROM top) p),
+est AS (
+  SELECT p.word, p.freq, CAST(min(s.cell) AS BIGINT) AS est_cms
+  FROM probe p JOIN sketch s ON s.j = p.j AND s.col = p.col
+  GROUP BY p.word, p.freq
+)
+SELECT word, freq AS exact_count, est_cms, est_cms - freq AS overcount
+FROM est
+ORDER BY exact_count DESC, word
+"""
+
+
+# --------------------------------------------------------- KMV bottom-k
+
+KMV_K = 128
+
+
+def kmv_dt_sql(engine: str, docs: str) -> str:
+    """The distinct (source, word-3-shingle) set — KMV's one
+    corpus-sized stage, split out so the Spark runner can materialize
+    it ONCE (localCheckpoint temp view): the downstream query reads it
+    from five places (sketch build, source list, sizes, both sides of
+    the intersection self-join), and CTE inlining would re-run the
+    explode+distinct pipeline per reference (measured 7.5 s at sf0.1;
+    0.9 s materialized). The shingle array is built INSIDE the explode
+    generator over staged tokens — exploding a pre-staged array column
+    defeats the Generate fusion (the round-6 8× rule, SCALE.md)."""
+    if engine == "spark":
+        toks = (
+            f"SELECT source, explode({dd.spark_shingles_over('toks')}) AS word "
+            f"FROM (SELECT source, {_toks_spark()} AS toks FROM {docs}) t0"
+        )
+    else:
+        toks = (
+            f"SELECT source, unnest({dd.duck_shingles_over('toks')}) AS word "
+            f"FROM (SELECT source, {_toks_duck()} AS toks FROM {docs}) t0"
+        )
+    return f"SELECT DISTINCT source, word FROM ({toks}) t"
+
+
+def kmv_jaccard_sql(engine: str, docs: str, dt_table: str | None = None) -> str:
+    """Pairwise source shingle-set Jaccard from KMV (bottom-k) sketches,
+    next to the exact Jaccard: for each source keep the k smallest
+    md5-hex60 values of its distinct word 3-shingles; for a pair, the
+    estimator is |bottom-k(union sketch) ∩ A ∩ B| / k' with k' = min(k,
+    |union sketch|) (Beyer et al. 2007). Hash ranks and memberships are
+    integers, so both engines agree bit-exactly. Shingles rather than
+    unigrams: the testdata corpus has a ~31-word closed vocabulary, so
+    every source's unigram set is identical (Jaccard 1.0) while the
+    3-gram sets genuinely differ — the same reason MinHash shingles.
+
+    Scale shape: ONE shingle-keyed shuffle builds the distinct
+    (source, shingle) set; a per-source window prunes to k rows, and
+    ALL pair logic runs on n_sources × k rows — the all-pairs
+    comparison never touches the corpus. The exact-Jaccard CTE is the
+    verification yardstick and gets the same discipline: intersections
+    come from a shingle-keyed equi self-join (fan-out ≤ C(df, 2) with
+    df ≤ n_sources per shingle) + inclusion-exclusion — a pairs×corpus
+    OR-join is a nested loop and measured 13 s at sf0.1 before this
+    shape. At 100 TB only the k-row sketches would be kept (they
+    merge: union of two sketches = bottom-k of concat).
+    """
+    if engine == "spark":
+        h = "md5(concat('kmv:', word))"
+        h60 = dd.spark_hex60(h)
+    else:
+        h = "md5('kmv:' || word)"
+        h60 = dd.duck_hex60(h)
+    if dt_table is None:
+        dt_cte = f"dt AS (\n  {kmv_dt_sql(engine, docs)}\n),\n"
+        dt = "dt"
+    else:
+        dt_cte = ""
+        dt = dt_table
+    return f"""
+WITH {dt_cte}hv AS (SELECT source, word, {h60} AS h FROM {dt}),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hv
+  ) r WHERE rn <= {KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM {dt}),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+member AS (
+  SELECT p.s1, p.s2, s.h,
+         max(CASE WHEN s.source = p.s1 THEN 1 ELSE 0 END) AS in1,
+         max(CASE WHEN s.source = p.s2 THEN 1 ELSE 0 END) AS in2
+  FROM pairs p JOIN sk s ON s.source = p.s1 OR s.source = p.s2
+  GROUP BY p.s1, p.s2, s.h
+),
+ranked AS (
+  SELECT s1, s2, in1, in2,
+         row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+  FROM member
+),
+est AS (
+  SELECT s1, s2,
+         CAST(sum(CASE WHEN rn <= {KMV_K} AND in1 = 1 AND in2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(least(max(rn), {KMV_K}) AS BIGINT) AS k_used
+  FROM ranked GROUP BY s1, s2
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM {dt} GROUP BY source
+),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_inter
+  FROM {dt} a JOIN {dt} b ON b.word = a.word AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+ex AS (
+  SELECT p.s1, p.s2,
+         coalesce(i.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+         sa.n + sb.n - coalesce(i.n_inter, CAST(0 AS BIGINT)) AS n_union
+  FROM pairs p
+  LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
+  JOIN sizes sa ON sa.source = p.s1
+  JOIN sizes sb ON sb.source = p.s2
+)
+SELECT e.s1, e.s2,
+       CAST(e.n_both AS DOUBLE) / CAST(e.k_used AS DOUBLE) AS jaccard_est,
+       CAST(x.n_inter AS DOUBLE) / CAST(x.n_union AS DOUBLE) AS jaccard_exact,
+       x.n_union, e.k_used
+FROM est e JOIN ex x ON x.s1 = e.s1 AND x.s2 = e.s2
+ORDER BY e.s1, e.s2
+"""
+
+
+def _toks_spark() -> str:
+    from edgelake_spark.functions import text as tx
+
+    return tx.spark_tokens("text")
+
+
+def _toks_duck() -> str:
+    from edgelake_spark.functions import text as tx
+
+    return tx.duck_tokens("text")

@@ -6844,3 +6844,154 @@ _q(
     _sql(_bpe_pairs_sql("spark"), rep=("documents",)),
     _bpe_pairs_sql("duck"),
 )
+
+
+# =====================================================================
+# Round 7: mergeable sketches (HLL / Count-Min / KMV bottom-k)
+#
+# The 100 TB answers to COUNT(DISTINCT), heavy hitters, and pairwise
+# set overlap: fixed-size, associatively-mergeable state instead of a
+# full-key shuffle. Construction is engine-templated integer SQL over
+# the repo md5 conventions (functions/sketch.py) so the DuckDB oracle
+# reproduces every register/cell/rank bit-exactly; each gate emits the
+# exact answer next to the estimate, pinning accuracy as data, not as
+# a tolerance.
+# =====================================================================
+
+from edgelake_spark.functions import sketch as sk  # noqa: E402
+
+# HLL distinct event_ids per event_type: 512 registers per group, one
+# (group, register) shuffle with partial max combine
+_q(
+    "events_hll_distinct",
+    _sql(sk.hll_distinct_sql("spark", "events", "event_type", "event_id")),
+    sk.hll_distinct_sql("duck", "events", "event_type", "event_id"),
+)
+
+# Count-Min heavy hitters over corpus tokens: 4x1024 cells, probed at
+# the exact top-20 so the overcount column pins the CMS error bound
+_q(
+    "doc_heavy_hitters",
+    _sql(sk.cms_heavy_hitters_sql("spark", "documents_rep"), rep=("documents",)),
+    sk.cms_heavy_hitters_sql("duck", "documents"),
+)
+
+# KMV bottom-k source shingle-set Jaccard: pair logic on k=128-row
+# sketches only; exact Jaccard alongside as the yardstick
+def _run_kmv_jaccard(spark, sf_dir):
+    """The distinct (source, shingle) table is read from five places in
+    the pair query; materialize it once (localCheckpoint — it is the
+    vocabulary-bounded distinct set, KBs per source) so Spark's CTE
+    inlining doesn't re-run the explode+distinct corpus pipeline per
+    reference. DuckDB materializes multi-referenced CTEs on its own."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    spark.sql(
+        sk.kmv_dt_sql("spark", "documents_rep")
+    ).localCheckpoint().createOrReplaceTempView("__kmv_dt")
+    return spark.sql(sk.kmv_jaccard_sql("spark", "", dt_table="__kmv_dt"))
+
+
+_q(
+    "doc_kmv_jaccard",
+    _run_kmv_jaccard,
+    sk.kmv_jaccard_sql("duck", "documents"),
+)
+
+
+def _dup_spans_sql(engine: str, docs: str, w: int = 8) -> str:
+    """Maximal duplicated-span detection — the exact-substring-dedup
+    shape of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") at w-token chunk granularity: positions of
+    chunks whose hash occurs in >1 document are merged into maximal
+    runs with a gaps-and-islands window (pos - row_number is constant
+    within a run), giving per-doc span count, longest span, and the
+    token fraction covered by duplicated spans. Suffix arrays find
+    character-exact boundaries; chunked hashing finds the same spans
+    quantized to w tokens with an embarrassingly parallel plan — the
+    standard distributed trade.
+
+    Scale shape: identical cost class to doc_dup_chunk_frac — map-side
+    chunking (the position+hash structs are built INSIDE the explode
+    generator: round-6 8× rule), ONE shuffle on the chunk hash for
+    document frequencies, a join back on the SAME key, then ONE window
+    partitioned by (doc_id, is_dup) merges runs for dup and non-dup
+    rows alike — so span stats and total chunk counts come from a
+    single aggregation pass instead of a third evaluation of the chunk
+    pipeline. No pair generation; linear in corpus tokens.
+    """
+    if engine == "spark":
+        toks = tx.spark_tokens("text")
+        chunks = (
+            f"transform(sequence(0, CAST(size(toks) / {w} AS INT) - 1), "
+            f"i -> md5(concat_ws(' ', slice(toks, i * {w} + 1, {w}))))"
+        )
+        nonempty = "size(toks)"
+        pos = (
+            f"SELECT doc_id, posexplode({chunks}) AS (i, h) "
+            f"FROM t WHERE {nonempty} >= {w}"
+        )
+    else:
+        toks = tx.duck_tokens("text")
+        structs = (
+            "[{'i': i, 'h': md5(array_to_string("
+            f"toks[i * {w} + 1 : i * {w} + {w}], ' '))}} "
+            f"for i in range(0, CAST(len(toks) // {w} AS INT))]"
+        )
+        nonempty = "len(toks)"
+        pos = (
+            f"SELECT doc_id, u.i AS i, u.h AS h FROM ("
+            f"SELECT doc_id, unnest({structs}) AS u "
+            f"FROM t WHERE {nonempty} >= {w}) s"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM {docs}
+),
+ch AS ({pos}),
+freq AS (
+  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ch GROUP BY h
+),
+marked AS (
+  SELECT ch.doc_id, ch.i,
+         CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM ch JOIN freq f ON f.h = ch.h
+),
+isl AS (
+  SELECT doc_id, is_dup,
+         i - row_number() OVER (PARTITION BY doc_id, is_dup ORDER BY i) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, is_dup, grp,
+         CAST(count(*) AS BIGINT) AS span_chunks
+  FROM isl GROUP BY doc_id, is_dup, grp
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(span_chunks) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         CAST(coalesce(max(CASE WHEN is_dup = 1 THEN span_chunks END),
+                       CAST(0 AS BIGINT)) AS BIGINT) AS max_span_chunks,
+         CAST(sum(CASE WHEN is_dup = 1 THEN span_chunks
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dup_chunks
+  FROM spans GROUP BY doc_id
+)
+SELECT doc_id, n_spans,
+       max_span_chunks * {w} AS max_span_tokens,
+       dup_chunks, n_chunks,
+       CAST(dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS dup_span_frac
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+# maximal duplicated spans (exact-substring dedup at chunk granularity):
+# gaps-and-islands over duplicated chunk positions — structure on top
+# of doc_dup_chunk_frac's scalar fraction
+_q(
+    "doc_dup_spans",
+    _sql(_dup_spans_sql("spark", "documents_rep"), rep=("documents",)),
+    _dup_spans_sql("duck", "documents"),
+)

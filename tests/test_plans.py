@@ -537,3 +537,45 @@ def test_bpe_pairs_vocab_bounded_stages(spark):
     assert plan.count("HashAggregate") >= 4
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_partial_final(spark):
+    plan = plan_of(spark, "events_hll_distinct")
+    # the register build is a partial/final max over (group, idx) —
+    # map-side combine bounds shuffled state at m rows per group — and
+    # the sketch/exact sides join at group granularity (5 rows): no
+    # full-key shuffle survives into the estimate
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_sketch_cell_bounded(spark):
+    plan = plan_of(spark, "doc_heavy_hitters")
+    # corpus → vocabulary is partial/final (map-side combine before the
+    # token shuffle); the probe joins the ≤ depth×width cell table on
+    # (j, col) equi-keys; top-k is a TakeOrdered, not a global sort
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_pair_logic_on_sketches_only(spark):
+    plan = plan_of(spark, "doc_kmv_jaccard")
+    # per-source bottom-k pruning happens BEFORE pair logic: the window
+    # that ranks hashes feeds a rn <= k filter, so the all-pairs join
+    # touches n_sources × k rows, never the corpus; no cartesian
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2
+    # the source-pair driver is tiny (n_sources²) — broadcast, and the
+    # OR-membership join is the bounded sketch side, not corpus-sized
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dup_spans_single_hash_shuffle_plus_window(spark):
+    plan = plan_of(spark, "doc_dup_spans")
+    # same cost class as doc_dup_chunk_frac: chunk-hash shuffle for the
+    # frequency table, join back on the SAME key, ONE per-doc window
+    # for the islands merge — no pair generation anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1

@@ -77,6 +77,11 @@ for name in [
     # buckets, year extraction) — the classic foreign-tz coupling
     "events_lag_corr",
     "orders_cohort_retention",
+    # round-7 sketches: the HLL estimate is the float-heaviest new
+    # surface (shared-literal parse + IEEE mult/div chain) — pin it
+    # in a bare foreign-tz session too
+    "events_hll_distinct",
+    "doc_kmv_jaccard",
 ]:
     df = queries[name](spark, SF)
     cols = df.columns
