@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "doc_heavy_hitters",
     "doc_kmv_jaccard",
     "doc_dup_spans",
+    # round 7: DSIR importance-resampling weights (integer log2 octaves)
+    "doc_dsir_weights",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

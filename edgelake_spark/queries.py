@@ -6995,3 +6995,84 @@ _q(
     _sql(_dup_spans_sql("spark", "documents_rep"), rep=("documents",)),
     _dup_spans_sql("duck", "documents"),
 )
+
+
+def _dsir_sql(engine: str, dim: int = 8192) -> str:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): rank raw documents
+    by how much more likely their hashed-n-gram features are under a
+    TARGET distribution (here lang='en' docs) than under the raw
+    corpus. The classical weight is exp(Σ_f log p_t(f)/p_r(f)); this
+    gate carries the sum in LOG2 OCTAVES with integer precision —
+    ilog2(x) = length(bin(x)) - 1 — so the per-feature term is
+      lr(f) = ilog2((c_t(f)+1)·(n_r+dim)) − ilog2((c_r(f)+1)·(n_t+dim))
+    (Laplace-smoothed, ±1 octave quantization) and a document's weight
+    is an exact BIGINT both engines agree on bit-for-bit, the same
+    no-libm trade doc_zipf_octaves makes for the Zipf slope.
+
+    Scale shape: identical to doc_linear_classifier — map-side
+    Generate featurization, ONE shuffle on the hashed feature id
+    (domain capped at {dim}), a broadcast of the tiny log-ratio table
+    back onto the feature stream, and one narrow doc_id shuffle to
+    finish. The count products stay < 2^63 while corpus token counts
+    are < 2^31; beyond that the products would stage as DECIMAL(38,0)
+    before the ilog2 (bin() of the integer part), same plan.
+    """
+    if engine == "spark":
+        tk = (
+            f"SELECT doc_id, (lang = 'en') AS is_t, "
+            f"{tx.spark_tokens('text')} AS toks FROM documents_rep"
+        )
+        fx = (
+            f"SELECT doc_id, is_t, {dd.spark_hex60('md5(ftxt)')} % {dim} AS f "
+            f"FROM tk LATERAL VIEW explode(concat(toks, "
+            f"{dd.spark_word_grams_over('toks', 2)})) _ex AS ftxt"
+        )
+    else:
+        tk = (
+            f"SELECT doc_id, (lang = 'en') AS is_t, "
+            f"{tx.duck_tokens('text')} AS toks FROM documents"
+        )
+        fx = (
+            f"SELECT doc_id, is_t, {dd.duck_hex60('md5(ftxt)')} % {dim} AS f "
+            f"FROM (SELECT doc_id, is_t, "
+            f"unnest(list_concat(toks, {dd.duck_word_grams_over('toks', 2)})) AS ftxt FROM tk)"
+        )
+    hint = "/*+ BROADCAST(lr) */ " if engine == "spark" else ""
+    return f"""
+WITH tk AS ({tk}),
+fx AS ({fx}),
+cnt AS (
+  SELECT f,
+    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+    CAST(count(*) AS BIGINT) AS c_r
+  FROM fx GROUP BY f
+),
+tot AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r
+  FROM cnt
+),
+lr AS (
+  SELECT f,
+         CAST(length(bin((c_t + 1) * (n_r + {dim}))) AS BIGINT)
+           - CAST(length(bin((c_r + 1) * (n_t + {dim}))) AS BIGINT) AS lr_oct
+  FROM cnt CROSS JOIN tot
+)
+SELECT {hint}fx.doc_id,
+  CAST(count(*) AS BIGINT) AS n_feat,
+  CAST(sum(lr.lr_oct) AS BIGINT) AS dsir_octaves,
+  CAST(sum(lr.lr_oct) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_octave
+FROM fx JOIN lr ON lr.f = fx.f
+GROUP BY fx.doc_id
+ORDER BY fx.doc_id
+"""
+
+
+# DSIR importance resampling weights in integer log2 octaves — the
+# target-vs-raw multiplicative companion to doc_linear_classifier's
+# additive rate-difference scores
+_q(
+    "doc_dsir_weights",
+    _sql(_dsir_sql("spark"), rep=("documents",)),
+    _dsir_sql("duck"),
+)

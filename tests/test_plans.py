@@ -579,3 +579,13 @@ def test_dup_spans_single_hash_shuffle_plus_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_dsir_log_ratio_table_broadcasts(spark):
+    plan = plan_of(spark, "doc_dsir_weights")
+    # same discipline as the linear classifier: the per-feature
+    # log-ratio table (domain-capped at 8192 ids) broadcasts onto the
+    # feature stream; training agg is partial/final on the feature id
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
