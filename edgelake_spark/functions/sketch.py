@@ -48,6 +48,17 @@ _HLL_MAXRHO = _HLL_WBITS + 1
 _HLL_AM2 = repr(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M)
 
 
+def hll_est_expr(sum_inv: str = "sum_inv", hit: str = "hit") -> str:
+    """The raw-HLL estimate over the aggregated register columns — a
+    shared-literal parse plus two IEEE ops (exact power-of-two scale,
+    then one correctly-rounded division), identical on both engines
+    and in the Python streaming operator."""
+    return (
+        f"CAST('{_HLL_AM2}' AS DOUBLE) * CAST({1 << _HLL_MAXRHO} AS DOUBLE) "
+        f"/ CAST({sum_inv} + ({HLL_M} - {hit}) * {1 << _HLL_MAXRHO} AS DOUBLE)"
+    )
+
+
 def hll_distinct_sql(engine: str, table: str, group: str, key: str) -> str:
     """Per-``group`` HyperLogLog distinct-count estimate of ``key``,
     emitted next to the exact count so the gate pins the estimator's
@@ -73,10 +84,7 @@ def hll_distinct_sql(engine: str, table: str, group: str, key: str) -> str:
         idx = f"h60 // {1 << _HLL_WBITS}"
         w = f"h60 % {1 << _HLL_WBITS}"
         shift = f"(CAST(1 AS BIGINT) << ({_HLL_MAXRHO} - m))"
-    est = (
-        f"CAST('{_HLL_AM2}' AS DOUBLE) * CAST({1 << _HLL_MAXRHO} AS DOUBLE) "
-        f"/ CAST(sum_inv + ({HLL_M} - hit) * {1 << _HLL_MAXRHO} AS DOUBLE)"
-    )
+    est = hll_est_expr()
     return f"""
 WITH h AS (
   SELECT {group} AS grp, {h60} AS h60 FROM {table}
@@ -110,6 +118,58 @@ SELECT agg.grp AS {group},
          / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
 FROM agg JOIN ex ON ex.grp = agg.grp
 ORDER BY {group}
+"""
+
+
+def hll_register_agg_sql(engine: str, table: str, group: str, key: str) -> str:
+    """The batch form of the STREAMING HLL monitor's per-key output:
+    (key, n_rows, registers_hit, sum_inv, est_hll). The streaming
+    operator (streaming/stateful.hll_stream) updates the identical
+    md5/hex60 registers row-at-a-time in Python, so a one-batch replay
+    must reproduce this aggregate bit-for-bit — registers are
+    order-independent (max), the inverse-power sum is an integer, and
+    the estimate is the same literal-parse + two IEEE ops."""
+    if engine == "spark":
+        h = f"md5(concat('hll:', CAST({key} AS STRING)))"
+        h60 = dd.spark_hex60(h)
+        idx = f"h60 div {1 << _HLL_WBITS}"
+        w = f"h60 % {1 << _HLL_WBITS}"
+        shift = f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAXRHO} - m)"
+        keycast = f"CAST({group} AS STRING)"
+    else:
+        h = f"md5('hll:' || CAST({key} AS VARCHAR))"
+        h60 = dd.duck_hex60(h)
+        idx = f"h60 // {1 << _HLL_WBITS}"
+        w = f"h60 % {1 << _HLL_WBITS}"
+        shift = f"(CAST(1 AS BIGINT) << ({_HLL_MAXRHO} - m))"
+        keycast = f"CAST({group} AS VARCHAR)"
+    return f"""
+WITH h AS (
+  SELECT {keycast} AS key, {h60} AS h60 FROM {table}
+),
+r AS (
+  SELECT key, {idx} AS idx, {w} AS w FROM h
+),
+reg AS (
+  SELECT key, idx,
+         max(CASE WHEN w = 0 THEN {_HLL_MAXRHO}
+                  ELSE {_HLL_MAXRHO} - length(bin(w)) END) AS m
+  FROM r GROUP BY key, idx
+),
+cnt AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_rows FROM h GROUP BY key
+),
+agg AS (
+  SELECT key,
+         CAST(count(*) AS BIGINT) AS hit,
+         CAST(sum({shift}) AS BIGINT) AS sum_inv
+  FROM reg GROUP BY key
+)
+SELECT agg.key, cnt.n_rows,
+       agg.hit AS registers_hit, agg.sum_inv,
+       {hll_est_expr()} AS est_hll
+FROM agg JOIN cnt ON cnt.key = agg.key
+ORDER BY agg.key
 """
 
 

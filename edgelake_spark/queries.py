@@ -7076,3 +7076,32 @@ _q(
     _sql(_dsir_sql("spark"), rep=("documents",)),
     _dsir_sql("duck"),
 )
+
+
+def _run_stream_hll(spark, sf_dir):
+    """Streaming HLL cardinality monitor
+    (streaming/stateful.hll_stream) replayed over events: per
+    event_type, the register array updates row-at-a-time in per-key
+    state with EXACTLY the batch gate's md5/hex60 math, so the
+    one-batch replay must reproduce the batch register aggregate
+    bit-for-bit (registers merge by max — order-independent; the
+    inverse-power sum is an integer; the estimate is the shared
+    literal-parse + two IEEE ops). The oracle is that batch aggregate
+    (functions/sketch.hll_register_agg_sql). This is the streaming
+    COUNT(DISTINCT) answer at the edge: O(m) state per key however
+    many distinct ids flow past."""
+    from edgelake_spark.streaming.stateful import hll_stream
+
+    stream = _replay(spark, sf_dir, "events")
+    _drain(hll_stream(stream, "event_type", value_col="event_id"), "__stream_hll")
+    return spark.sql(
+        "SELECT key, n_rows, registers_hit, sum_inv, est_hll "
+        "FROM __stream_hll ORDER BY key"
+    )
+
+
+_q(
+    "stream_hll_distinct",
+    _run_stream_hll,
+    sk.hll_register_agg_sql("duck", "events", "event_type", "event_id"),
+)

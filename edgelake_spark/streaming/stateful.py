@@ -347,3 +347,102 @@ def lsh_dedup_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- HLL distinct monitor
+
+HLL_OUTPUT = (
+    "key string, n_rows bigint, registers_hit bigint, "
+    "sum_inv bigint, est_hll double"
+)
+#: per-key state: the m HLL registers (rho fits in a byte; ints for
+#: state-store round-trip simplicity) — FIXED size regardless of how
+#: many distinct values the key has seen. This is the whole point:
+#: exact streaming COUNT(DISTINCT) state grows with cardinality, the
+#: sketch never does.
+HLL_STATE = "regs array<integer>, n bigint"
+
+
+def make_hll_fn(key_prefix: str = "hll:", value_col: str = "event_id"):
+    """Build the applyInPandasWithState function for a per-key
+    HyperLogLog cardinality monitor. Register math is BIT-IDENTICAL to
+    the batch SQL (functions/sketch.hll_register_agg_sql): md5 of
+    'hll:<value>', top HLL_P hex60 bits pick the register, rho =
+    leading zeros of the remaining bits + 1, registers merge by max —
+    so a one-batch replay reproduces the batch aggregate exactly, and
+    a restored checkpoint continues the same sketch."""
+    import hashlib
+
+    from edgelake_spark.functions.sketch import (
+        HLL_M,
+        HLL_P,
+        _HLL_AM2,
+        _HLL_MAXRHO,
+        _HLL_WBITS,
+    )
+
+    wmask = (1 << _HLL_WBITS) - 1
+    am2 = float(_HLL_AM2)
+    scale = float(1 << _HLL_MAXRHO)
+
+    def hll(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            regs, n = list(state.get[0]), int(state.get[1])
+        else:
+            regs, n = [0] * HLL_M, 0
+        for pdf in batches:
+            col = pdf[value_col]
+            n += len(col)
+            for v in col:
+                h = hashlib.md5(
+                    (key_prefix + str(v)).encode()
+                ).hexdigest()
+                h60 = int(h[:15], 16)
+                idx = h60 >> _HLL_WBITS
+                w = h60 & wmask
+                rho = _HLL_MAXRHO - w.bit_length() if w else _HLL_MAXRHO
+                if rho > regs[idx]:
+                    regs[idx] = rho
+        state.update((regs, n))
+        hit = sum(1 for r in regs if r)
+        sum_inv = sum(1 << (_HLL_MAXRHO - r) for r in regs if r)
+        est = am2 * scale / float(sum_inv + (HLL_M - hit) * (1 << _HLL_MAXRHO))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "n_rows": n,
+                    "registers_hit": hit,
+                    "sum_inv": sum_inv,
+                    "est_hll": est,
+                }
+            ]
+        )
+
+    return hll
+
+
+def hll_stream(
+    stream_df: DataFrame, key_col: str, value_col: str = "event_id"
+) -> DataFrame:
+    """Per-key streaming approximate-distinct monitor: emits one row per
+    key per micro-batch with the running register summary and estimate.
+    The edge-monitoring companion to the batch events_hll_distinct
+    gate — watch a stream's cardinality (distinct devices, distinct
+    users) with O(m) state per key and exactly-merged registers across
+    restarts (checkpointed state store)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withColumn("key", F.col(key_col).cast("string"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            make_hll_fn(value_col=value_col),
+            outputStructType=HLL_OUTPUT,
+            stateStructType=HLL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

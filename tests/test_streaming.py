@@ -303,3 +303,64 @@ def test_lsh_dedup_stream_flags_near_dups_across_batches(spark, tmp_path):
     assert verdicts[3] is False  # novel
     assert verdicts[10] is True  # near-dup caught across the batch gap
     assert verdicts[11] is False
+
+
+def test_hll_stream_merges_registers_across_batches(spark, tmp_path):
+    """The streaming HLL monitor must converge to the SAME sketch as a
+    batch build over the union of all batches — registers merge by max
+    regardless of arrival order or batch boundaries."""
+    import hashlib
+
+    from edgelake_spark.functions.sketch import HLL_M, _HLL_MAXRHO, _HLL_WBITS
+    from edgelake_spark.streaming.stateful import hll_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    ids1 = list(range(100))
+    ids2 = list(range(50, 220))  # overlaps batch 1 — dups must not bump
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"event_id": i, "event_type": "t"}) for i in ids1)
+    )
+    out = hll_stream(
+        spark.readStream.format("json").schema(schema).load(str(src)),
+        "event_type",
+        value_col="event_id",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b.json").write_text(
+            "\n".join(json.dumps({"event_id": i, "event_type": "t"}) for i in ids2)
+        )
+        q.processAllAvailable()
+        # the LAST update row per key carries the merged sketch
+        rows = spark.sql(
+            "select * from hll_out where n_rows = (select max(n_rows) from hll_out)"
+        ).collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    got = rows[0]
+
+    # reference sketch: batch build over the union, same md5 math
+    regs = [0] * HLL_M
+    wmask = (1 << _HLL_WBITS) - 1
+    for i in set(ids1) | set(ids2):
+        h60 = int(hashlib.md5(f"hll:{i}".encode()).hexdigest()[:15], 16)
+        idx, w = h60 >> _HLL_WBITS, h60 & wmask
+        rho = _HLL_MAXRHO - w.bit_length() if w else _HLL_MAXRHO
+        regs[idx] = max(regs[idx], rho)
+    assert got["n_rows"] == len(ids1) + len(ids2)
+    assert got["registers_hit"] == sum(1 for r in regs if r)
+    assert got["sum_inv"] == sum(1 << (_HLL_MAXRHO - r) for r in regs if r)
