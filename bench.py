@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "doc_dup_spans",
     # round 7: DSIR importance-resampling weights (integer log2 octaves)
     "doc_dsir_weights",
+    # round 7: two-level HLL rollup (daily register artifacts re-merge)
+    "events_hll_rollup",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -360,3 +360,72 @@ def _toks_duck() -> str:
     from edgelake_spark.functions import text as tx
 
     return tx.duck_tokens("text")
+
+
+def hll_rollup_sql(engine: str, table: str, group: str, key: str) -> str:
+    """Two-level HLL rollup — the property that makes sketches the
+    100 TB answer, asserted as DATA: build per-(group, day) register
+    tables (the pre-aggregated artifact a hypertable rollup would
+    store), merge the daily registers by max into per-group sketches,
+    and emit the merged estimate NEXT TO the direct single-pass
+    estimate. They are equal bit-for-bit (register max is associative;
+    the estimate is a pure function of the registers), so the gate's
+    value hash pins mergeability itself — any range of days can be
+    answered from stored daily sketches without rescanning rows.
+    """
+    if engine == "spark":
+        h = f"md5(concat('hll:', CAST({key} AS STRING)))"
+        h60 = dd.spark_hex60(h)
+        idx = f"h60 div {1 << _HLL_WBITS}"
+        w = f"h60 % {1 << _HLL_WBITS}"
+        shift = f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAXRHO} - m)"
+        day = "date_trunc('day', ts)"
+    else:
+        h = f"md5('hll:' || CAST({key} AS VARCHAR))"
+        h60 = dd.duck_hex60(h)
+        idx = f"h60 // {1 << _HLL_WBITS}"
+        w = f"h60 % {1 << _HLL_WBITS}"
+        shift = f"(CAST(1 AS BIGINT) << ({_HLL_MAXRHO} - m))"
+        day = "date_trunc('day', ts)"
+    rho = (
+        f"CASE WHEN w = 0 THEN {_HLL_MAXRHO} "
+        f"ELSE {_HLL_MAXRHO} - length(bin(w)) END"
+    )
+    return f"""
+WITH h AS (
+  SELECT {group} AS grp, {day} AS d, {idx} AS idx, {w} AS w
+  FROM (SELECT {group}, ts, {h60} AS h60 FROM {table}) x
+),
+daily AS (
+  -- the stored artifact: one register set per (group, day)
+  SELECT grp, d, idx, max({rho}) AS m
+  FROM h GROUP BY grp, d, idx
+),
+n_daily AS (
+  SELECT grp, CAST(count(DISTINCT d) AS BIGINT) AS n_days FROM daily GROUP BY grp
+),
+merged_reg AS (
+  SELECT grp, idx, max(m) AS m FROM daily GROUP BY grp, idx
+),
+merged AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS hit,
+         CAST(sum({shift}) AS BIGINT) AS sum_inv
+  FROM merged_reg GROUP BY grp
+),
+direct_reg AS (
+  SELECT grp, idx, max({rho}) AS m FROM h GROUP BY grp, idx
+),
+direct AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS hit,
+         CAST(sum({shift}) AS BIGINT) AS sum_inv
+  FROM direct_reg GROUP BY grp
+)
+SELECT m.grp AS {group}, nd.n_days,
+       {hll_est_expr('m.sum_inv', 'm.hit')} AS est_merged,
+       {hll_est_expr('dr.sum_inv', 'dr.hit')} AS est_direct,
+       CAST(m.sum_inv = dr.sum_inv AND m.hit = dr.hit AS BOOLEAN) AS registers_equal
+FROM merged m
+JOIN direct dr ON dr.grp = m.grp
+JOIN n_daily nd ON nd.grp = m.grp
+ORDER BY {group}
+"""

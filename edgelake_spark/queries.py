@@ -7105,3 +7105,13 @@ _q(
     _run_stream_hll,
     sk.hll_register_agg_sql("duck", "events", "event_type", "event_id"),
 )
+
+
+# two-level HLL rollup: per-day register artifacts re-aggregate to the
+# EXACT single-pass sketch (registers_equal pins associativity in the
+# value hash) — the pre-aggregated range-query pattern at 100 TB
+_q(
+    "events_hll_rollup",
+    _sql(sk.hll_rollup_sql("spark", "events", "event_type", "event_id")),
+    sk.hll_rollup_sql("duck", "events", "event_type", "event_id"),
+)

@@ -589,3 +589,13 @@ def test_dsir_log_ratio_table_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hll_rollup_two_level_partial_final(spark):
+    plan = plan_of(spark, "events_hll_rollup")
+    # daily registers, merged registers, and direct registers are all
+    # partial/final max aggregations; the final joins run at group
+    # granularity (5 rows) — nothing quadratic, no nested loops
+    assert plan.count("HashAggregate") >= 6
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
