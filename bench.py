@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "doc_dsir_weights",
     # round 7: two-level HLL rollup (daily register artifacts re-merge)
     "events_hll_rollup",
+    # round 7: distributed PCA (Gram accumulation + power iterations)
+    "emb_pca_power",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

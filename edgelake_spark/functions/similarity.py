@@ -293,3 +293,149 @@ def duck_srp_probes(key: str) -> str:
         f"list_prepend({key}, [xor({key}, 1::BIGINT << j) "
         f"for j in range(0, {SRP_BITS})])"
     )
+
+
+# ------------------------------------------------------- distributed PCA
+
+
+def pca_cov_sql(engine: str, table: str, dim: int = 64) -> str:
+    """The covariance table (i, j, c, mu_i) — PCA's one corpus-sized
+    stage, split out so the Spark runner can materialize it ONCE
+    (localCheckpoint): the power-iteration SQL reads `cov` from seven
+    places (four matvecs, Rayleigh matvec, trace, v0 domain), and CTE
+    inlining would re-run the N·dim² Gram pipeline per reference."""
+    q = "1099511627776.0"  # 2^40, exact in double
+    ds = (
+        "(CAST(SUM(CAST(floor(({x}) * " + q + ") AS BIGINT)) AS DOUBLE) / " + q + ")"
+    )
+    if engine == "spark":
+        long_src = (
+            f"SELECT vec_id, pos AS i, CAST(v AS DOUBLE) AS v "
+            f"FROM (SELECT vec_id, posexplode(embedding) AS (pos, v) FROM {table})"
+        )
+    else:
+        long_src = (
+            f"SELECT vec_id, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v "
+            f"FROM {table} CROSS JOIN generate_series(1, {dim}) g(i)"
+        )
+    return f"""
+WITH long AS ({long_src}),
+nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM long),
+mu AS (
+  SELECT i, {ds.format(x='v')} / CAST(nn.n AS DOUBLE) AS mu
+  FROM long CROSS JOIN nn GROUP BY i, nn.n
+),
+gram AS (
+  SELECT a.i AS i, b.i AS j, {ds.format(x='a.v * b.v')} AS g
+  FROM long a JOIN long b ON b.vec_id = a.vec_id
+  GROUP BY a.i, b.i
+)
+SELECT g.i, g.j,
+       (g.g - CAST(nn.n AS DOUBLE) * mi.mu * mj.mu) / CAST(nn.n AS DOUBLE) AS c,
+       mi.mu AS mu_i
+FROM gram g
+JOIN mu mi ON mi.i = g.i
+JOIN mu mj ON mj.i = g.j
+CROSS JOIN nn
+"""
+
+
+def pca_power_sql(
+    engine: str,
+    table: str,
+    dim: int = 64,
+    iters: int = 4,
+    cov_table: str | None = None,
+) -> str:
+    """Top principal component of the embedding cloud by Gram-matrix
+    accumulation + ``iters`` unrolled power-method steps — the
+    distributed PCA shape (embedding whitening / drift decomposition /
+    low-rank probes): the ONLY corpus-sized stage is the (i, j) product
+    aggregation, whose shuffled state is dim² cells thanks to map-side
+    partial aggregation; every later step (covariance, matvecs,
+    normalizations, Rayleigh quotient) runs on ≤ dim² rows.
+
+    Cross-engine determinism: every sum is staged as FIXED-POINT
+    floor(x · 2^40) BIGINTs — NOT decimal: double→DECIMAL casts round
+    HALF_UP on the shortest repr in Spark but HALF_EVEN on the exact
+    binary value in DuckDB, and float32-sourced data hits exact ties
+    routinely (this dataset: embedding[2][37] = 0.1983642578125, a
+    dyadic rational whose repr ends in '5' at digit 13 — decimal
+    staging diverged in the last place). floor after one exact-rounded
+    multiply has no tie cases, integer sums are order-independent, and
+    the 2^-40 per-term quantization is far below the estimate's
+    accuracy. Each later product/divide is a single correctly-rounded
+    IEEE op in the same order on both engines; the power-iteration
+    init is the exact binary constant 1/8; sqrt is IEEE-exact.
+
+    At 100 TB: the long-form explode is linear in N·dim; the Gram
+    aggregate is the one shuffle (≤ dim² × partitions partial rows);
+    power iterations are free. This is why PCA-style probes run fine as
+    SQL — the data-sized work is a single self-joined aggregation.
+
+    Plan-size discipline: every CTE in the iteration chain is
+    referenced EXACTLY ONCE (normalization is a window sum over the
+    matvec output instead of a cross-joined scalar; the tail picks the
+    eigvec component off the covariance DIAGONAL inside the final
+    matvec aggregate) — a vK referenced twice doubles the inlined plan
+    per iteration, 2^iters blow-up, measured as seconds of pure
+    planning per run. The covariance table is the one multi-referenced
+    input: the Spark runner materializes it (localCheckpoint) and the
+    DuckDB form declares it AS MATERIALIZED.
+    """
+    q = "1099511627776.0"  # 2^40, exact in double
+    ds = (
+        "(CAST(SUM(CAST(floor(({x}) * " + q + ") AS BIGINT)) AS DOUBLE) / " + q + ")"
+    )
+    wds = (
+        "(CAST(SUM(CAST(floor(({x}) * " + q + ") AS BIGINT)) OVER () AS DOUBLE) / "
+        + q + ")"
+    )
+    if cov_table is None:
+        mat = " MATERIALIZED" if engine == "duck" else ""
+        cov_cte = f"cov AS{mat} ({pca_cov_sql(engine, table, dim)}),\n"
+        cov = "cov"
+    else:
+        cov_cte = ""
+        cov = cov_table
+    # unrolled power iterations: vK = normalize(C vK-1); the window-sum
+    # normalization keeps each rK referenced once (single-path chain)
+    its = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        its.append(
+            f"""r{k} AS (
+  SELECT c.i, {ds.format(x='c.c * p.v')} AS r
+  FROM {cov} c JOIN {prev} p ON p.i = c.j
+  GROUP BY c.i
+),
+v{k} AS (SELECT i, r / sqrt({wds.format(x='r * r')}) AS v FROM r{k})"""
+        )
+        prev = f"v{k}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH {cov_cte}mud AS (SELECT i, mu_i AS mu FROM {cov} WHERE i = j),
+v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM mud),
+{its_sql},
+wv AS (
+  -- final matvec w = C v, with v_i picked off the diagonal cell so the
+  -- last iterate is referenced exactly once
+  SELECT c.i, {ds.format(x='c.c * p.v')} AS w,
+         max(CASE WHEN c.j = c.i THEN p.v END) AS v
+  FROM {cov} c JOIN {prev} p ON p.i = c.j
+  GROUP BY c.i
+),
+s1 AS (SELECT i, w, v, {wds.format(x='w * v')} AS lambda1 FROM wv),
+s2 AS (
+  SELECT i, w, v, lambda1,
+         sqrt({wds.format(x='(w - lambda1 * v) * (w - lambda1 * v)')}) AS resid
+  FROM s1
+),
+tr AS (SELECT {ds.format(x='c')} AS trace FROM {cov} WHERE i = j)
+SELECT CAST(s2.i AS BIGINT) AS dim, mud.mu, s2.v AS pc1_loading,
+       s2.lambda1, s2.lambda1 / tr.trace AS var_share, s2.resid
+FROM s2
+JOIN mud ON mud.i = s2.i
+CROSS JOIN tr
+ORDER BY dim
+"""

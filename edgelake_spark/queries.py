@@ -7115,3 +7115,25 @@ _q(
     _sql(sk.hll_rollup_sql("spark", "events", "event_type", "event_id")),
     sk.hll_rollup_sql("duck", "events", "event_type", "event_id"),
 )
+
+
+# distributed PCA: Gram-matrix accumulation (the ONE corpus-sized
+# shuffle, bounded at dim² cells by map-side partials) + four unrolled
+# power-method steps, fixed-point-staged end to end
+def _run_pca_power(spark, sf_dir):
+    """The covariance table is read from seven places in the iteration
+    SQL; materialize it once (localCheckpoint, dim² = 4096 rows) so CTE
+    inlining doesn't re-run the N·dim² Gram pipeline per reference."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    spark.sql(
+        sim.pca_cov_sql("spark", "embeddings_rep")
+    ).localCheckpoint().createOrReplaceTempView("__pca_cov")
+    return spark.sql(sim.pca_power_sql("spark", "", cov_table="__pca_cov"))
+
+
+_q(
+    "emb_pca_power",
+    _run_pca_power,
+    sim.pca_power_sql("duck", "embeddings"),
+)

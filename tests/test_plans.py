@@ -599,3 +599,16 @@ def test_hll_rollup_two_level_partial_final(spark):
     assert plan.count("HashAggregate") >= 6
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_gram_partial_final_dim_bounded(spark):
+    plan = plan_of(spark, "emb_pca_power")
+    # the Gram accumulation happened in the runner (materialized cov
+    # view); the iteration plan aggregates/joins ≤ dim²-row tables with
+    # partial/final matvec aggregates and window normalizations — no
+    # cartesian over data (the one BroadcastNestedLoopJoin is the 1-row
+    # trace scalar cross-join, the standard denominator pattern)
+    assert plan.count("HashAggregate") >= 6
+    assert plan.count("Window") >= 4
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
