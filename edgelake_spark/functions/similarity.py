@@ -85,7 +85,7 @@ def duck_cosine_staged(a: str, b: str) -> str:
 # --- k-means centroid refinement (the IVF scale path) -----------------
 #
 # The IVF gate's centroids come FROM kmeans_refine (stride init + one
-# decimal-staged Lloyd round); the DuckDB oracle reproduces the round
+# fixed-point-staged Lloyd round); the DuckDB oracle reproduces the round
 # bit-for-bit (duck_kmeans_centroids_cte), so the real k-means code is
 # hash-verified. This is Lloyd's iteration as pure DataFrame ops:
 # assign (N×C broadcast join, C small) → mean per cluster (one shuffle
@@ -106,11 +106,19 @@ def kmeans_refine(spark, vectors, iters: int = 2, stride: int = 47):
     DataFrame(centroid_id long, centroid array<double>) after ``iters``
     Lloyd rounds from the stride-subset initialization.
 
-    Per-cluster means go through DECIMAL(38,18) partial sums (exact,
-    order-independent) then ONE cast back to double — so refined
-    centroids are bit-identical across partition orders AND engines,
-    letting the IVF gate oracle (duck_kmeans_centroids_cte) reproduce
-    them exactly."""
+    Per-cluster means go through FIXED-POINT floor(x · 2^40) BIGINT
+    partial sums (exact, order-independent, and tie-free) then ONE cast
+    back to double — so refined centroids are bit-identical across
+    partition orders AND engines, letting the IVF gate oracle
+    (duck_kmeans_centroids_cte) reproduce them exactly. Previously
+    DECIMAL(38,18): that only held by luck — Spark casts double→decimal
+    by rounding the shortest repr HALF_UP while DuckDB rounds the exact
+    binary value HALF_EVEN, and float32-sourced doubles routinely need
+    >18 digits, so individual staged values DO differ in the last
+    place (the same finding pca_power_sql documents); the gates stayed
+    green only because centroid ULPs never flipped a probe assignment.
+    floor after one exact-rounded multiply has no rounding step at
+    all."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
     cents = (
@@ -155,7 +163,9 @@ def kmeans_refine(spark, vectors, iters: int = 2, stride: int = 47):
             )
             .groupBy("centroid_id", "__i")
             .agg(
-                F.sum(F.col("__x").cast("decimal(38,18)")).alias("__s"),
+                F.sum(
+                    F.floor(F.col("__x") * F.lit(1099511627776.0)).cast("bigint")
+                ).alias("__s"),
                 F.count("*").alias("__n"),
             )
             .groupBy("centroid_id")
@@ -166,6 +176,7 @@ def kmeans_refine(spark, vectors, iters: int = 2, stride: int = 47):
                             "__i",
                             (
                                 F.col("__s").cast("double")
+                                / F.lit(1099511627776.0)
                                 / F.col("__n").cast("double")
                             ).alias("__m"),
                         )
@@ -184,9 +195,11 @@ def kmeans_refine(spark, vectors, iters: int = 2, stride: int = 47):
 def duck_kmeans_centroids_cte(n: str, stride: int = 47) -> str:
     """DuckDB CTE chain reproducing ONE kmeans_refine Lloyd round
     bit-for-bit: same stride init, same index-order squared-L2 fold,
-    same (d2, cid) tie-break, same DECIMAL(38,18)-staged means. Emitted
-    WITHOUT a leading WITH; defines ``centroids(cid, demb, norm)`` with
-    norms per the staged convention (duck_norm_stage_sql)."""
+    same (d2, cid) tie-break, same fixed-point floor(x·2^40)-staged
+    means (see kmeans_refine for why decimal staging is NOT
+    cross-engine safe). Emitted WITHOUT a leading WITH; defines
+    ``centroids(cid, demb, norm)`` with norms per the staged
+    convention (duck_norm_stage_sql)."""
     d2 = (
         "list_sum([((e.demb)[i] - (c.demb)[i]) * ((e.demb)[i] - (c.demb)[i]) "
         "for i in range(1, len(e.demb) + 1)])"
@@ -207,7 +220,8 @@ kcomp AS (
 ),
 kmean AS (
   SELECT cid, i,
-    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+    CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+      / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS m
   FROM kcomp GROUP BY cid, i
 ),
 kcent AS (

@@ -729,8 +729,11 @@ def _ivf_assign_path(sf_dir: str) -> str:
 
     src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
     st = _os.stat(src)
+    # I2: centroid means moved from DECIMAL(38,18) to fixed-point
+    # floor(x·2^40) staging (see kmeans_refine) — new centroids, so old
+    # assignments must not be reused
     tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:S{sim.CENTROID_STRIDE}:I1".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:S{sim.CENTROID_STRIDE}:I2".encode()
     ).hexdigest()[:12]
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     return _os.path.join(repo, "spark-warehouse", f"ivf_assign_{tag}")
