@@ -219,3 +219,61 @@ def duck_winnow_fps_over(hs: str) -> str:
         f"list_distinct([list_min(({hs})[p:p+{w - 1}]) "
         f"for p in range(1, greatest(len({hs}) - {w - 1}, 1) + 1)])"
     )
+
+
+# ------------------------------------------------------- BPE training
+
+
+def bpe_train_merges(word_freqs, n_merges: int = 10):
+    """Train byte-pair-encoding merge rules over a (word, freq)
+    vocabulary (Sennrich et al. 2016): repeatedly count weighted
+    adjacent-symbol pairs, pick the most frequent (ties broken
+    lexicographically — fully deterministic), and fuse it everywhere.
+
+    This is the DRIVER-SIDE half of distributed BPE training, and it is
+    driver-side on purpose: the corpus collapses to its vocabulary in
+    ONE Spark aggregation (the only corpus-sized stage — what
+    doc_bpe_pairs measures), and every production trainer
+    (HF tokenizers, SentencePiece) then iterates over that
+    vocabulary-bounded table in memory, because each merge rule depends
+    on the table REWRITTEN by all previous rules — an inherently
+    sequential recurrence. Same boundedness argument as the
+    connected-components union-find (functions/dedup.py).
+
+    Returns [(rank, left, right, merged, pair_freq), ...].
+    """
+    vocab = {}
+    for word, freq in word_freqs:
+        syms = tuple(word)
+        if len(syms) >= 2:
+            vocab[syms] = vocab.get(syms, 0) + int(freq)
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        # max by (freq, reversed-lex): the LOWEST pair wins ties so the
+        # rule order is reproducible across runs and engines
+        (left, right), best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merged = left + right
+        merges.append((rank, left, right, merged, best))
+        new_vocab = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + freq
+        vocab = new_vocab
+    return merges

@@ -7140,3 +7140,31 @@ _q(
     _run_pca_power,
     sim.pca_power_sql("duck", "embeddings"),
 )
+
+
+def _run_bpe_train(spark, sf_dir, n_merges: int = 10):
+    """Distributed BPE training (Sennrich et al. 2016): Spark collapses
+    the corpus to its (word, freq) vocabulary — the ONE corpus-sized
+    stage, a token-keyed shuffle with map-side partial counts — and the
+    merge recurrence runs over that vocabulary-bounded table
+    (tx.bpe_train_merges; see its docstring for why the recurrence is
+    driver-side in every production trainer). Output is the ordered
+    merge table a tokenizer ships: genuinely iterative, so no SQL
+    oracle exists (driver records the rows-only check); determinism and
+    known-corpus correctness are pinned by tests/test_bpe_train.py."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    wv = spark.sql(
+        f"SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ("
+        f"SELECT explode({tx.spark_tokens('text')}) AS word "
+        f"FROM documents_rep) t GROUP BY word"
+    ).collect()
+    merges = tx.bpe_train_merges([(r["word"], r["freq"]) for r in wv], n_merges)
+    return spark.createDataFrame(
+        merges,
+        "rank bigint, left_sym string, right_sym string, "
+        "merged string, pair_freq bigint",
+    ).orderBy("rank")
+
+
+_q("doc_bpe_train", _run_bpe_train, None)
