@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "events_hll_rollup",
     # round 7: distributed PCA (Gram accumulation + power iterations)
     "emb_pca_power",
+    # round 7: triangle counts over the persisted near-dup pair graph
+    "doc_dedup_triangles",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -7168,3 +7168,50 @@ def _run_bpe_train(spark, sf_dir, n_merges: int = 10):
 
 
 _q("doc_bpe_train", _run_bpe_train, None)
+
+
+_TRIANGLE_BODY = """
+tri AS (
+  -- oriented enumeration: a < b < c holds because the pair table is
+  -- canonical (id1 < id2), so each triangle is found exactly once and
+  -- every join is an equi-join on edge endpoints
+  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+  FROM {e} e1
+  JOIN {e} e2 ON e2.id1 = e1.id2
+  JOIN {e} e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2
+),
+members AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b AS doc_id FROM tri
+  UNION ALL SELECT c AS doc_id FROM tri
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY doc_id
+ORDER BY n_triangles DESC, doc_id
+LIMIT 20
+"""
+
+
+def _run_dedup_triangles(spark, sf_dir):
+    """Triangle counts over the near-dup pair graph (the persisted
+    MinHash pair artifact): triangles measure how CLIQUE-LIKE a dup
+    cluster is — transitive near-dup groups (true template families)
+    triangulate heavily, while chains of borderline pairs don't, so
+    this is the standard graph-quality probe run before trusting
+    connected components as dedup clusters.
+
+    Scale shape: the canonical (id1 < id2) orientation makes each
+    triangle discoverable exactly once via two equi-joins on edge
+    endpoints — the classic distributed triangle enumeration; join
+    fan-out is bounded by per-node dup degree, not corpus size, and
+    the input is the already-persisted pair artifact."""
+    _pairs_view(spark, sf_dir)
+    return spark.sql("WITH " + _TRIANGLE_BODY.format(e="__mh_pairs"))
+
+
+_q(
+    "doc_dedup_triangles",
+    _run_dedup_triangles,
+    f"WITH e AS MATERIALIZED ({ORACLE_SQL['doc_minhash_pairs']}),"
+    + _TRIANGLE_BODY.format(e="e"),
+)

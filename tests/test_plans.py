@@ -612,3 +612,11 @@ def test_pca_gram_partial_final_dim_bounded(spark):
     assert plan.count("Window") >= 4
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_triangles_equi_joins_only(spark):
+    plan = plan_of(spark, "doc_dedup_triangles")
+    # oriented (id1 < id2) enumeration: both closing joins are
+    # equi-joins on edge endpoints — no nested loop over the pair set
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
