@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "emb_pca_power",
     # round 7: triangle counts over the persisted near-dup pair graph
     "doc_dedup_triangles",
+    # round 7: Z-order (Morton) clustering locality profile
+    "events_zorder_cells",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -7215,3 +7215,51 @@ _q(
     f"WITH e AS MATERIALIZED ({ORACLE_SQL['doc_minhash_pairs']}),"
     + _TRIANGLE_BODY.format(e="e"),
 )
+
+
+def _zorder_cells_sql(engine: str) -> str:
+    """Z-order locality profile of events on (user_id, hour): each
+    2^12-key Morton cell's row count and per-dimension bounds — the
+    numbers a clustering layout job reads to size files. Every cell's
+    (x, y) bounds form a SMALL RECTANGLE (that is the point of the
+    curve: interleaved bits ⇒ contiguous key ranges are spatially
+    local), which is what lets row-group stats prune 2-D predicates
+    after a z-sorted write (functions/zorder.py; pruning measured in
+    tests/test_zorder.py).
+
+    Scale shape: the key is a map-side integer expression; ONE
+    cell-keyed aggregate with partial combine. At 100 TB the same
+    expression feeds a repartitionByRange(z) write — the layout job is
+    a sort, not a shuffle-join."""
+    from edgelake_spark.functions import zorder as zo
+
+    if engine == "spark":
+        hour = "(unix_micros(ts) div 1000000) div 3600"
+        cell = "z div 4096"
+    else:
+        hour = "(epoch_us(ts) // 1000000) // 3600"
+        cell = "z // 4096"
+    x = "(user_id & 65535)"
+    y = f"(({hour}) & 65535)"
+    return f"""
+WITH k AS (
+  SELECT CAST({zo.zorder16_expr(engine, x, y)} AS BIGINT) AS z,
+         user_id, CAST({hour} AS BIGINT) AS hr
+  FROM events
+)
+SELECT CAST({cell} AS BIGINT) AS zcell,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(user_id) AS BIGINT) AS x_min,
+       CAST(max(user_id) AS BIGINT) AS x_max,
+       min(hr) AS y_min, max(hr) AS y_max
+FROM k
+GROUP BY 1
+ORDER BY zcell
+"""
+
+
+_q(
+    "events_zorder_cells",
+    _sql(_zorder_cells_sql("spark")),
+    _zorder_cells_sql("duck"),
+)
