@@ -429,3 +429,33 @@ JOIN direct dr ON dr.grp = m.grp
 JOIN n_daily nd ON nd.grp = m.grp
 ORDER BY {group}
 """
+
+
+def cms_cells_sql(engine: str, docs: str, min_cell: int = 500) -> str:
+    """The Count-Min sketch CELLS themselves (j, col, cell ≥ min_cell) —
+    the batch form of the STREAMING CMS monitor's state
+    (streaming/stateful.cms_cells_stream): cells are sums keyed on
+    md5-derived (row, column), so a one-batch replay must reproduce
+    this table bit-for-bit, and per-shard sketches merge by cell-wise
+    addition. Emitting only heavy cells keeps the output the part a
+    monitor actually watches (light cells are noise floor)."""
+    if engine == "spark":
+        toks = f"SELECT explode({_toks_spark()}) AS word FROM {docs}"
+        js = "explode(sequence(0, {d})) AS j".format(d=CMS_DEPTH - 1)
+        h = "md5(concat('cms', CAST(j AS STRING), ':', word))"
+        col = dd.spark_hex60(h) + f" % {CMS_WIDTH}"
+    else:
+        toks = f"SELECT unnest({_toks_duck()}) AS word FROM {docs}"
+        js = "unnest([{}]) AS j".format(", ".join(str(i) for i in range(CMS_DEPTH)))
+        h = "md5('cms' || CAST(j AS VARCHAR) || ':' || word)"
+        col = dd.duck_hex60(h) + f" % {CMS_WIDTH}"
+    return f"""
+WITH w AS ({toks}),
+rows_j AS (SELECT word, {js} FROM w),
+cells AS (SELECT CAST(j AS BIGINT) AS j, {col} AS col FROM rows_j)
+SELECT j, CAST(col AS BIGINT) AS col, CAST(count(*) AS BIGINT) AS cell
+FROM cells
+GROUP BY j, col
+HAVING count(*) >= {min_cell}
+ORDER BY j, col
+"""

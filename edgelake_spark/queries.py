@@ -7263,3 +7263,26 @@ _q(
     _sql(_zorder_cells_sql("spark")),
     _zorder_cells_sql("duck"),
 )
+
+
+def _run_stream_cms(spark, sf_dir):
+    """Streaming Count-Min monitor (streaming/stateful.cms_cells_stream)
+    replayed over documents: token cells hash map-side with EXACTLY the
+    batch sketch's md5 addressing and merge by addition in per-row
+    state, so the one-batch replay reproduces the batch cell table
+    bit-for-bit (functions/sketch.cms_cells_sql is the oracle). The
+    heavy-cell stream is what a token-drift/abuse alert consumes."""
+    from edgelake_spark.streaming.stateful import cms_cells_stream
+
+    stream = _replay(spark, sf_dir, "documents")
+    _drain(cms_cells_stream(stream, "text"), "__stream_cms")
+    return spark.sql(
+        "SELECT j, col, cell FROM __stream_cms ORDER BY j, col"
+    )
+
+
+_q(
+    "stream_cms_cells",
+    _run_stream_cms,
+    sk.cms_cells_sql("duck", "documents"),
+)

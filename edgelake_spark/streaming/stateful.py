@@ -446,3 +446,72 @@ def hll_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------- CMS heavy-cell monitor
+
+CMS_OUTPUT = "j bigint, col bigint, cell bigint"
+#: per-row state: that sketch row's width cells — fixed size however
+#: many distinct tokens flow past (the same bound as the HLL monitor)
+CMS_STATE = "cells array<long>"
+
+
+def make_cms_fn(min_cell: int = 500):
+    """applyInPandasWithState function for one Count-Min sketch ROW:
+    the group key is the hash-row index j, the state is that row's
+    cells, and incoming (col) rows (hashed map-side in SQL, bit-
+    identical to functions/sketch.cms_cells_sql) increment them. Emits
+    cells ≥ min_cell after each batch — cell merge is addition, so a
+    replay equals the batch sketch exactly."""
+    from edgelake_spark.functions.sketch import CMS_WIDTH
+
+    def cms(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cells = list(state.get[0])
+        else:
+            cells = [0] * CMS_WIDTH
+        for pdf in batches:
+            for col, cnt in pdf["col"].value_counts().items():
+                cells[int(col)] += int(cnt)
+        state.update((cells,))
+        j = int(key[0])
+        out = [
+            {"j": j, "col": c, "cell": n}
+            for c, n in enumerate(cells)
+            if n >= min_cell
+        ]
+        yield pd.DataFrame(out, columns=["j", "col", "cell"])
+
+    return cms
+
+
+def cms_cells_stream(stream_df: DataFrame, text_col: str = "text",
+                     min_cell: int = 500) -> DataFrame:
+    """Streaming Count-Min over a document stream's tokens: tokenize
+    and hash MAP-SIDE in SQL (same md5/hex60 cell addressing as the
+    batch sketch), shuffle on the sketch-row index only (CMS_DEPTH
+    groups), and keep each row's cells as fixed-size per-key state.
+    The monitor's output is the heavy-cell table a drift/abuse alert
+    reads; per-shard sketches merge by addition."""
+    from edgelake_spark.functions import dedup as dd
+    from edgelake_spark.functions import text as tx
+    from edgelake_spark.functions.sketch import CMS_DEPTH, CMS_WIDTH
+    from pyspark.sql import functions as F
+
+    words = stream_df.selectExpr(
+        f"explode({tx.spark_tokens(text_col)}) AS word"
+    ).selectExpr("word", f"explode(sequence(0, {CMS_DEPTH - 1})) AS j")
+    h = "md5(concat('cms', CAST(j AS STRING), ':', word))"
+    cols = words.selectExpr(
+        "CAST(j AS BIGINT) AS j",
+        f"CAST({dd.spark_hex60(h)} % {CMS_WIDTH} AS BIGINT) AS col",
+    )
+    return cols.groupBy("j").applyInPandasWithState(
+        make_cms_fn(min_cell),
+        outputStructType=CMS_OUTPUT,
+        stateStructType=CMS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -364,3 +364,53 @@ def test_hll_stream_merges_registers_across_batches(spark, tmp_path):
     assert got["n_rows"] == len(ids1) + len(ids2)
     assert got["registers_hit"] == sum(1 for r in regs if r)
     assert got["sum_inv"] == sum(1 << (_HLL_MAXRHO - r) for r in regs if r)
+
+
+def test_cms_stream_adds_cells_across_batches(spark, tmp_path):
+    """The streaming CMS monitor's cells must equal a direct count over
+    the union of all batches — cell merge is addition, independent of
+    batch boundaries."""
+    import hashlib
+
+    from edgelake_spark.functions.dedup import SHINGLE_WORDS  # noqa: F401
+    from edgelake_spark.functions.sketch import CMS_DEPTH, CMS_WIDTH
+    from edgelake_spark.streaming.stateful import cms_cells_stream
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    src = tmp_path / "csrc"
+    src.mkdir()
+    b1 = ["spark spark shuffle", "broadcast join join"]
+    b2 = ["spark shuffle shuffle shuffle", "join"]
+    (src / "a.json").write_text("\n".join(json.dumps({"text": t}) for t in b1))
+    out = cms_cells_stream(
+        spark.readStream.format("json").schema(schema).load(str(src)),
+        "text",
+        min_cell=1,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cms_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b.json").write_text("\n".join(json.dumps({"text": t}) for t in b2))
+        q.processAllAvailable()
+        # update mode re-emits per batch: keep the LAST emission per cell
+        rows = spark.sql(
+            "SELECT j, col, max(cell) AS cell FROM cms_out GROUP BY j, col"
+        ).collect()
+    finally:
+        q.stop()
+    got = {(r["j"], r["col"]): r["cell"] for r in rows}
+
+    # reference cells over the union, same md5 addressing
+    ref = {}
+    for t in b1 + b2:
+        for w in t.split():
+            for j in range(CMS_DEPTH):
+                h = hashlib.md5(f"cms{j}:{w}".encode()).hexdigest()
+                col = int(h[:15], 16) % CMS_WIDTH
+                ref[(j, col)] = ref.get((j, col), 0) + 1
+    assert got == ref
