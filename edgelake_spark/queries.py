@@ -7286,3 +7286,66 @@ _q(
     _run_stream_cms,
     sk.cms_cells_sql("duck", "documents"),
 )
+
+
+def _run_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (ingest/incremental.py): load
+    events into a commit-log table in three appends, refreshing a
+    standing per-type aggregate after each — every refresh reads ONLY
+    the delta files the manifest diff names, and the final state must
+    equal the oracle's one-shot aggregate over everything. Sums are
+    decimal-staged so the partial→merge algebra is exact (a double sum
+    would be order-dependent and could diverge from the single-pass
+    oracle). The tiny final state is collected and re-emitted so the
+    gate's DataFrame outlives the scratch table."""
+    import tempfile
+
+    from edgelake_spark.ingest.incremental import IncrementalAgg
+    from edgelake_spark.txlog import TxTable
+
+    register_sf_tables(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="inc_agg_") as work:
+        src = TxTable(work + "/src")
+        dst = TxTable(work + "/dst")
+        inc = IncrementalAgg(
+            src, dst,
+            group_cols=["event_type"],
+            aggs={
+                "n": ("count", ""),
+                "sum_value": ("sum", "CAST(value AS DECIMAL(25,6))"),
+                "min_value": ("min", "value"),
+                "max_value": ("max", "value"),
+            },
+        )
+        events = spark.table("events")
+        src.overwrite(events.where("event_id % 3 = 0"))
+        inc.refresh(spark)
+        src.append(events.where("event_id % 3 = 1"))
+        inc.refresh(spark)
+        src.append(events.where("event_id % 3 = 2"))
+        stats = inc.refresh(spark)
+        assert stats["delta_files"] > 0 and not stats["skipped"]
+        rows = [
+            (r["event_type"], r["n"], float(r["sum_value"]),
+             r["min_value"], r["max_value"])
+            for r in dst.read(spark).collect()
+        ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n bigint, sum_value double, "
+        "min_value double, max_value double",
+    ).orderBy("event_type")
+
+
+_q(
+    "dml_incremental_agg",
+    _run_incremental_agg,
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
