@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "doc_dedup_triangles",
     # round 7: Z-order (Morton) clustering locality profile
     "events_zorder_cells",
+    # round 7: KMV order-statistic distinct estimator
+    "events_kmv_distinct",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -459,3 +459,56 @@ GROUP BY j, col
 HAVING count(*) >= {min_cell}
 ORDER BY j, col
 """
+
+
+def kmv_distinct_sql(engine: str, table: str, group: str, key: str) -> str:
+    """KMV cardinality estimate — the ORDER-STATISTIC distinct counter
+    (Bar-Yossef et al. 2002): with hashes uniform on [0, 2^60), the
+    k-th smallest hash h_(k) estimates N ≈ (k-1)·2^60 / h_(k). The
+    third classic estimator next to HLL (register max) and exact
+    count(DISTINCT), emitted with both so the gate pins the estimator
+    triangle on real data. All ranks are integers; the estimate is one
+    integer-product-to-double divide — engine-exact.
+
+    Scale shape: per-group distinct-hash ranking is ONE shuffle on
+    (group, hash) with a window top-k; at 100 TB the bottom-k set (k
+    BIGINTs per group) is the storable artifact, and two groups' KMVs
+    merge by bottom-k of the union — same lifecycle as the Jaccard
+    sketches above.
+    """
+    if engine == "spark":
+        h = f"md5(concat('kmv:', CAST({key} AS STRING)))"
+        h60 = dd.spark_hex60(h)
+        keycast = f"CAST({group} AS STRING)"
+    else:
+        h = f"md5('kmv:' || CAST({key} AS VARCHAR))"
+        h60 = dd.duck_hex60(h)
+        keycast = f"CAST({group} AS VARCHAR)"
+    k = KMV_K
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT {keycast} AS grp, {h60} AS h FROM {table}
+),
+rk AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hv
+),
+kth AS (
+  SELECT grp, h AS h_k FROM rk WHERE rn = {k}
+),
+ex AS (
+  SELECT {keycast} AS grp,
+         CAST(count(DISTINCT {key}) AS BIGINT) AS exact_distinct
+  FROM {table} GROUP BY 1
+)
+SELECT ex.grp AS {group}, ex.exact_distinct,
+       CAST({k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         / CAST(kth.h_k AS DOUBLE) AS est_kmv,
+       abs(CAST({k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+             / CAST(kth.h_k AS DOUBLE)
+           - CAST(ex.exact_distinct AS DOUBLE))
+         / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+FROM ex JOIN kth ON kth.grp = ex.grp
+ORDER BY {group}
+"""

@@ -7349,3 +7349,12 @@ GROUP BY event_type
 ORDER BY event_type
 """,
 )
+
+
+# KMV order-statistic distinct estimator: the third corner of the
+# estimator triangle (register max / order statistic / exact)
+_q(
+    "events_kmv_distinct",
+    _sql(sk.kmv_distinct_sql("spark", "events", "event_type", "event_id")),
+    sk.kmv_distinct_sql("duck", "events", "event_type", "event_id"),
+)
