@@ -620,3 +620,19 @@ def test_triangles_equi_joins_only(spark):
     # equi-joins on edge endpoints — no nested loop over the pair set
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_single_aggregate_map_side_key(spark):
+    plan = plan_of(spark, "events_zorder_cells")
+    # the Morton key is a map-side integer expression; one cell-keyed
+    # partial/final aggregate, no joins at all
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_kmv_distinct_one_group_hash_shuffle(spark):
+    plan = plan_of(spark, "events_kmv_distinct")
+    # distinct-hash ranking and the exact side both key on the group;
+    # the kth-hash table is 1 row per group → broadcastable join
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan

@@ -82,6 +82,12 @@ for name in [
     # in a bare foreign-tz session too
     "events_hll_distinct",
     "doc_kmv_jaccard",
+    # round-7 cont.: the PCA chain is the deepest float pipeline in
+    # the repo (fixed-point sums + sqrt + division ladders), and the
+    # z-order gate mixes timestamp bucketing with bit ops — both are
+    # exactly the kind of surface a bare foreign-tz session breaks
+    "emb_pca_power",
+    "events_zorder_cells",
 ]:
     df = queries[name](spark, SF)
     cols = df.columns
