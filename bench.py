@@ -334,17 +334,20 @@ def main() -> None:
 
     # capture formatted plans for the slowest queries so perf claims
     # (broadcasts firing, filters pushed) are checkable from the bench
-    # artifact, not re-derived by hand
-    slowest = sorted(timings, key=timings.get, reverse=True)[:5]
-    try:
-        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_EXPLAIN.txt"), "w") as fh:
-            for name in slowest:
-                fh.write(f"{'=' * 20} {name} ({timings[name]}s) {'=' * 20}\n")
-                df = SPARK_QUERIES[name](spark, sf_dir)
-                fh.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
-                fh.write("\n")
-    except Exception as exc:
-        print(f"# explain capture failed: {exc}", file=sys.stderr)
+    # artifact, not re-derived by hand. Full-list runs only: a
+    # SPARK_GRAFT_QUERIES subset iteration would clobber the round
+    # artifact with one query's plan.
+    slowest = [] if only else sorted(timings, key=timings.get, reverse=True)[:5]
+    if slowest:
+        try:
+            with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_EXPLAIN.txt"), "w") as fh:
+                for name in slowest:
+                    fh.write(f"{'=' * 20} {name} ({timings[name]}s) {'=' * 20}\n")
+                    df = SPARK_QUERIES[name](spark, sf_dir)
+                    fh.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
+                    fh.write("\n")
+        except Exception as exc:
+            print(f"# explain capture failed: {exc}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -88,6 +88,10 @@ for name in [
     # exactly the kind of surface a bare foreign-tz session breaks
     "emb_pca_power",
     "events_zorder_cells",
+    # two-level rollup (date_trunc day buckets under a foreign tz) and
+    # the streaming CMS replay (stateful Arrow round-trips)
+    "events_hll_rollup",
+    "stream_cms_cells",
 ]:
     df = queries[name](spark, SF)
     cols = df.columns
