@@ -219,6 +219,8 @@ TIER1_CORE = frozenset({
     "multimodal_features",
     # sketch family (register/cell/bottom-k merge plans)
     "events_hll_distinct", "doc_heavy_hitters",
+    # Gram-accumulation + checkpointed-iteration plan family
+    "emb_pca_power",
 })
 
 

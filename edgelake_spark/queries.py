@@ -665,7 +665,7 @@ def _ivf_assign_cte(engine: str, n: str, name: str = "assign") -> str:
 
 
 def _ivf_body(engine: str, n: str, assign_src: str | None = None) -> str:
-    """IVF: k-means-refined centroids (stride init + one decimal-staged
+    """IVF: k-means-refined centroids (stride init + one fixed-point-staged
     Lloyd round — kmeans_refine on the Spark side, its DuckDB CTE twin
     in the oracle); assign each vector to its nearest centroid; probe
     NPROBE centroids per query. All cosines run over the staged
