@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "events_zorder_cells",
     # round 7: KMV order-statistic distinct estimator
     "events_kmv_distinct",
+    # round 7: epoch schedule under a relative token budget
+    "doc_mix_epochs",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -7358,3 +7358,72 @@ _q(
     _sql(sk.kmv_distinct_sql("spark", "events", "event_type", "event_id")),
     sk.kmv_distinct_sql("duck", "events", "event_type", "event_id"),
 )
+
+
+def _mix_epochs_sql(engine: str, budget_factor: int = 2,
+                    max_epochs: int = 4) -> str:
+    """Epoch schedule from the alpha=1/2 mixture: given a training
+    token budget (budget_factor × the corpus size, so the gate is
+    meaningful at every SF), each source's share of the budget is its
+    normalized sqrt-share weight; epochs = budget share ÷ available
+    tokens — tail sources land above budget_factor (upsampled), head
+    sources below (downsampled), capped
+    at max_epochs (the data-card rule that repeating a small source
+    more than a few times stops helping — the cap's excess budget is
+    reported, not silently redistributed, so the schedule is auditable).
+    floor-to-quarter-epoch granularity keeps every emitted number an
+    exact binary rational: weights are sqrt-based (IEEE-exact), the
+    normalizing sum runs over the tiny source dimension as an
+    unpartitioned window, and the only rounding is floor(x*4)/4 —
+    tie-free on both engines.
+
+    Scale shape: identical to doc_alpha_mix — ONE corpus scan, one
+    source-keyed shuffle, then window math over ~|sources| rows."""
+    count = (
+        tx.spark_bpe_count("text") if engine == "spark" else tx.duck_bpe_count("text")
+    )
+    docs = "documents_rep" if engine == "spark" else "documents"
+    return f"""
+WITH per_doc AS (
+  SELECT source, {count} AS n_tok FROM {docs}
+),
+by_src AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+w AS (
+  -- the normalizing sum is a float sum over sources: stage it
+  -- fixed-point (floor(x*2^40) BIGINTs) so window accumulation order
+  -- cannot perturb low bits (the repo staging rule, SCALE.md round 7)
+  SELECT source, n_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE)) AS raw_w,
+         CAST(sum(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                             * 1099511627776.0) AS BIGINT)) OVER ()
+              AS DOUBLE) / 1099511627776.0 AS z,
+         CAST(sum(n_tokens) OVER () * {budget_factor} AS BIGINT) AS budget
+  FROM by_src WHERE n_tokens > 0
+),
+sched AS (
+  SELECT source, n_tokens,
+         raw_w / z AS mix_weight,
+         (raw_w / z) * CAST(budget AS DOUBLE)
+           / CAST(n_tokens AS DOUBLE) AS epochs_raw
+  FROM w
+)
+SELECT source, n_tokens, mix_weight,
+       CAST(floor(least(epochs_raw, CAST({max_epochs} AS DOUBLE))
+                  * CAST(4 AS DOUBLE)) AS DOUBLE) / CAST(4 AS DOUBLE)
+         AS epochs,
+       CAST(epochs_raw > CAST({max_epochs} AS DOUBLE) AS BOOLEAN) AS capped
+FROM sched
+ORDER BY source
+"""
+
+
+# epoch scheduling under a token budget from the alpha mixture — the
+# data-card companion to doc_alpha_mix (weights → concrete repeats)
+_q(
+    "doc_mix_epochs",
+    _sql(_mix_epochs_sql("spark"), rep=("documents",)),
+    _mix_epochs_sql("duck"),
+)
