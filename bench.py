@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "events_kmv_distinct",
     # round 7: epoch schedule under a relative token budget
     "doc_mix_epochs",
+    # round 7: per-label projection onto the trained PC1 (model reuse)
+    "emb_pca_project",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -7427,3 +7427,71 @@ _q(
     _sql(_mix_epochs_sql("spark"), rep=("documents",)),
     _mix_epochs_sql("duck"),
 )
+
+
+_PCA_PROJECT_BODY = """
+long AS ({long_src}),
+proj AS (
+  SELECT l.vec_id,
+         CAST(SUM(CAST(floor((l.v - m.mu) * m.pc1_loading
+                             * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+           / 1099511627776.0 AS p
+  FROM long l JOIN {model} m ON m.dim = l.i
+  GROUP BY l.vec_id
+)
+SELECT e.label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(p.p * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+         / 1099511627776.0 / CAST(count(*) AS DOUBLE) AS mean_proj,
+       min(p.p) AS min_proj, max(p.p) AS max_proj
+FROM proj p JOIN {emb} e ON e.vec_id = p.vec_id
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+
+def _run_pca_project(spark, sf_dir):
+    """The PCA model USED as an artifact: project every embedding onto
+    the trained first principal axis (centered dot product, fixed-point
+    staged) and report per-label projection statistics — the
+    one-number-per-vector probe an embedding pipeline charts for class
+    separation / drift along the dominant axis. The model (mu,
+    pc1_loading per dim) materializes once per run, exactly like the
+    IVF centroids; DuckDB recomputes the identical model via
+    MATERIALIZED CTEs."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    spark.sql(
+        sim.pca_cov_sql("spark", "embeddings_rep")
+    ).localCheckpoint().createOrReplaceTempView("__pca_cov")
+    spark.sql(
+        sim.pca_power_sql("spark", "", cov_table="__pca_cov")
+    ).localCheckpoint().createOrReplaceTempView("__pca_model")
+    long_src = (
+        "SELECT vec_id, pos AS i, CAST(v AS DOUBLE) AS v "
+        "FROM (SELECT vec_id, posexplode(embedding) AS (pos, v) "
+        "FROM embeddings_rep)"
+    )
+    return spark.sql(
+        "WITH "
+        + _PCA_PROJECT_BODY.format(
+            long_src=long_src, model="__pca_model", emb="embeddings_rep"
+        )
+    )
+
+
+_q(
+    "emb_pca_project",
+    _run_pca_project,
+    "WITH model AS MATERIALIZED ("
+    + sim.pca_power_sql("duck", "embeddings")
+    + "),\n"
+    + _PCA_PROJECT_BODY.format(
+        long_src=(
+            "SELECT vec_id, g.i - 1 AS i, CAST(embedding[g.i] AS DOUBLE) AS v "
+            "FROM embeddings CROSS JOIN generate_series(1, 64) g(i)"
+        ),
+        model="model",
+        emb="embeddings",
+    ),
+)
