@@ -1,0 +1,106 @@
+"""Sketch-module properties beyond the parity gates: the SQL register/
+cell/rank math agrees with an independent pure-Python reference on
+randomized inputs, and the estimators obey their theoretical bounds
+(CMS never underestimates; HLL/KMV land within expected error)."""
+
+import hashlib
+import random
+
+import pytest
+
+from edgelake_spark.functions import sketch as sk
+from edgelake_spark.functions.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_M,
+    KMV_K,
+    _HLL_MAXRHO,
+    _HLL_WBITS,
+)
+
+
+def _hll_py(keys):
+    regs = [0] * HLL_M
+    wmask = (1 << _HLL_WBITS) - 1
+    for k in keys:
+        h60 = int(hashlib.md5(f"hll:{k}".encode()).hexdigest()[:15], 16)
+        idx, w = h60 >> _HLL_WBITS, h60 & wmask
+        rho = _HLL_MAXRHO - w.bit_length() if w else _HLL_MAXRHO
+        regs[idx] = max(regs[idx], rho)
+    return regs
+
+
+def test_hll_sql_matches_python_reference(spark):
+    rnd = random.Random(3)
+    keys = [rnd.randrange(10**9) for _ in range(5000)]
+    spark.createDataFrame(
+        [(k,) for k in keys], "event_id bigint"
+    ).selectExpr("'g' AS event_type", "event_id").createOrReplaceTempView(
+        "__hll_t"
+    )
+    sql = sk.hll_register_agg_sql("spark", "__hll_t", "event_type", "event_id")
+    row = spark.sql(sql).collect()[0]
+    regs = _hll_py(keys)
+    assert row["registers_hit"] == sum(1 for r in regs if r)
+    assert row["sum_inv"] == sum(1 << (_HLL_MAXRHO - r) for r in regs if r)
+    # raw-regime accuracy: n >> 2.5m here, so the estimate should land
+    # within ~3 standard errors (1.04/sqrt(m) each)
+    n_distinct = len(set(keys))
+    assert abs(row["est_hll"] - n_distinct) / n_distinct < 3 * 1.04 / (HLL_M ** 0.5)
+
+
+def test_cms_never_underestimates(spark):
+    rnd = random.Random(5)
+    words = [f"w{rnd.randrange(500)}" for _ in range(20000)]
+    spark.createDataFrame([(w,) for w in words], "text string").createOrReplaceTempView(
+        "__cms_t"
+    )
+    sql = sk.cms_heavy_hitters_sql("spark", "__cms_t", topk=30)
+    rows = spark.sql(sql).collect()
+    assert len(rows) == 30
+    total = len(words)
+    for r in rows:
+        assert r["overcount"] >= 0, r  # CMS is one-sided
+        # Markov bound: overcount <= e * total / width whp per row;
+        # with the min over CMS_DEPTH rows a 4x slack never trips
+        assert r["overcount"] <= 4 * total / CMS_WIDTH, r
+
+
+def test_kmv_estimate_within_error(spark):
+    rnd = random.Random(7)
+    keys = list({rnd.randrange(10**9) for _ in range(4000)})
+    spark.createDataFrame(
+        [(k,) for k in keys], "event_id bigint"
+    ).selectExpr("'g' AS event_type", "event_id").createOrReplaceTempView(
+        "__kmv_t"
+    )
+    sql = sk.kmv_distinct_sql("spark", "__kmv_t", "event_type", "event_id")
+    row = spark.sql(sql).collect()[0]
+    assert row["exact_distinct"] == len(keys)
+    # KMV relative error ~ 1/sqrt(k-2); allow 4 sigma
+    assert row["rel_err"] < 4 / (KMV_K - 2) ** 0.5
+
+
+def test_hll_rollup_registers_equal_flag(spark):
+    # synthetic multi-day data: the rollup's equality flag must be TRUE
+    # for every group by construction (register max is associative)
+    import datetime
+
+    rnd = random.Random(9)
+    rows = [
+        (
+            f"t{i % 2}",
+            datetime.datetime(2024, 1, 1 + rnd.randrange(20)),
+            rnd.randrange(10**6),
+        )
+        for i in range(3000)
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id bigint"
+    ).createOrReplaceTempView("__roll_t")
+    sql = sk.hll_rollup_sql("spark", "__roll_t", "event_type", "event_id")
+    out = spark.sql(sql).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["registers_equal"] is True
+        assert r["est_merged"] == r["est_direct"]
