@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "doc_mix_epochs",
     # round 7: per-label projection onto the trained PC1 (model reuse)
     "emb_pca_project",
+    # round 7: schedule -> concrete training multiset
+    "doc_epoch_expand",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -7509,3 +7509,57 @@ _q(
         emb="embeddings",
     ),
 )
+
+
+def _epoch_expand_sql(engine: str) -> str:
+    """The mixture pipeline's last mile: turn doc_mix_epochs' schedule
+    into the concrete per-source training multiset — every document
+    repeats floor(epochs) times plus one more with probability
+    frac(epochs), decided by the repo's deterministic md5-hash uniform
+    (so the expansion is reproducible across engines, re-runs, and
+    repartitions — the same reason splits are hash-assigned, not
+    random()). The id-weighted checksum proves both engines emit the
+    SAME multiset, not just the same counts.
+
+    Scale shape: the schedule is a ~|sources|-row broadcast onto the
+    corpus scan; repetition counting is map-side arithmetic and the
+    output aggregate shuffles |sources| rows. The actual expansion at
+    scale is the same join feeding explode(sequence(1, reps)) into the
+    writer — counted here instead of materialized so the gate output
+    stays bounded."""
+    sched = _mix_epochs_sql(engine)
+    h = (
+        "md5(concat('epoch:', CAST(doc_id AS STRING)))"
+        if engine == "spark"
+        else "md5('epoch:' || CAST(doc_id AS VARCHAR))"
+    )
+    u = (
+        dd.spark_hex60(h) if engine == "spark" else dd.duck_hex60(h)
+    ) + " / CAST(1152921504606846976 AS DOUBLE)"
+    docs = "documents_rep" if engine == "spark" else "documents"
+    return f"""
+WITH sched AS ({sched}),
+reps AS (
+  SELECT d.source, d.doc_id,
+         CAST(floor(s.epochs) AS BIGINT)
+           + CAST(CASE WHEN {u} < s.epochs - floor(s.epochs)
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_reps
+  FROM {docs} d JOIN sched s ON s.source = d.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_reps) AS BIGINT) AS n_emitted,
+       CAST(sum(doc_id * n_reps) AS BIGINT) AS id_checksum
+FROM reps
+GROUP BY source
+ORDER BY source
+"""
+
+
+# schedule → concrete training multiset (deterministic hash-bernoulli
+# fractional epochs); checksum pins membership, not just counts
+_q(
+    "doc_epoch_expand",
+    _sql(_epoch_expand_sql("spark"), rep=("documents",)),
+    _epoch_expand_sql("duck"),
+)
