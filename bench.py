@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "emb_pca_project",
     # round 7: schedule -> concrete training multiset
     "doc_epoch_expand",
+    # round 7: set-difference (vocabulary churn) estimate from KMV
+    "doc_kmv_vocab_churn",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -512,3 +512,75 @@ SELECT ex.grp AS {group}, ex.exact_distinct,
 FROM ex JOIN kth ON kth.grp = ex.grp
 ORDER BY {group}
 """
+
+
+def kmv_vocab_churn_sql(engine: str, dt_table: str | None = None,
+                        docs: str = "documents") -> str:
+    """Set-DIFFERENCE estimation from KMV sketches: how much of corpus
+    half A's shingle vocabulary is absent from half B (the
+    between-crawls vocabulary-churn question), estimated from bottom-k
+    sketches alone and emitted next to the exact answer. Estimator:
+    within the union's bottom-k' (k' = min(k, |union|)), membership
+    flags against each half are EXACT sketch lookups (any union-bottom-k
+    hash is below both halves' k-th hashes), so
+      churn ≈ (|bottom-k' ∩ A\\B| / k') · N̂_union,
+    with N̂_union the order-statistic cardinality estimate — or the
+    exact union count when it fits inside k. Counts, ranks, and flags
+    are integers; the estimate is three IEEE ops in a fixed order.
+
+    Scale shape: reads the SAME distinct (source, shingle) artifact as
+    doc_kmv_jaccard; one shingle-keyed aggregate folds halves, one
+    window ranks hashes, everything after runs on ≤ k rows.
+    """
+    if engine == "spark":
+        h = "md5(concat('kmv:', word))"
+        h60 = dd.spark_hex60(h)
+    else:
+        h = "md5('kmv:' || word)"
+        h60 = dd.duck_hex60(h)
+    if dt_table is None:
+        mat = " MATERIALIZED" if engine == "duck" else ""
+        dt_cte = f"dt AS{mat} ({kmv_dt_sql(engine, docs)}),\n"
+        dt = "dt"
+    else:
+        dt_cte = ""
+        dt = dt_table
+    k = KMV_K
+    half_a = "CAST(substr(source, 4) AS INT) < 10"
+    est_union = (
+        f"CASE WHEN mx.n_ranked <= {k} THEN CAST(mx.n_ranked AS DOUBLE) "
+        f"ELSE CAST(mx.k_used - 1 AS DOUBLE) "
+        f"* CAST(1152921504606846976 AS DOUBLE) / CAST(mx.h_k AS DOUBLE) END"
+    )
+    return f"""
+WITH {dt_cte}half AS (
+  SELECT word,
+         max(CASE WHEN {half_a} THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN {half_a} THEN 0 ELSE 1 END) AS in_b
+  FROM {dt} GROUP BY word
+),
+hv AS (SELECT {h60} AS h, in_a, in_b FROM half),
+ranked AS (
+  SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM hv
+),
+mx AS (
+  SELECT CAST(max(rn) AS BIGINT) AS n_ranked,
+         CAST(least(max(rn), {k}) AS BIGINT) AS k_used,
+         CAST(max(CASE WHEN rn <= {k} THEN h END) AS BIGINT) AS h_k,
+         CAST(sum(CASE WHEN rn <= {k} AND in_a = 1 AND in_b = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS only_a_topk
+  FROM ranked
+),
+ex AS (
+  SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_only_a,
+         CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b
+  FROM half
+)
+SELECT ex.n_a, ex.n_b, ex.exact_only_a,
+       (CAST(mx.only_a_topk AS DOUBLE) / CAST(mx.k_used AS DOUBLE))
+         * {est_union} AS est_only_a,
+       mx.k_used
+FROM ex CROSS JOIN mx
+"""

@@ -7563,3 +7563,23 @@ _q(
     _sql(_epoch_expand_sql("spark"), rep=("documents",)),
     _epoch_expand_sql("duck"),
 )
+
+
+def _run_kmv_vocab_churn(spark, sf_dir):
+    """Vocabulary churn between corpus halves from KMV sketches
+    (functions/sketch.kmv_vocab_churn_sql), reading the same
+    materialized distinct (source, shingle) artifact as
+    doc_kmv_jaccard."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    spark.sql(
+        sk.kmv_dt_sql("spark", "documents_rep")
+    ).localCheckpoint().createOrReplaceTempView("__kmv_dt")
+    return spark.sql(sk.kmv_vocab_churn_sql("spark", dt_table="__kmv_dt"))
+
+
+_q(
+    "doc_kmv_vocab_churn",
+    _run_kmv_vocab_churn,
+    sk.kmv_vocab_churn_sql("duck"),
+)
