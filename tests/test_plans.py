@@ -636,3 +636,34 @@ def test_kmv_distinct_one_group_hash_shuffle(spark):
     # the kth-hash table is 1 row per group → broadcastable join
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_mix_epochs_single_scan_window(spark):
+    plan = plan_of(spark, "doc_mix_epochs")
+    # one corpus scan; totals come from unpartitioned windows over the
+    # tiny aggregated source table, not re-inlined scans
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_expand_schedule_broadcasts(spark):
+    plan = plan_of(spark, "doc_epoch_expand")
+    # the ~|sources|-row schedule is the build side onto the corpus scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_project_model_broadcasts(spark):
+    plan = plan_of(spark, "emb_pca_project")
+    # the 64-row model joins the exploded corpus on dim — broadcast,
+    # never a shuffle of the long-form table against 64 rows
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_churn_post_rank_is_tiny(spark):
+    plan = plan_of(spark, "doc_kmv_vocab_churn")
+    # one rank window over the distinct-hash table; the estimator math
+    # joins 1-row aggregates (scalar BNLJ cross of two 1-row sides ok)
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
