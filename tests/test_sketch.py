@@ -104,3 +104,52 @@ def test_hll_rollup_registers_equal_flag(spark):
     for r in out:
         assert r["registers_equal"] is True
         assert r["est_merged"] == r["est_direct"]
+
+
+def test_fixed_point_staging_cross_engine(spark):
+    """The round-7 staging rule's regression pin: floor(x·2^40) BIGINT
+    staging must agree between Spark and DuckDB on adversarial doubles —
+    including the dyadic float32 ties that broke DECIMAL staging
+    (0.1983642578125 rounds differently at scale 12/18 across engines:
+    Spark rounds the shortest repr HALF_UP, DuckDB the exact binary
+    HALF_EVEN — floor has no rounding step to disagree on)."""
+    import random
+    import struct
+
+    import duckdb
+
+    rnd = random.Random(13)
+    vals = [rnd.uniform(-2, 2) for _ in range(4000)]
+    # float32-sourced dyadic rationals (the DECIMAL-staging killers)
+    vals += [
+        struct.unpack("f", struct.pack("f", v))[0]
+        for v in (0.1983642578125, 0.1, 1 / 3, 2**-24, -0.625, 123.456)
+    ]
+    spark.createDataFrame([(v,) for v in vals], "x double").createOrReplaceTempView(
+        "__fx_t"
+    )
+    expr = "CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0"
+    s_val = spark.sql(f"SELECT {expr} AS s FROM __fx_t").collect()[0]["s"]
+    duck = duckdb.connect()
+    import pandas as pd
+
+    duck.register("t", pd.DataFrame({"x": vals}))
+    d_val = duck.execute(
+        "SELECT CAST(SUM(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)"
+        " / 1099511627776.0 FROM t"
+    ).fetchone()[0]
+    assert s_val == d_val
+    # and the per-value staged integers agree everywhere, not just in sum
+    s_rows = sorted(
+        r["q"]
+        for r in spark.sql(
+            "SELECT CAST(floor(x * 1099511627776.0) AS BIGINT) AS q FROM __fx_t"
+        ).collect()
+    )
+    d_rows = sorted(
+        r[0]
+        for r in duck.execute(
+            "SELECT CAST(floor(x * 1099511627776.0) AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    assert s_rows == d_rows
