@@ -82,12 +82,35 @@ def _update_function(h, fn: types.FunctionType, seen: set, depth: int) -> None:
     # Direct helper functions referenced by name from edgelake_spark
     # modules (e.g. a module-level _events_profile_spark referenced in
     # the _q call). Classes/third-party modules are named only.
+    mods = []
     for name in fn.__code__.co_names:
         ref = fn.__globals__.get(name)
         if isinstance(ref, types.FunctionType) and (
             ref.__module__ or ""
         ).startswith("edgelake_spark"):
             _update_function(h, ref, seen, depth + 1)
+        elif isinstance(ref, types.ModuleType) and ref.__name__.startswith(
+            "edgelake_spark"
+        ):
+            mods.append(ref)
+    # Helpers reached via MODULE ATTRIBUTE access (sim.kmeans_refine,
+    # tx.spark_tokens, ...): co_names holds the module alias and the
+    # attribute as separate entries with no pairing, so conservatively
+    # traverse every (module, co_name) attr that resolves to an
+    # edgelake_spark function — over-approximating only re-queues a
+    # gate early, while missing the edge would let a Spark-side helper
+    # change keep stale "verified" status (the gap the kmeans staging
+    # migration exposed: only its ORACLE text change triggered the
+    # re-queue).
+    if mods:
+        attrs = set(fn.__code__.co_names)
+        for mod in mods:
+            for attr in sorted(attrs):
+                ref = getattr(mod, attr, None)
+                if isinstance(ref, types.FunctionType) and (
+                    ref.__module__ or ""
+                ).startswith("edgelake_spark"):
+                    _update_function(h, ref, seen, depth + 1)
 
 
 def gate_fingerprint(name: str, spark_fn, oracle_sql: str | None) -> str:

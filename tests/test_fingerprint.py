@@ -86,3 +86,28 @@ def test_stale_gates_rank_first_in_window():
     window = list(entry.queries().keys())[:50]
     missing = stale - set(window)
     assert not missing, f"stale gates outside driver window: {sorted(missing)}"
+
+
+def test_module_attr_helper_changes_fingerprint():
+    """A helper reached via module attribute access (mod.helper()) must
+    feed the fingerprint — the kmeans-staging gap: editing only the
+    Spark-side helper in another module has to re-queue the gate."""
+    import types
+
+    from edgelake_spark import fingerprint as fp
+
+    mod = types.ModuleType("edgelake_spark._fp_probe")
+    mod.helper = eval("lambda: 1")
+    mod.helper.__module__ = "edgelake_spark._fp_probe"
+
+    # module referenced as a GLOBAL, like `sim.kmeans_refine(...)` in
+    # queries.py (a closure ref would sit in co_freevars instead)
+    ns = {"mod": mod}
+    exec("def gate(spark, sf):\n    return mod.helper()", ns)
+    gate = ns["gate"]
+
+    a = fp.gate_fingerprint("g", gate, "SELECT 1")
+    mod.helper = eval("lambda: 2")
+    mod.helper.__module__ = "edgelake_spark._fp_probe"
+    b = fp.gate_fingerprint("g", gate, "SELECT 1")
+    assert a != b
