@@ -347,7 +347,8 @@ def main() -> None:
     # artifact, not re-derived by hand. Full-list runs only: a
     # SPARK_GRAFT_QUERIES subset iteration would clobber the round
     # artifact with one query's plan.
-    slowest = [] if only else sorted(timings, key=timings.get, reverse=True)[:5]
+    full_run = not only and os.environ.get("SPARK_GRAFT_TIER", "full") == "full"
+    slowest = sorted(timings, key=timings.get, reverse=True)[:5] if full_run else []
     if slowest:
         try:
             with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_EXPLAIN.txt"), "w") as fh:
