@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "doc_epoch_expand",
     # round 7: set-difference (vocabulary churn) estimate from KMV
     "doc_kmv_vocab_churn",
+    # round 7: additive CMS rollup (per-day cells sum to the direct sketch)
+    "events_cms_rollup",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -584,3 +584,54 @@ SELECT ex.n_a, ex.n_b, ex.exact_only_a,
        mx.k_used
 FROM ex CROSS JOIN mx
 """
+
+
+def cms_rollup_sql(engine: str, table: str, key: str) -> str:
+    """Two-level Count-Min rollup over event types per day — HLL's
+    mergeability twin for the ADDITIVE sketch: per-day cell tables
+    summed cell-wise must equal the direct single-pass sketch (sums are
+    associative), asserted inside the value hash. Emits per sketch row
+    j: the heaviest merged cell, total mass, and the equality flag —
+    the shape a per-partition CMS artifact store relies on."""
+    if engine == "spark":
+        h = f"md5(concat('cms', CAST(j AS STRING), ':', {key}))"
+        col = dd.spark_hex60(h) + f" % {CMS_WIDTH}"
+        js = "explode(sequence(0, {d})) AS j".format(d=CMS_DEPTH - 1)
+        day = "date_trunc('day', ts)"
+    else:
+        h = f"md5('cms' || CAST(j AS VARCHAR) || ':' || {key})"
+        col = dd.duck_hex60(h) + f" % {CMS_WIDTH}"
+        js = "unnest([{}]) AS j".format(", ".join(str(i) for i in range(CMS_DEPTH)))
+        day = "date_trunc('day', ts)"
+    return f"""
+WITH rows_j AS (
+  SELECT {key} AS k, {day} AS d, {js} FROM {table}
+),
+cells AS (
+  SELECT CAST(j AS BIGINT) AS j, d, {col.replace(key, 'k')} AS col FROM rows_j
+),
+daily AS (
+  SELECT j, d, col, CAST(count(*) AS BIGINT) AS cell
+  FROM cells GROUP BY j, d, col
+),
+merged AS (
+  SELECT j, col, CAST(sum(cell) AS BIGINT) AS cell FROM daily GROUP BY j, col
+),
+direct AS (
+  SELECT j, col, CAST(count(*) AS BIGINT) AS cell FROM cells GROUP BY j, col
+),
+cmp AS (
+  SELECT m.j,
+         CAST(max(m.cell) AS BIGINT) AS max_cell,
+         CAST(sum(m.cell) AS BIGINT) AS total_mass,
+         CAST(sum(CASE WHEN m.cell = dr.cell THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_equal,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM merged m JOIN direct dr ON dr.j = m.j AND dr.col = m.col
+  GROUP BY m.j
+)
+SELECT j, max_cell, total_mass,
+       CAST(n_equal = n_cells AS BOOLEAN) AS cells_equal, n_cells
+FROM cmp
+ORDER BY j
+"""

@@ -7583,3 +7583,12 @@ _q(
     _run_kmv_vocab_churn,
     sk.kmv_vocab_churn_sql("duck"),
 )
+
+
+# two-level CMS rollup: per-day cell tables sum to the direct sketch
+# (additive-merge twin of events_hll_rollup's max-merge)
+_q(
+    "events_cms_rollup",
+    _sql(sk.cms_rollup_sql("spark", "events", "event_type")),
+    sk.cms_rollup_sql("duck", "events", "event_type"),
+)
