@@ -29,6 +29,32 @@ import types
 
 _MAX_DEPTH = 2  # gate fn -> direct helper fns; deeper layers are named only
 
+# functions/ and dialect/ are the SQL-emitting helper libraries whose
+# text ends up verbatim in gate emissions (kmv_jaccard_sql -> kmv_dt_sql
+# -> spark_tokens chains run 3-4 calls deep); hashing them by name only
+# at depth>2 would keep stale "verified" status across a helper edit —
+# the exact gap this module exists to close. Engine/admin layers keep
+# the shallow limit so an engine-wide refactor does not flood the
+# 50-slot driver window (they have their own pytest + plan coverage).
+_MAX_DEPTH_HELPERS = 6
+
+
+def _depth_limit(fn: types.FunctionType) -> int:
+    mod = fn.__module__ or ""
+    if mod.startswith("edgelake_spark.functions") or mod.startswith(
+        "edgelake_spark.dialect"
+    ):
+        return _MAX_DEPTH_HELPERS
+    return _MAX_DEPTH
+
+
+def _update_set(h, val, seen: set, depth: int) -> None:
+    # set/frozenset constants repr() in string-hash order, which varies
+    # per process under hash randomization — hash elements sorted
+    h.update(f"<{type(val).__name__}:{len(val)}>".encode())
+    for item in sorted(repr(e) for e in val):
+        h.update(item.encode())
+
 
 def _update_code(h, code: types.CodeType, seen: set, depth: int) -> None:
     h.update(code.co_code)
@@ -37,6 +63,8 @@ def _update_code(h, code: types.CodeType, seen: set, depth: int) -> None:
     for const in code.co_consts:
         if isinstance(const, types.CodeType):
             _update_code(h, const, seen, depth)
+        elif isinstance(const, (set, frozenset)):
+            _update_set(h, const, seen, depth)
         else:
             h.update(repr(const).encode())
 
@@ -48,6 +76,8 @@ def _update_value(h, val, seen: set, depth: int) -> None:
         _update_function(h, val, seen, depth)
     elif isinstance(val, (str, bytes, int, float, bool, type(None))):
         h.update(repr(val).encode())
+    elif isinstance(val, (set, frozenset)):
+        _update_set(h, val, seen, depth)
     elif isinstance(val, (tuple, list)):
         h.update(f"<{type(val).__name__}:{len(val)}>".encode())
         for item in val:
@@ -66,7 +96,7 @@ def _update_value(h, val, seen: set, depth: int) -> None:
 def _update_function(h, fn: types.FunctionType, seen: set, depth: int) -> None:
     key = (fn.__module__, fn.__qualname__)
     h.update(f"<fn {key[0]}.{key[1]}>".encode())
-    if key in seen or depth > _MAX_DEPTH:
+    if key in seen or depth > _depth_limit(fn):
         return
     seen.add(key)
     _update_code(h, fn.__code__, seen, depth)

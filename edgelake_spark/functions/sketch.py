@@ -467,7 +467,10 @@ def kmv_distinct_sql(engine: str, table: str, group: str, key: str) -> str:
     k-th smallest hash h_(k) estimates N ≈ (k-1)·2^60 / h_(k). The
     third classic estimator next to HLL (register max) and exact
     count(DISTINCT), emitted with both so the gate pins the estimator
-    triangle on real data. All ranks are integers; the estimate is one
+    triangle on real data. Groups with fewer than k distinct keys keep
+    the whole hash set inside the sketch, so the standard fallback
+    applies: est = exact, rel_err = 0 (LEFT JOIN, never a dropped
+    group). All ranks are integers; the estimate is one
     integer-product-to-double divide — engine-exact.
 
     Scale shape: per-group distinct-hash ranking is ONE shuffle on
@@ -503,13 +506,16 @@ ex AS (
   FROM {table} GROUP BY 1
 )
 SELECT ex.grp AS {group}, ex.exact_distinct,
-       CAST({k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
-         / CAST(kth.h_k AS DOUBLE) AS est_kmv,
-       abs(CAST({k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
-             / CAST(kth.h_k AS DOUBLE)
-           - CAST(ex.exact_distinct AS DOUBLE))
-         / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
-FROM ex JOIN kth ON kth.grp = ex.grp
+       CASE WHEN kth.h_k IS NULL THEN CAST(ex.exact_distinct AS DOUBLE)
+            ELSE CAST({k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                   / CAST(kth.h_k AS DOUBLE) END AS est_kmv,
+       CASE WHEN kth.h_k IS NULL THEN CAST(0 AS DOUBLE)
+            ELSE abs(CAST({k - 1} AS DOUBLE)
+                       * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(kth.h_k AS DOUBLE)
+                     - CAST(ex.exact_distinct AS DOUBLE))
+                   / CAST(ex.exact_distinct AS DOUBLE) END AS rel_err
+FROM ex LEFT JOIN kth ON kth.grp = ex.grp
 ORDER BY {group}
 """
 
@@ -593,13 +599,16 @@ def cms_rollup_sql(engine: str, table: str, key: str) -> str:
     associative), asserted inside the value hash. Emits per sketch row
     j: the heaviest merged cell, total mass, and the equality flag —
     the shape a per-partition CMS artifact store relies on."""
+    # the cell expression is rendered against the rows_j alias `k`
+    # directly (never a textual rewrite of the key name, which corrupts
+    # the SQL if the key is a substring of the md5/hex60 template)
     if engine == "spark":
-        h = f"md5(concat('cms', CAST(j AS STRING), ':', {key}))"
+        h = "md5(concat('cms', CAST(j AS STRING), ':', k))"
         col = dd.spark_hex60(h) + f" % {CMS_WIDTH}"
         js = "explode(sequence(0, {d})) AS j".format(d=CMS_DEPTH - 1)
         day = "date_trunc('day', ts)"
     else:
-        h = f"md5('cms' || CAST(j AS VARCHAR) || ':' || {key})"
+        h = "md5('cms' || CAST(j AS VARCHAR) || ':' || k)"
         col = dd.duck_hex60(h) + f" % {CMS_WIDTH}"
         js = "unnest([{}]) AS j".format(", ".join(str(i) for i in range(CMS_DEPTH)))
         day = "date_trunc('day', ts)"
@@ -608,7 +617,7 @@ WITH rows_j AS (
   SELECT {key} AS k, {day} AS d, {js} FROM {table}
 ),
 cells AS (
-  SELECT CAST(j AS BIGINT) AS j, d, {col.replace(key, 'k')} AS col FROM rows_j
+  SELECT CAST(j AS BIGINT) AS j, d, {col} AS col FROM rows_j
 ),
 daily AS (
   SELECT j, d, col, CAST(count(*) AS BIGINT) AS cell

@@ -204,19 +204,23 @@ class TxTable:
         to inheriting the table's current layout (and path embedding) so
         callers need not restate it; pass None explicitly to append an
         unpartitioned batch into a partitioned table."""
-        if partition_by is self._INHERIT:
-            partition_by = self.partition_by()
-        if partition_by and partition_by not in df.columns:
+        stage_pb = self.partition_by() if partition_by is self._INHERIT else partition_by
+        if stage_pb and stage_pb not in df.columns:
             raise ValueError(
-                f"append inherits partition_by={partition_by!r} from the "
+                f"append inherits partition_by={stage_pb!r} from the "
                 f"table's latest snapshot, but the DataFrame has no such "
                 f"column (columns: {df.columns}); pass partition_by=None "
                 f"to append unpartitioned"
             )
-        files, schema = self._stage(df, partition_by)
+        files, schema = self._stage(df, stage_pb)
+        # An explicit None only unpartitions THIS staged batch; the
+        # manifest must keep recording the table's layout, or every later
+        # inherit-default append, compaction restage, and tx_partitions()
+        # path parse would see the table as permanently unpartitioned.
+        publish_pb = self._INHERIT if partition_by is None else stage_pb
         return self._publish(
             lambda prev: sorted((prev or {}).get("files", []) + files),
-            "append", schema, meta, partition_by=partition_by,
+            "append", schema, meta, partition_by=publish_pb,
         )
 
     def remove_files(self, predicate, op: str = "remove", meta: dict | None = None) -> tuple[int, list[str]]:

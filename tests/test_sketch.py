@@ -81,6 +81,67 @@ def test_kmv_estimate_within_error(spark):
     assert row["rel_err"] < 4 / (KMV_K - 2) ** 0.5
 
 
+def test_kmv_small_group_exact_fallback(spark):
+    """A group with fewer than KMV_K distinct keys holds its whole hash
+    set inside the sketch, so the standard fallback applies: est ==
+    exact, rel_err == 0, and the group appears in the output (the old
+    INNER JOIN against the 128th-rank row silently dropped it —
+    round-7 advice, medium)."""
+    import duckdb
+
+    rows = [("small", i) for i in range(10)] + [
+        ("big", 10**6 + i) for i in range(1000)
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, event_id bigint"
+    ).createOrReplaceTempView("__kmv_s")
+    out = {
+        r["event_type"]: r
+        for r in spark.sql(
+            sk.kmv_distinct_sql("spark", "__kmv_s", "event_type", "event_id")
+        ).collect()
+    }
+    assert set(out) == {"small", "big"}
+    assert out["small"]["exact_distinct"] == 10
+    assert out["small"]["est_kmv"] == 10.0
+    assert out["small"]["rel_err"] == 0.0
+    assert out["big"]["est_kmv"] != out["big"]["exact_distinct"]  # sketch path
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE __kmv_s AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}', {i})" for t, i in rows)
+        + ") AS v(event_type, event_id)"
+    )
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            sk.kmv_distinct_sql("duck", "__kmv_s", "event_type", "event_id")
+        ).fetchall()
+    }
+    assert set(duck) == {"small", "big"}
+    assert duck["small"][1:] == (10, 10.0, 0.0)
+
+
+def test_cms_rollup_key_name_collision_safe(spark):
+    """cms_rollup_sql must render valid SQL for key names that are
+    substrings of its own md5/hex60 template (the old textual
+    col.replace corrupted the emission for keys like 'j' — round-7
+    advice, low). The rollup's cells_equal invariant must still hold."""
+    import datetime
+
+    rows = [
+        (f"t{i % 3}", datetime.datetime(2024, 1, 1 + i % 5)) for i in range(600)
+    ]
+    spark.createDataFrame(rows, "j string, ts timestamp").createOrReplaceTempView(
+        "__cmsj_t"
+    )
+    out = spark.sql(sk.cms_rollup_sql("spark", "__cmsj_t", "j")).collect()
+    assert len(out) == CMS_DEPTH
+    assert all(r["cells_equal"] for r in out)
+    assert all(r["total_mass"] == 600 for r in out)
+
+
 def test_hll_rollup_registers_equal_flag(spark):
     # synthetic multi-day data: the rollup's equality flag must be TRUE
     # for every group by construction (register max is associative)

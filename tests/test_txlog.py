@@ -437,3 +437,17 @@ def test_append_partition_sentinel(spark, tmp_path):
     new_files = [f for f in m["files"] if "_par_bucket=" not in f]
     assert new_files, "explicit None should write unembedded files"
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 3]
+
+    # explicit None unpartitions only THAT batch: the manifest keeps
+    # recording the table layout, so a later inherit-default append
+    # still embeds paths (round-7 advice: None used to erase the
+    # recorded layout permanently)
+    assert m["partition_by"] == "_par_bucket"
+    assert t.partition_by() == "_par_bucket"
+    t.append(
+        spark.createDataFrame([(4, "2024-03-01")], "k int, _par_bucket string")
+    )
+    m2 = t.manifest(t.latest_version())
+    later = [f for f in m2["files"] if f not in m["files"]]
+    assert later and all("_par_bucket=" in f for f in later)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 4]
