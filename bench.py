@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "doc_kmv_vocab_churn",
     # round 7: additive CMS rollup (per-day cells sum to the direct sketch)
     "events_cms_rollup",
+    # round 8: pure-SQL BPE encoding under the pinned merge artifact
+    "doc_bpe_apply",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -221,6 +221,53 @@ def duck_winnow_fps_over(hs: str) -> str:
     )
 
 
+# ---------------------------------------------------------- BPE apply
+
+
+def bpe_apply_expr(engine: str, col: str, merges) -> str:
+    """Pure-SQL BPE encoder: apply a FIXED ordered merge list to the
+    word in ``col`` and return the final symbol array.
+
+    Encoding: each character is wrapped in its own ``<...>`` unit
+    (``<a><b><c>``), and a merge rule (l, r) -> lr is one
+    ``replace(s, '<l><r>', '<lr>')``. Units are disjoint (no shared
+    boundary characters), so SQL replace's non-overlapping
+    left-to-right scan fuses exactly the pairs the greedy trainer
+    rewrite in bpe_train_merges fuses — the single-separator encoding
+    fails here because consecutive pairs share the boundary space.
+    Both engines' replace() have identical scan semantics, so the
+    emission is engine-exact; ``<`` and ``>`` cannot collide with token
+    text (tokens match [a-z0-9]+ only, see TOKEN_SEP).
+
+    Scale shape: the merge list is a tokenizer artifact (tens of kB,
+    inlined into the plan / broadcast for free); encoding is a chain of
+    map-side string rewrites — no shuffle, codegen'd end to end.
+    """
+    if engine == "spark":
+        enc = f"regexp_replace({col}, '(.)', '<$1>')"
+    else:
+        enc = f"regexp_replace({col}, '(.)', '<\\1>', 'g')"
+    for _rank, left, right, merged, _freq in merges:
+        enc = f"replace({enc}, '<{left}><{right}>', '<{merged}>')"
+    return f"regexp_extract_all({enc}, '<([^<>]+)>', 1)"
+
+
+def bpe_apply_py(word: str, merges) -> list[str]:
+    """Pure-Python reference for bpe_apply_expr (property tests)."""
+    syms = list(word)
+    for _rank, left, right, merged, _freq in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 # ------------------------------------------------------- BPE training
 
 

@@ -7149,9 +7149,11 @@ def _run_bpe_train(spark, sf_dir, n_merges: int = 10):
     merge recurrence runs over that vocabulary-bounded table
     (tx.bpe_train_merges; see its docstring for why the recurrence is
     driver-side in every production trainer). Output is the ordered
-    merge table a tokenizer ships: genuinely iterative, so no SQL
-    oracle exists (driver records the rows-only check); determinism and
-    known-corpus correctness are pinned by tests/test_bpe_train.py."""
+    merge table a tokenizer ships: genuinely iterative, so the driver
+    oracle is the pinned sf0.01 golden (_BPE_TRAIN_ORACLE below);
+    determinism and known-corpus correctness are pinned by
+    tests/test_bpe_train.py, and doc_bpe_apply re-derives the
+    engine-independent half (encoding under a fixed merge list)."""
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "documents")
     wv = spark.sql(
@@ -7167,7 +7169,100 @@ def _run_bpe_train(spark, sf_dir, n_merges: int = 10):
     ).orderBy("rank")
 
 
-_q("doc_bpe_train", _run_bpe_train, None)
+#: the merge table _run_bpe_train produces at the driver's correctness
+#: scale (sf0.01) — pinned as a golden so the trainer has a FULL driver
+#: hash oracle (it is deterministic by construction: lexicographic
+#: tie-breaks, integer counts), and reused as the FIXED tokenizer
+#: artifact doc_bpe_apply encodes with at any scale.
+BPE_MERGES = [
+    (0, "e", "r", "er", 4568),
+    (1, "i", "n", "in", 2760),
+    (2, "o", "w", "ow", 2747),
+    (3, "o", "r", "or", 2696),
+    (4, "s", "t", "st", 2676),
+    (5, "m", "er", "mer", 1852),
+    (6, "a", "t", "at", 1845),
+    (7, "l", "u", "lu", 1831),
+    (8, "a", "r", "ar", 1758),
+    (9, "p", "ar", "par", 1758),
+]
+
+_BPE_TRAIN_ORACLE = (
+    "SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, merged, "
+    "CAST(pair_freq AS BIGINT) AS pair_freq FROM (VALUES "
+    + ", ".join(f"({r}, '{l}', '{rt}', '{m}', {f})" for r, l, rt, m, f in BPE_MERGES)
+    + ") AS v(rank, left_sym, right_sym, merged, pair_freq) ORDER BY rank"
+)
+
+# The oracle is the sf0.01 golden above, NOT a DuckDB re-derivation (the
+# merge recurrence is inherently sequential — each rule depends on the
+# vocabulary REWRITTEN by all previous rules, so no engine-independent
+# SQL exists). The driver hash-compares the trained table against the
+# pinned artifact; tests/test_bpe_train.py pins determinism and
+# known-corpus behavior independently of the testdata.
+_q("doc_bpe_train", _run_bpe_train, _BPE_TRAIN_ORACLE)
+
+
+def _bpe_vocab_sql(engine: str) -> str:
+    if engine == "spark":
+        toks = f"SELECT explode({tx.spark_tokens('text')}) AS word FROM documents_rep"
+    else:
+        toks = f"SELECT unnest({tx.duck_tokens('text')}) AS word FROM documents"
+    return (
+        "SELECT word, CAST(count(*) AS BIGINT) AS freq "
+        f"FROM ({toks}) t GROUP BY word"
+    )
+
+
+def _bpe_apply_sql(engine: str, vocab: str) -> str:
+    """Tokenize the corpus with the FIXED BPE_MERGES artifact entirely
+    in SQL (tx.bpe_apply_expr: disjoint <sym> units + one replace per
+    rule) and emit the resulting subword-token frequency table — the
+    driver-oracle-able half of the BPE split (the trainer above is the
+    sequential half).
+
+    Scale shape: the corpus collapses to its (word, freq) vocabulary
+    first — the one corpus-sized shuffle, with map-side partials — and
+    the rewrite chain runs over vocabulary-bounded rows, map-side,
+    codegen'd; the merge list is a constant folded into the plan."""
+    apply = tx.bpe_apply_expr(engine, "word", BPE_MERGES)
+    unn = "explode(toks)" if engine == "spark" else "unnest(toks)"
+    return f"""
+WITH enc AS (
+  SELECT word, freq, {apply} AS toks FROM {vocab}
+),
+tok AS (
+  SELECT {unn} AS token, freq FROM enc
+)
+SELECT token, CAST(sum(freq) AS BIGINT) AS tok_freq,
+       CAST(count(*) AS BIGINT) AS n_vocab_words
+FROM tok GROUP BY token
+ORDER BY tok_freq DESC, token LIMIT 40
+"""
+
+
+def _run_bpe_apply(spark, sf_dir):
+    """The vocabulary is materialized (localCheckpoint — vocabulary-
+    bounded, same justification as _run_pca_power's Gram table) before
+    the encode chain runs: left inline, InferFiltersFromGenerate derives
+    a vacuous size(toks) > 0 predicate from the token explode and
+    Catalyst pushes it — with the whole 10-replace encode chain inside —
+    below the vocab GROUP BY, re-encoding every corpus token INSTANCE
+    instead of every distinct word (verified via explain: the chain
+    appeared in a Filter under the corpus-sized aggregation)."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    spark.sql(
+        _bpe_vocab_sql("spark")
+    ).localCheckpoint().createOrReplaceTempView("__bpe_vocab")
+    return spark.sql(_bpe_apply_sql("spark", "__bpe_vocab"))
+
+
+_q(
+    "doc_bpe_apply",
+    _run_bpe_apply,
+    _bpe_apply_sql("duck", f"({_bpe_vocab_sql('duck')}) vocab"),
+)
 
 
 _TRIANGLE_BODY = """
