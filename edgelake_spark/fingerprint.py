@@ -50,10 +50,17 @@ def _depth_limit(fn: types.FunctionType) -> int:
 
 def _update_set(h, val, seen: set, depth: int) -> None:
     # set/frozenset constants repr() in string-hash order, which varies
-    # per process under hash randomization — hash elements sorted
+    # per process under hash randomization — hash each element into its
+    # own sub-digest via _update_value (repr() of a tuple holding an
+    # object/function embeds a memory address) and fold sorted digests
     h.update(f"<{type(val).__name__}:{len(val)}>".encode())
-    for item in sorted(repr(e) for e in val):
-        h.update(item.encode())
+    digests = []
+    for e in val:
+        sub = hashlib.sha256()
+        _update_value(sub, e, seen, depth)
+        digests.append(sub.digest())
+    for d in sorted(digests):
+        h.update(d)
 
 
 def _update_code(h, code: types.CodeType, seen: set, depth: int) -> None:

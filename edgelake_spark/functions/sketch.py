@@ -471,7 +471,10 @@ def kmv_distinct_sql(engine: str, table: str, group: str, key: str) -> str:
     the whole hash set inside the sketch, so the standard fallback
     applies: est = exact, rel_err = 0 (LEFT JOIN, never a dropped
     group). All ranks are integers; the estimate is one
-    integer-product-to-double divide — engine-exact.
+    integer-product-to-double divide — engine-exact. NULL keys are
+    excluded from the hash CTE (Spark ranks NULLs first, DuckDB last;
+    count(DISTINCT) ignores them in both) so both engines rank the
+    same row set.
 
     Scale shape: per-group distinct-hash ranking is ONE shuffle on
     (group, hash) with a window top-k; at 100 TB the bottom-k set (k
@@ -491,6 +494,7 @@ def kmv_distinct_sql(engine: str, table: str, group: str, key: str) -> str:
     return f"""
 WITH hv AS (
   SELECT DISTINCT {keycast} AS grp, {h60} AS h FROM {table}
+  WHERE {key} IS NOT NULL
 ),
 rk AS (
   SELECT grp, h,

@@ -7232,10 +7232,10 @@ WITH enc AS (
   SELECT word, freq, {apply} AS toks FROM {vocab}
 ),
 tok AS (
-  SELECT {unn} AS token, freq FROM enc
+  SELECT word, {unn} AS token, freq FROM enc
 )
 SELECT token, CAST(sum(freq) AS BIGINT) AS tok_freq,
-       CAST(count(*) AS BIGINT) AS n_vocab_words
+       CAST(count(DISTINCT word) AS BIGINT) AS n_vocab_words
 FROM tok GROUP BY token
 ORDER BY tok_freq DESC, token LIMIT 40
 """
