@@ -22,6 +22,7 @@ results are bit-identical across engines (verified in tests).
 from __future__ import annotations
 
 from edgelake_spark.functions.text import duck_tokens, spark_tokens
+from edgelake_spark.checkpoint import materialize as _materialize
 
 NUM_HASHES = 16
 BANDS = 4
@@ -387,13 +388,13 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
     sc = spark.sparkContext
     edges = pairs.union(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
-    ).localCheckpoint()
+    ).transform(_materialize)
     before_labels = _persistent_rdd_ids(sc)
     labels = (
         edges.select(F.col("id1").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     # each round supersedes the previous labels checkpoint; without an
     # explicit unpersist its blocks stay pinned until JVM GC — up to
@@ -424,7 +425,7 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .transform(_materialize)
         )
         jumped_ids = _persistent_rdd_ids(sc) - before_jump
         # convergence probe every other round (scheduling overhead

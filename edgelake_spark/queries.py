@@ -25,6 +25,7 @@ from edgelake_spark.engine import EdgeLakeEngine
 from edgelake_spark.functions import dedup as dd
 from edgelake_spark.functions import similarity as sim
 from edgelake_spark.functions import text as tx
+from edgelake_spark.checkpoint import materialize as _materialize
 
 FIXED_NOW = datetime(2024, 2, 1)
 
@@ -450,7 +451,7 @@ def _run_minhash_pairs(spark, sf_dir):
     cost). On a real cluster this would be a persisted staging table."""
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "documents")
-    sig = spark.sql(dd.spark_minhash_sig_sql("documents_rep")).localCheckpoint()
+    sig = spark.sql(dd.spark_minhash_sig_sql("documents_rep")).transform(_materialize)
     sig.createOrReplaceTempView("__mh_sig")
     spark.sql(
         f"SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM "
@@ -614,7 +615,7 @@ def _emb_norm_view(spark) -> str:
     view = "__emb_n"
     spark.sql(
         sim.spark_norm_stage_sql("embeddings_rep")
-    ).localCheckpoint().createOrReplaceTempView(view)
+    ).transform(_materialize).createOrReplaceTempView(view)
     return view
 
 
@@ -1002,7 +1003,7 @@ def _run_dedup_clusters(spark, sf_dir):
     # checkpoint the pairs FIRST — they are referenced twice inside
     # connected_components and would otherwise run the whole LSH
     # pipeline once per reference
-    pairs = _run_minhash_pairs(spark, sf_dir).select("id1", "id2").localCheckpoint()
+    pairs = _run_minhash_pairs(spark, sf_dir).select("id1", "id2").transform(_materialize)
     return dd.connected_components(pairs)
 
 
@@ -1374,7 +1375,7 @@ def _run_simhash_pairs(spark, sf_dir):
     bit_count verify. Candidate count is bucket collisions, not n^2."""
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "documents")
-    sh = spark.sql(dd.spark_simhash_sql("documents_rep")).localCheckpoint()
+    sh = spark.sql(dd.spark_simhash_sql("documents_rep")).transform(_materialize)
     sh.createOrReplaceTempView("__sh")
     spark.sql(_sh_bands("spark", "__sh")).createOrReplaceTempView("__sh_bands")
     return spark.sql(
@@ -2371,7 +2372,7 @@ def _ckpt_view(spark, sql: str, view: str) -> str:
     (measured 9 s → 0.4 s on the bigram gate; a hang on winnow_pairs).
     Checkpointing the ARRAY column is the barrier that keeps the chain
     evaluated once per doc."""
-    df = spark.sql(sql).localCheckpoint()
+    df = spark.sql(sql).transform(_materialize)
     df.createOrReplaceTempView(view)
     return view
 
@@ -3240,7 +3241,7 @@ def _run_simhash60_pairs(spark, sf_dir):
     as the corpus grows."""
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "documents")
-    sh = spark.sql(dd.spark_simhash_sql("documents_rep", bits=60)).localCheckpoint()
+    sh = spark.sql(dd.spark_simhash_sql("documents_rep", bits=60)).transform(_materialize)
     sh.createOrReplaceTempView("__sh60")
     spark.sql(_sh_bands_wide("__sh60")).createOrReplaceTempView("__sh60_bands")
     return spark.sql(
@@ -4495,7 +4496,7 @@ def _cc_map_view(spark, sf_dir) -> str:
 
     def build():
         _pairs_view(spark, sf_dir)
-        pairs = spark.table("__mh_pairs").select("id1", "id2").localCheckpoint()
+        pairs = spark.table("__mh_pairs").select("id1", "id2").transform(_materialize)
         return dd.connected_components(pairs)
 
     return _doc_artifact_view(
@@ -6891,7 +6892,7 @@ def _run_kmv_jaccard(spark, sf_dir):
     _rep_view(spark, "documents")
     spark.sql(
         sk.kmv_dt_sql("spark", "documents_rep")
-    ).localCheckpoint().createOrReplaceTempView("__kmv_dt")
+    ).transform(_materialize).createOrReplaceTempView("__kmv_dt")
     return spark.sql(sk.kmv_jaccard_sql("spark", "", dt_table="__kmv_dt"))
 
 
@@ -7131,7 +7132,7 @@ def _run_pca_power(spark, sf_dir):
     _rep_view(spark, "embeddings")
     spark.sql(
         sim.pca_cov_sql("spark", "embeddings_rep")
-    ).localCheckpoint().createOrReplaceTempView("__pca_cov")
+    ).transform(_materialize).createOrReplaceTempView("__pca_cov")
     return spark.sql(sim.pca_power_sql("spark", "", cov_table="__pca_cov"))
 
 
@@ -7254,7 +7255,7 @@ def _run_bpe_apply(spark, sf_dir):
     _rep_view(spark, "documents")
     spark.sql(
         _bpe_vocab_sql("spark")
-    ).localCheckpoint().createOrReplaceTempView("__bpe_vocab")
+    ).transform(_materialize).createOrReplaceTempView("__bpe_vocab")
     return spark.sql(_bpe_apply_sql("spark", "__bpe_vocab"))
 
 
@@ -7563,7 +7564,7 @@ def _run_pca_project(spark, sf_dir):
     if rows is None:
         spark.sql(
             sim.pca_cov_sql("spark", "embeddings_rep")
-        ).localCheckpoint().createOrReplaceTempView("__pca_cov")
+        ).transform(_materialize).createOrReplaceTempView("__pca_cov")
         model = spark.sql(sim.pca_power_sql("spark", "", cov_table="__pca_cov"))
         rows = [(r["dim"], r["mu"], r["pc1_loading"]) for r in model.collect()]
         _PCA_MODEL[key] = rows
@@ -7669,7 +7670,7 @@ def _run_kmv_vocab_churn(spark, sf_dir):
     _rep_view(spark, "documents")
     spark.sql(
         sk.kmv_dt_sql("spark", "documents_rep")
-    ).localCheckpoint().createOrReplaceTempView("__kmv_dt")
+    ).transform(_materialize).createOrReplaceTempView("__kmv_dt")
     return spark.sql(sk.kmv_vocab_churn_sql("spark", dt_table="__kmv_dt"))
 
 

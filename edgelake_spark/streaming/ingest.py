@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from edgelake_spark.streaming.conditions import StreamingCondition, apply_conditions
 from edgelake_spark.streaming.monitor import DataMonitor
+from edgelake_spark.checkpoint import materialize as _materialize
 
 DEFAULT_MAX_TIME_SEC = 60  # reference streaming_data.py:28
 DEFAULT_MAX_VOLUME_BYTES = 10_000  # reference streaming_data.py:29
@@ -57,7 +58,7 @@ class StreamIngest:
         if self.monitor is not None:
             self.monitor.process_batch(kept)
         out = kept.withColumn("insert_timestamp", F.current_timestamp())
-        out = out.localCheckpoint()  # count + write from one materialization
+        out = out.transform(_materialize)  # count + write from one materialization
         self.rows_flushed += out.count()
         out.write.mode("append").parquet(self.target_dir)
 

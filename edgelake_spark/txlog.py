@@ -46,6 +46,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+from edgelake_spark.checkpoint import materialize as _materialize
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
@@ -458,7 +459,7 @@ class TxTable:
         # localCheckpoint: the key set must not remain a FILE source —
         # input_file_name() (the discovery scan) rejects plans with a
         # second file source, and the keys are broadcast-sized anyway
-        keys = source.select(*key_cols).distinct().localCheckpoint()
+        keys = source.select(*key_cols).distinct().transform(_materialize)
 
         def replace(rows):
             survivors = rows.join(F.broadcast(keys), key_cols, "anti")

@@ -1,0 +1,88 @@
+"""Reliable-checkpoint mode: the checkpoint-heavy gate families must
+produce byte-identical results when every materialization barrier runs
+through ``df.checkpoint()`` (reliable, cluster-survivable storage)
+instead of ``localCheckpoint()``.
+
+The mode is a runtime session conf (``spark.edgelake.checkpoint.reliable``),
+so the shared test session can flip it per-test; ``materialize`` reads
+the conf at call time. Checkpoint files land in a tmpdir set once via
+``spark.edgelake.checkpoint.dir``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from edgelake_spark import checkpoint as ck
+from edgelake_spark.queries import SPARK_QUERIES
+from tests.conftest import SF_DIR
+
+# one representative per checkpoint-discipline family (VERDICT r8 #1):
+# explode-discipline _ckpt_view (winnow pairs), iterative distributed
+# artifact reuse (dedup clusters via LSH pair graph), staged fixed-point
+# (PCA power iteration over the materialized covariance table)
+FAMILIES = ["doc_winnow_pairs", "doc_dedup_clusters", "emb_pca_power"]
+
+
+@pytest.fixture()
+def reliable_mode(spark, tmp_path):
+    spark.conf.set("spark.edgelake.checkpoint.dir", str(tmp_path / "ckpt"))
+    spark.conf.set("spark.edgelake.checkpoint.reliable", "true")
+    yield spark
+    spark.conf.set("spark.edgelake.checkpoint.reliable", "false")
+
+
+def _rows(df):
+    return sorted(tuple(repr(v) for v in row) for row in df.collect())
+
+
+def test_materialize_switches_substrate(reliable_mode, tmp_path):
+    spark = reliable_mode
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    out = ck.materialize(df)
+    assert out.count() == 100
+    # reliable checkpoints write partition files under the configured dir
+    ckpt_dir = tmp_path / "ckpt"
+    assert any(ckpt_dir.rglob("rdd-*")), "no reliable checkpoint files written"
+
+
+def test_local_mode_writes_no_files(spark, tmp_path):
+    assert not ck.reliable_enabled(spark)
+    out = ck.materialize(spark.range(10))
+    assert out.count() == 10
+
+
+def test_distributed_cc_in_reliable_mode(reliable_mode):
+    """The iterative min-label + pointer-jumping loop (the heaviest
+    checkpoint consumer: one barrier per round) forced via
+    driver_threshold=0, end-to-end on reliable storage."""
+    from edgelake_spark.functions.dedup import connected_components
+
+    spark = reliable_mode
+    # path 0-...-300 plus a star and isolated pairs — same shape as
+    # test_dedup_cc's synthetic graph, small enough for one round-trip
+    edges = (
+        [(i, i + 1) for i in range(50)]
+        + [(1000, 1000 + i) for i in range(1, 11)]
+        + [(2000 + 2 * i, 2001 + 2 * i) for i in range(5)]
+    )
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    stats: dict = {}
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(df, driver_threshold=0, stats=stats).collect()
+    }
+    assert stats["branch"] == "distributed" and stats["rounds"] >= 1
+    assert all(got[i] == 0 for i in range(51))
+    assert all(got[1000 + i] == 1000 for i in range(11))
+    assert all(got[2000 + 2 * i + k] == 2000 + 2 * i for i in range(5) for k in (0, 1))
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_family_parity_in_reliable_mode(name, reliable_mode):
+    spark = reliable_mode
+    q = SPARK_QUERIES[name]
+    reliable_rows = _rows(q(spark, SF_DIR))
+    spark.conf.set("spark.edgelake.checkpoint.reliable", "false")
+    local_rows = _rows(q(spark, SF_DIR))
+    assert reliable_rows == local_rows, f"{name}: reliable vs local mismatch"
