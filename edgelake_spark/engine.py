@@ -167,6 +167,45 @@ class EdgeLakeEngine:
             )
         return entry["plan"]
 
+    @staticmethod
+    def _plan_destinations(plan: str) -> list[dict]:
+        """File-scan destinations from a formatted physical plan: one
+        dict per scan with the location root, the table name (path
+        basename), and the scan-time pruning predicates. Non-file scans
+        (checkpointed intermediates, in-memory relations) are reported
+        as a single ``memory`` destination so a query never vanishes
+        from the report."""
+        import re as _re
+
+        out: list[dict] = []
+        # formatted explain prints per-node detail blocks; Location
+        # lines carry "<FileIndexCls> [path1, path2, ...]" (paths may be
+        # elided with "..." beyond the first few)
+        blocks = _re.split(r"\n\s*\n", plan)
+        for block in blocks:
+            for loc in _re.finditer(r"Location:\s*\S+\s*\[([^\]]*)\]", block):
+                first_path = loc.group(1).split(",")[0].strip()
+                if not first_path:
+                    continue
+                table = first_path.rstrip("/").rsplit("/", 1)[-1]
+                table = _re.sub(r"\.(parquet|csv|json|orc)$", "", table)
+                filters = []
+                for key in ("PartitionFilters", "PushedFilters"):
+                    fm = _re.search(rf"{key}:\s*(\[[^\]]*\])", block)
+                    if fm and fm.group(1) != "[]":
+                        filters.append(f"{key}={fm.group(1)}")
+                out.append(
+                    {
+                        "location": first_path,
+                        "table": table,
+                        "filters": "; ".join(filters),
+                    }
+                )
+        if not out:
+            kind = "memory" if "Scan ExistingRDD" in plan else "local"
+            out.append({"location": kind, "table": "", "filters": ""})
+        return out
+
     # ------------------------------------------------------------ public
 
     def run(self, command: str):
@@ -552,6 +591,46 @@ class EdgeLakeEngine:
             return self.spark.createDataFrame(
                 [(f"{name} running", sc.appName, sc.master, sc.defaultParallelism)],
                 "status string, app string, master string, parallelism int",
+            )
+        m = _re.match(r"query\s+destination(\s+(\S+))?$", text, _re.IGNORECASE)
+        if m:
+            # reference `query destination [all/ID]` (member_cmd.py:13191
+            # get_query_dest): per job, the (Job, Destination, DBMS,
+            # Table, Command) rows naming which nodes served the query.
+            # Single-engine Spark has no peer nodes; the faithful answer
+            # is which STORAGE each job actually read — the file-scan
+            # locations from the captured physical plan, with the
+            # scan-time pruning predicates (partition + pushed filters)
+            # that decided how much of the table was touched.
+            sel = (m.group(2) or "").strip().lower()
+            if self.query_log:
+                if sel == "all":
+                    entries = list(self.query_log)
+                elif sel.isdigit():
+                    entries = [
+                        e for e in self.query_log if e["job_id"] == int(sel)
+                    ] or [self.query_log[-1]]
+                else:
+                    entries = [self.query_log[-1]]
+            else:
+                entries = []
+            rows = []
+            for e in entries:
+                for dest in self._plan_destinations(self._entry_plan(e)):
+                    rows.append(
+                        (
+                            e["job_id"],
+                            dest["location"],
+                            e.get("dbms") or "",
+                            dest["table"],
+                            dest["filters"],
+                            e["statement"],
+                        )
+                    )
+            return self.spark.createDataFrame(
+                rows or [],
+                "job_id bigint, destination string, dbms string, "
+                "table_name string, scan_filters string, statement string",
             )
         m = _re.match(r"query\s+(status|explain)(\s+(\S+))?$", text, _re.IGNORECASE)
         if m:
@@ -2088,6 +2167,7 @@ class EdgeLakeEngine:
                 "statement": cmd.statement,
                 "rewritten_sql": rewritten.sql,
                 "pass_through": bool(self._last_pass_through),
+                "dbms": cmd.dbms,
                 "df": df,
             }
         )
@@ -2427,6 +2507,7 @@ _COMMAND_HELP = [
     ("event", "event <name> [args..]  (name resolves to a script via the dictionary)"),
     ("query status", "query status [all]"),
     ("query explain", "query explain [job|last]"),
+    ("query destination", "query destination [all|ID]  (storage each job read + scan pruning)"),
     ("set", "set <name> = <value>  (empty value removes the key)"),
     ("echo", "echo <message>"),
     ("print", "print <text with !name substitution>"),

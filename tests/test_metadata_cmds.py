@@ -75,6 +75,40 @@ def test_query_status_and_explain(spark):
     assert foo.job_id == status[-1].job_id
 
 
+def test_query_destination(spark):
+    """Reference `query destination [all/ID]` (member_cmd.py:13191):
+    per-job (Job, Destination, DBMS, Table, Command) rows. Single-engine
+    mapping: the file locations each job's plan actually scanned, plus
+    the pruning predicates that bounded the scan."""
+    from datetime import datetime
+
+    from tests.conftest import SF_DIR
+
+    eng = EdgeLakeEngine(spark, SF_DIR, now=datetime(2024, 2, 1))
+    eng.run('sql db "select count(*) as n from events where value > 100"')
+    eng.run(
+        'sql db "select l_returnflag, sum(l_quantity) as q'
+        ' from lineitem group by l_returnflag"'
+    )
+    # bare form = last job only
+    last = eng.run("query destination").collect()
+    assert len(last) == 1 and last[0].table_name == "lineitem"
+    assert last[0].destination.endswith("lineitem.parquet")
+    assert last[0].dbms == "db"
+    # all = every logged job; the filtered scan shows its pushdown
+    rows = eng.run("query destination all").collect()
+    assert {r.table_name for r in rows} == {"events", "lineitem"}
+    ev = next(r for r in rows if r.table_name == "events")
+    assert "PushedFilters" in ev.scan_filters and "value" in ev.scan_filters
+    # numeric selector picks that job; unknown id falls back to latest
+    first = eng.run(f"query destination {rows[0].job_id}").collect()
+    assert all(r.job_id == rows[0].job_id for r in first)
+    # command surface is discoverable
+    assert any(
+        "query destination" in r.command for r in eng.run("help query").collect()
+    )
+
+
 def test_dest_buffer(spark):
     from datetime import datetime
 
