@@ -515,3 +515,83 @@ def cms_cells_stream(stream_df: DataFrame, text_col: str = "text",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------- KLL quantile monitor
+
+KLL_OUTPUT = (
+    "key string, n_rows bigint, sketch_size bigint, "
+    "q50 double, q90 double, q99 double"
+)
+#: per-key state: the sketch's (value, weight) pairs flattened to two
+#: arrays + counters — bounded at ~3k items TOTAL however long the
+#: stream runs (the fixed-size property shared with the HLL registers
+#: and CMS cells above; quantile state closes the sketch-monitor
+#: matrix: cardinality / frequency / order statistics)
+KLL_STATE = "vals array<double>, wts array<long>, n bigint, flips bigint"
+
+
+def make_kll_fn(value_col: str = "value"):
+    """applyInPandasWithState function for a per-key streaming quantile
+    monitor over a deterministic KLL sketch
+    (functions/sketch.KllSketch). Quantile compaction is ORDER-
+    sensitive (unlike HLL max-merge / CMS addition), so each
+    micro-batch's values are sorted before insertion — the emitted
+    sketch is then a pure function of the SET of batch contents and the
+    batch sequence, and a replay of the same batches reproduces the
+    reference sketch exactly (pinned in tests/test_kll.py)."""
+    from edgelake_spark.functions.sketch import KllSketch
+
+    def kll(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, wts, n, flips = state.get
+            sk = KllSketch.from_state(vals, wts, n, flips)
+        else:
+            sk = KllSketch()
+        incoming: list[float] = []
+        for pdf in batches:
+            incoming.extend(float(v) for v in pdf[value_col].dropna())
+        incoming.sort()
+        sk.extend(incoming)
+        state.update(sk.to_state())
+        if sk.n:
+            row = {
+                "key": key[0],
+                "n_rows": sk.n,
+                "sketch_size": sk.size(),
+                "q50": sk.quantile(0.50),
+                "q90": sk.quantile(0.90),
+                "q99": sk.quantile(0.99),
+            }
+            yield pd.DataFrame([row])
+
+    return kll
+
+
+def kll_stream(
+    stream_df: DataFrame, key_col: str, value_col: str = "value"
+) -> DataFrame:
+    """Per-key streaming quantile monitor: one row per key per
+    micro-batch with the running p50/p90/p99 estimates (rank error
+    O(1/k), k=200) from fixed-size sketch state. The streaming twin of
+    the batch events_quantiles gate (exact percentiles) — at the edge
+    you watch a latency/value stream's tail without keeping the values.
+
+    Scale shape: the only shuffle is the key grouping; state per key is
+    ≤ ~3k doubles regardless of stream length; per-shard sketches merge
+    associatively (KllSketch.merge) for cross-node rollup."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withColumn("key", F.col(key_col).cast("string"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            make_kll_fn(value_col=value_col),
+            outputStructType=KLL_OUTPUT,
+            stateStructType=KLL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
