@@ -450,6 +450,10 @@ SF1_FAMILIES = [
     # removal) and the scan-and-score retrieval shape
     "doc_remove_dup_chunks",
     "doc_bm25_topk",
+    # round-7/8 families: vocabulary-collapsed SQL BPE encode and the
+    # additive CMS partition rollup (the mergeable-sketch lifecycle)
+    "doc_bpe_apply",
+    "events_cms_rollup",
 ]
 
 
