@@ -5644,6 +5644,78 @@ _q(
 )
 
 
+# ------------------------------------- directional containment (doc-in-doc)
+
+
+def _containment_pairs_sql(engine: str, docs: str, pairs: str) -> str:
+    """Directional shingle containment |A∩B|/|A| (and /|B|) for every
+    LSH candidate pair: the asymmetric near-dup measure (Broder 1997's
+    second resemblance variant) that catches PARTIAL duplication —
+    a short doc quoted inside a long one scores high containment but
+    LOW Jaccard, so a symmetric-threshold dedup sweep keeps both
+    copies. Emits exact integer set sizes, both containment directions
+    (one int/int IEEE divide each — engine-exact), and the Jaccard for
+    contrast, top 50 pairs by overlap.
+
+    Scale shape: identical to the calibration gate — exact set work
+    runs ONLY on LSH candidates (O(collisions), never O(n²)); shingle
+    sets join back by co-located doc_id; top-k is a 50-row sort over
+    candidate pairs."""
+    if engine == "spark":
+        toks = tx.spark_tokens("text")
+        sh = f"array_distinct({dd.spark_shingles_over('toks')})"
+        inter = "size(array_intersect(a.sh, b.sh))"
+        sz = "size"
+    else:
+        toks = tx.duck_tokens("text")
+        sh = f"list_distinct({dd.duck_shingles_over('toks')})"
+        inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+        sz = "len"
+    return f"""
+WITH sets AS (
+  SELECT doc_id, {sh} AS sh
+  FROM (SELECT doc_id, {toks} AS toks FROM {docs}) t
+),
+scored AS (
+  SELECT p.id1, p.id2,
+         CAST({inter} AS BIGINT) AS n_common,
+         CAST({sz}(a.sh) AS BIGINT) AS n_sh1,
+         CAST({sz}(b.sh) AS BIGINT) AS n_sh2
+  FROM {pairs} p
+  JOIN sets a ON a.doc_id = p.id1
+  JOIN sets b ON b.doc_id = p.id2
+)
+SELECT id1, id2, n_common, n_sh1, n_sh2,
+  CAST(n_common AS DOUBLE) / CAST(n_sh1 AS DOUBLE) AS contain_1_in_2,
+  CAST(n_common AS DOUBLE) / CAST(n_sh2 AS DOUBLE) AS contain_2_in_1,
+  CAST(n_common AS DOUBLE) / CAST(n_sh1 + n_sh2 - n_common AS DOUBLE)
+    AS jaccard
+FROM scored
+ORDER BY n_common DESC, id1, id2
+LIMIT 50
+"""
+
+
+def _run_containment_pairs(spark, sf_dir):
+    _pairs_view(spark, sf_dir)
+    spark.table("__mh_pairs").createOrReplaceTempView("__ct_pairs")
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    return spark.sql(
+        _containment_pairs_sql("spark", "documents_rep", "__ct_pairs")
+    )
+
+
+_q(
+    "doc_containment_pairs",
+    _run_containment_pairs,
+    f"WITH mh_pairs AS ({ORACLE_SQL['doc_minhash_pairs']})"
+    + _containment_pairs_sql("duck", "documents", "mh_pairs").replace(
+        "\nWITH sets AS", ", sets AS", 1
+    ),
+)
+
+
 # ------------------------------------------------- CUSUM changepoint
 
 
