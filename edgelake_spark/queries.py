@@ -5716,6 +5716,110 @@ _q(
 )
 
 
+# ------------------------------------------- incremental (delta) dedup
+
+
+#: the persisted corpus is docs with doc_id % 5 != 0; the incoming
+#: crawl batch is the % 5 = 0 slice (a deterministic 20% delta)
+_INC_OLD = "doc_id % 5 != 0"
+_INC_NEW = "doc_id % 5 = 0"
+
+
+def _dedup_incremental_sql(engine: str, sig_old: str, sig_new: str,
+                           sig_all: str) -> str:
+    est = _MH_EST_SPARK if engine == "spark" else _MH_EST_DUCK
+    ob = _band_unions(engine, sig_old)
+    nb = _band_unions(engine, sig_new)
+    return f"""
+SELECT s.doc_id, v.dup_of,
+       coalesce(v.n_old_cands, CAST(0 AS BIGINT)) AS n_old_cands,
+       coalesce(v.n_new_cands, CAST(0 AS BIGINT)) AS n_new_cands,
+       CASE WHEN v.dup_of IS NULL THEN 'keep' ELSE 'dup' END AS verdict
+FROM {sig_new} s
+LEFT JOIN (
+  SELECT new_id,
+         min(CASE WHEN est_sim >= 0.5 THEN partner END) AS dup_of,
+         CAST(sum(CASE WHEN src = 'old' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old_cands,
+         CAST(sum(CASE WHEN src = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_cands
+  FROM (
+    SELECT d.new_id, d.partner, d.src, {est} AS est_sim
+    FROM (
+      SELECT DISTINCT new_id, partner, src FROM (
+        SELECT n.doc_id AS new_id, o.doc_id AS partner, 'old' AS src
+        FROM ({nb}) n JOIN ({ob}) o
+          ON o.band_id = n.band_id AND o.band_key = n.band_key
+        UNION ALL
+        SELECT n1.doc_id AS new_id, n2.doc_id AS partner, 'new' AS src
+        FROM ({nb}) n1 JOIN ({nb}) n2
+          ON n2.band_id = n1.band_id AND n2.band_key = n1.band_key
+             AND n2.doc_id < n1.doc_id
+      ) raw
+    ) d
+    JOIN {sig_new} a ON a.doc_id = d.new_id
+    JOIN {sig_all} b ON b.doc_id = d.partner
+  ) sc
+  GROUP BY new_id
+) v ON v.new_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+def _run_dedup_incremental(spark, sf_dir):
+    """Delta-only dedup — the production crawl shape at 100 TB: the
+    already-indexed corpus's MinHash signature table is a PERSISTED
+    artifact (never re-derived; here materialized once per dataset),
+    and only the incoming batch pays LSH signature cost. Candidates are
+    new-vs-old (band join against the stored index) plus new-vs-new
+    (delta self-join); the verdict is the greedy keep-first rule
+    (dup_of = smallest partner with signature similarity >= 0.5) — the
+    same policy the streaming monitor (lsh_dedup_stream) applies
+    bucket-by-bucket, so batch delta sweeps and the stream agree.
+
+    Scale shape: delta LSH is map-side over the batch only; both
+    candidate joins are band-bucket equi-joins (O(collisions)); the
+    old-corpus artifact is read, not recomputed — incremental cost is
+    O(delta + collisions), independent of corpus size. Every new doc
+    appears in the output (LEFT JOIN), so the keep-list is total."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    # delta LSH: only the incoming batch is signature-hashed with a
+    # pushed filter (the map-side cost an incremental sweep pays)
+    spark.sql(
+        dd.spark_minhash_sig_sql("documents_rep", _INC_NEW)
+    ).transform(_materialize).createOrReplaceTempView("__inc_sig_new")
+    # the full table stands in for artifact ∪ delta (equal by
+    # construction); the old index is a filter over it. NOT a UNION of
+    # the two checkpoints: a WHERE under localCheckpoint leaves the
+    # filter in the LogicalRDD's constraints referencing pre-checkpoint
+    # attributes, and Union.rewriteConstraints dies on them
+    # (NoSuchElementException: key not found doc_id#…)
+    spark.sql(
+        dd.spark_minhash_sig_sql("documents_rep")
+    ).transform(_materialize).createOrReplaceTempView("__inc_sig_all")
+    spark.sql(
+        f"SELECT * FROM __inc_sig_all WHERE {_INC_OLD}"
+    ).createOrReplaceTempView("__inc_sig_old")
+    return spark.sql(
+        _dedup_incremental_sql(
+            "spark", "__inc_sig_old", "__inc_sig_new", "__inc_sig_all"
+        )
+    )
+
+
+_q(
+    "doc_dedup_incremental",
+    _run_dedup_incremental,
+    f"""
+WITH sig_old AS ({dd.duck_minhash_sig_sql('documents', _INC_OLD)}),
+sig_new AS ({dd.duck_minhash_sig_sql('documents', _INC_NEW)}),
+sig_all AS (SELECT * FROM sig_old UNION ALL SELECT * FROM sig_new)
+"""
+    + _dedup_incremental_sql("duck", "sig_old", "sig_new", "sig_all"),
+)
+
+
 # ------------------------------------------------- CUSUM changepoint
 
 
