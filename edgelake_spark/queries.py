@@ -5716,6 +5716,59 @@ _q(
 )
 
 
+# ------------------------------------- cross-source duplication matrix
+
+
+def _dup_source_matrix_sql(engine: str, docs: str, pairs: str) -> str:
+    """Provenance view of the near-dup pair graph: pair counts and
+    distinct-doc involvement per (source, source) cell — the question a
+    dedup report answers before any filtering ('is crawl B largely a
+    re-crawl of A? are the mirror sites mirrored?'). Sources are
+    canonically ordered within a cell so A↔B lands in one row.
+
+    Scale shape: the pair artifact is LSH output (already reduced);
+    two co-located doc_id joins pull the source labels; the matrix
+    groupBy is |sources|² rows. Exact-integer output, engine-trivial."""
+    return f"""
+WITH labeled AS (
+  SELECT CASE WHEN a.source <= b.source THEN a.source ELSE b.source END
+           AS source_lo,
+         CASE WHEN a.source <= b.source THEN b.source ELSE a.source END
+           AS source_hi,
+         p.id1, p.id2
+  FROM {pairs} p
+  JOIN {docs} a ON a.doc_id = p.id1
+  JOIN {docs} b ON b.doc_id = p.id2
+)
+SELECT source_lo, source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id1) AS BIGINT) AS n_docs_1,
+       CAST(count(DISTINCT id2) AS BIGINT) AS n_docs_2
+FROM labeled
+GROUP BY source_lo, source_hi
+ORDER BY n_pairs DESC, source_lo, source_hi
+"""
+
+
+def _run_dup_source_matrix(spark, sf_dir):
+    _pairs_view(spark, sf_dir)
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    return spark.sql(
+        _dup_source_matrix_sql("spark", "documents_rep", "__mh_pairs")
+    )
+
+
+_q(
+    "doc_dup_source_matrix",
+    _run_dup_source_matrix,
+    f"WITH mh_pairs AS ({ORACLE_SQL['doc_minhash_pairs']})"
+    + _dup_source_matrix_sql("duck", "documents", "mh_pairs").replace(
+        "\nWITH labeled AS", ", labeled AS", 1
+    ),
+)
+
+
 # ------------------------------------------- incremental (delta) dedup
 
 
