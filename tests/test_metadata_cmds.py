@@ -109,6 +109,33 @@ def test_query_destination(spark):
     )
 
 
+def test_query_destination_partition_filters(spark, tmp_path):
+    """On a partitioned managed table, `query destination` surfaces the
+    PartitionFilters that pruned the scan — the single-engine analogue
+    of the reference's which-nodes-served-this answer."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from edgelake_spark.ingest.partitions import PARTITION_COL, write_partitioned
+    from tests.conftest import SF_DIR
+
+    eng = EdgeLakeEngine(spark, SF_DIR, now=datetime(2024, 2, 1))
+    df = eng.spark.table("events").withColumn("ts", F.col("ts"))
+    ppath = str(tmp_path / "events_part")
+    write_partitioned(df, ppath, "ts", unit="day", count=7)
+    eng.attach_partitioned("d.events_part", ppath)
+    bucket = eng.spark.read.parquet(ppath).select(PARTITION_COL).first()[0]
+    eng.run(
+        f'sql d "select count(*) as n from events_part'
+        f" where {PARTITION_COL} = '{bucket}'\""
+    )
+    rows = eng.run("query destination").collect()
+    assert len(rows) >= 1 and rows[0].table_name == "events_part"
+    assert "PartitionFilters" in rows[0].scan_filters
+    assert PARTITION_COL in rows[0].scan_filters
+
+
 def test_dest_buffer(spark):
     from datetime import datetime
 
