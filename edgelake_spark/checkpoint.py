@@ -40,8 +40,12 @@ _RELIABLE_CONF = "spark.edgelake.checkpoint.reliable"
 _DIR_CONF = "spark.edgelake.checkpoint.dir"
 
 
+_FALSY = ("", "0", "false", "no", "off")
+
+
 def reliable_enabled(spark) -> bool:
-    if os.environ.get("SPARK_GRAFT_RELIABLE_CKPT", "") not in ("", "0"):
+    env = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT", "").lower()
+    if env not in _FALSY:
         return True
     return spark.conf.get(_RELIABLE_CONF, "false").lower() == "true"
 

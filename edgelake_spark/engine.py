@@ -191,7 +191,10 @@ class EdgeLakeEngine:
                 table = _re.sub(r"\.(parquet|csv|json|orc)$", "", table)
                 filters = []
                 for key in ("PartitionFilters", "PushedFilters"):
-                    fm = _re.search(rf"{key}:\s*(\[[^\]]*\])", block)
+                    # capture to end-of-line: predicates like
+                    # In(value, [1,2,3]) nest brackets, so a
+                    # first-']' match would truncate them
+                    fm = _re.search(rf"{key}:\s*(\[.*?)\s*$", block, _re.MULTILINE)
                     if fm and fm.group(1) != "[]":
                         filters.append(f"{key}={fm.group(1)}")
                 out.append(

@@ -57,7 +57,11 @@ def _update_set(h, val, seen: set, depth: int) -> None:
     digests = []
     for e in val:
         sub = hashlib.sha256()
-        _update_value(sub, e, seen, depth)
+        # each element hashes against a COPY of `seen`: with the shared
+        # set, whichever element a hash-randomized iteration visits
+        # first would expand a shared helper fully while later elements
+        # get only the name marker — per-process digest order again
+        _update_value(sub, e, set(seen), depth)
         digests.append(sub.digest())
     for d in sorted(digests):
         h.update(d)

@@ -5731,19 +5731,25 @@ def _dup_source_matrix_sql(engine: str, docs: str, pairs: str) -> str:
     groupBy is |sources|² rows. Exact-integer output, engine-trivial."""
     return f"""
 WITH labeled AS (
+  -- doc ids swap WITH the sources so doc_lo always belongs to
+  -- source_lo and doc_hi to source_hi (id1/id2 order is pair-
+  -- canonical, not source-canonical)
   SELECT CASE WHEN a.source <= b.source THEN a.source ELSE b.source END
            AS source_lo,
          CASE WHEN a.source <= b.source THEN b.source ELSE a.source END
            AS source_hi,
-         p.id1, p.id2
+         CASE WHEN a.source <= b.source THEN p.id1 ELSE p.id2 END
+           AS doc_lo,
+         CASE WHEN a.source <= b.source THEN p.id2 ELSE p.id1 END
+           AS doc_hi
   FROM {pairs} p
   JOIN {docs} a ON a.doc_id = p.id1
   JOIN {docs} b ON b.doc_id = p.id2
 )
 SELECT source_lo, source_hi,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(count(DISTINCT id1) AS BIGINT) AS n_docs_1,
-       CAST(count(DISTINCT id2) AS BIGINT) AS n_docs_2
+       CAST(count(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+       CAST(count(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi
 FROM labeled
 GROUP BY source_lo, source_hi
 ORDER BY n_pairs DESC, source_lo, source_hi
@@ -5837,20 +5843,24 @@ def _run_dedup_incremental(spark, sf_dir):
     appears in the output (LEFT JOIN), so the keep-list is total."""
     register_sf_tables(spark, sf_dir)
     _rep_view(spark, "documents")
-    # delta LSH: only the incoming batch is signature-hashed with a
-    # pushed filter (the map-side cost an incremental sweep pays)
+    # the corpus signature index is a PERSISTED artifact — parquet
+    # written once per (dataset, emission version) on the same
+    # lifecycle as __mh_pairs; later sweeps only read it. It stands in
+    # for artifact ∪ delta (equal by construction), and the old index
+    # is a filter over the parquet scan. NOT a UNION of checkpoints: a
+    # WHERE under localCheckpoint leaves the filter in the LogicalRDD's
+    # constraints referencing pre-checkpoint attributes, and
+    # Union.rewriteConstraints dies on them (key not found doc_id#…)
+    _doc_artifact_view(
+        spark, sf_dir, "inc_sig", dd.duck_minhash_sig_sql("documents"),
+        lambda: spark.sql(dd.spark_minhash_sig_sql("documents_rep")),
+        "__inc_sig_all",
+    )
+    # delta LSH: only the incoming batch is signature-hashed per sweep
+    # (the map-side cost an incremental run pays)
     spark.sql(
         dd.spark_minhash_sig_sql("documents_rep", _INC_NEW)
     ).transform(_materialize).createOrReplaceTempView("__inc_sig_new")
-    # the full table stands in for artifact ∪ delta (equal by
-    # construction); the old index is a filter over it. NOT a UNION of
-    # the two checkpoints: a WHERE under localCheckpoint leaves the
-    # filter in the LogicalRDD's constraints referencing pre-checkpoint
-    # attributes, and Union.rewriteConstraints dies on them
-    # (NoSuchElementException: key not found doc_id#…)
-    spark.sql(
-        dd.spark_minhash_sig_sql("documents_rep")
-    ).transform(_materialize).createOrReplaceTempView("__inc_sig_all")
     spark.sql(
         f"SELECT * FROM __inc_sig_all WHERE {_INC_OLD}"
     ).createOrReplaceTempView("__inc_sig_old")

@@ -57,6 +57,13 @@ def get_spark(
         # catalog converts to microsecond timestamps (truncating,
         # exactly like DuckDB's ns→us read of the same files)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reliable-checkpoint mode (edgelake_spark/checkpoint.py) writes
+        # df.checkpoint() files per barrier; this makes the ContextCleaner
+        # delete a checkpoint's files once its RDD is GC'd — the file-form
+        # analogue of the localCheckpoint unpersist discipline, without
+        # which an iterative job (CC label rounds) accumulates one file
+        # set per round until the checkpoint dir fills
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -107,6 +107,10 @@ def test_query_destination(spark):
     assert any(
         "query destination" in r.command for r in eng.run("help query").collect()
     )
+    # nested-bracket predicates (In(col, [..])) survive un-truncated
+    eng.run('sql db "select count(*) as n from events where user_id in (1, 2, 3)"')
+    last2 = eng.run("query destination").collect()[0]
+    assert "In(user_id, [1,2,3])]" in last2.scan_filters
 
 
 def test_query_destination_partition_filters(spark, tmp_path):

@@ -26,7 +26,10 @@ FAMILIES = ["doc_winnow_pairs", "doc_dedup_clusters", "emb_pca_power"]
 
 @pytest.fixture()
 def reliable_mode(spark, tmp_path):
-    spark.conf.set("spark.edgelake.checkpoint.dir", str(tmp_path / "ckpt"))
+    # set the SparkContext dir directly: ensure_checkpoint_dir latches
+    # once per session, so relying on the conf would pin every test to
+    # whichever reliable-mode test ran first
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     spark.conf.set("spark.edgelake.checkpoint.reliable", "true")
     yield spark
     spark.conf.set("spark.edgelake.checkpoint.reliable", "false")
@@ -44,6 +47,15 @@ def test_materialize_switches_substrate(reliable_mode, tmp_path):
     # reliable checkpoints write partition files under the configured dir
     ckpt_dir = tmp_path / "ckpt"
     assert any(ckpt_dir.rglob("rdd-*")), "no reliable checkpoint files written"
+
+
+def test_env_falsy_spellings_disable(spark, monkeypatch):
+    for off in ("", "0", "false", "FALSE", "no", "off"):
+        monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CKPT", off)
+        assert not ck.reliable_enabled(spark), f"{off!r} should disable"
+    for on in ("1", "true", "yes"):
+        monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CKPT", on)
+        assert ck.reliable_enabled(spark), f"{on!r} should enable"
 
 
 def test_local_mode_writes_no_files(spark, tmp_path):
