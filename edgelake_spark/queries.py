@@ -634,6 +634,152 @@ _q(
 )
 
 
+# --- MMR diversified top-k (result diversification) -------------------
+#
+# Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998): after
+# a relevance-ranked candidate pool, iteratively select
+#   argmax_c  λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)
+# so the k results trade relevance against redundancy — the standard
+# reranker for retrieval-augmented pipelines and for picking *diverse*
+# exemplars when curating training batches (the selection twin of
+# emb_semdedup's removal).
+#
+# Scale shape: the expensive stage is POOL CONSTRUCTION, and it is the
+# already-proven ANN plan (broadcast the ≤handful of query vectors, one
+# window per query over its candidates — at 100 TB the pool would come
+# from the IVF/LSH path instead of brute force, same contract: a
+# per-query candidate set whose size is k-bounded and INDEPENDENT of
+# corpus size). The greedy loop then runs k−1 rounds over state that is
+# ONE row per query holding the selected array (KBs): each round joins
+# the tiny state against the pooled candidates (pool-sized, not
+# corpus-sized), scores the max-sim-to-selected with an index-order
+# fold inside greatest() (order-independent max → engine-identical
+# doubles), and picks the argmax as a map-side max_by aggregate. State
+# is re-materialized per round, so the plan stays k-bounded instead of
+# nesting 2^k references — the kmeans_refine staging discipline. No
+# union of checkpointed branches (the state row grows an ARRAY instead:
+# the Catalyst rewriteConstraints hazard documented on
+# _run_dedup_incremental never arises).
+#
+# Oracle: DuckDB runs the same greedy recursion as a recursive CTE
+# whose working row carries the selected list; the candidate-vs-
+# selected dot product uses list_zip + a position-indexed comprehension
+# (bit-identical to the range(1,len+1) fold — verified 0/800 pairs
+# differ — because DuckDB 1.0's binder cannot resolve an outer lambda
+# variable inside a nested comprehension under a LATERAL join).
+
+_MMR_POOL_BODY = """
+SELECT query_id, vec_id, rel, demb, norm FROM (
+  SELECT {hint}q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS rel,
+         c.demb AS demb, c.norm AS norm,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rn
+  FROM {n} q JOIN {n} c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+) z WHERE rn <= 20
+"""
+
+_MMR_INIT = """
+SELECT query_id,
+       array(named_struct('sel_rank', CAST(1 AS BIGINT), 'vec_id', vec_id,
+                          'rel', rel, 'mmr', rel, 'demb', demb, 'norm', norm)) AS sel
+FROM (SELECT p.*, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+      FROM __mmr_pool p) z
+WHERE rn = 1
+"""
+
+_MMR_STEP = """
+WITH scored AS (
+  SELECT p.query_id, p.vec_id, p.rel, p.demb, p.norm, s.sel,
+         CAST(0.7 AS DOUBLE) * p.rel - CAST(0.3 AS DOUBLE) *
+         aggregate(s.sel, CAST(-2 AS DOUBLE), (acc, e) -> greatest(acc,
+           aggregate(zip_with(p.demb, e.demb, (x, y) -> x * y),
+                     CAST(0 AS DOUBLE), (a2, v) -> a2 + v)
+           / (p.norm * e.norm))) AS mmr
+  FROM __mmr_pool p JOIN __mmr_state s ON p.query_id = s.query_id
+  WHERE NOT array_contains(transform(s.sel, e -> e.vec_id), p.vec_id)
+)
+SELECT query_id,
+       concat(sel0, array(named_struct(
+           'sel_rank', CAST({t} AS BIGINT), 'vec_id', __b.vec_id,
+           'rel', __b.rel, 'mmr', __b.mmr,
+           'demb', __b.demb, 'norm', __b.norm))) AS sel
+FROM (
+  SELECT query_id, first(sel) AS sel0,
+         max_by(named_struct('vec_id', vec_id, 'rel', rel, 'mmr', mmr,
+                             'demb', demb, 'norm', norm),
+                named_struct('m', mmr, 'v', -vec_id)) AS __b
+  FROM scored GROUP BY query_id
+) g
+"""
+
+_MMR_OUT = """
+SELECT query_id, e.sel_rank AS sel_rank, e.vec_id AS vec_id,
+       e.rel AS relevance, e.mmr AS mmr_score
+FROM (SELECT query_id, explode(sel) AS e FROM __mmr_final) z
+ORDER BY query_id, sel_rank
+"""
+
+_MMR_K = 8
+
+
+def _run_emb_mmr(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    n = _emb_norm_view(spark)
+    pool = _materialize(
+        spark.sql(
+            _MMR_POOL_BODY.format(
+                hint="/*+ BROADCAST(q) */ ", cos=sim.spark_cosine_staged("q", "c"), n=n
+            )
+        )
+    )
+    pool.createOrReplaceTempView("__mmr_pool")
+    state = _materialize(spark.sql(_MMR_INIT))
+    for t in range(2, _MMR_K + 1):
+        state.createOrReplaceTempView("__mmr_state")
+        state = _materialize(spark.sql(_MMR_STEP.format(t=t)))
+    state.createOrReplaceTempView("__mmr_final")
+    return spark.sql(_MMR_OUT)
+
+
+_q(
+    "emb_mmr_diversify",
+    _run_emb_mmr,
+    f"""
+WITH RECURSIVE n AS ({sim.duck_norm_stage_sql('embeddings')}),
+pool AS ({_MMR_POOL_BODY.format(hint='', cos=sim.duck_cosine_staged('q', 'c'), n='n')}),
+st AS (
+  SELECT query_id, 1 AS iter,
+         [{{'sel_rank': CAST(1 AS BIGINT), 'vec_id': vec_id, 'rel': rel,
+            'mmr': rel, 'demb': demb, 'norm': norm}}] AS sel
+  FROM (SELECT pool.*, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+        FROM pool) z
+  WHERE rn = 1
+  UNION ALL
+  SELECT s.query_id, s.iter + 1,
+         list_append(s.sel, {{'sel_rank': CAST(s.iter + 1 AS BIGINT), 'vec_id': c.vec_id,
+                              'rel': c.rel, 'mmr': c.mmr, 'demb': c.demb, 'norm': c.norm}})
+  FROM st s, LATERAL (
+    SELECT p.vec_id, p.rel, p.demb, p.norm,
+           CAST(0.7 AS DOUBLE) * p.rel - CAST(0.3 AS DOUBLE) * list_max(
+             [list_sum([z[1] * z[2] for z in list_zip(p.demb, e.demb)])
+              / (p.norm * e.norm) for e in s.sel]
+           ) AS mmr
+    FROM pool p
+    WHERE p.query_id = s.query_id
+      AND NOT list_contains([e.vec_id for e in s.sel], p.vec_id)
+    ORDER BY mmr DESC, p.vec_id
+    LIMIT 1
+  ) c
+  WHERE s.iter < {_MMR_K}
+)
+SELECT query_id, u.sel_rank AS sel_rank, u.vec_id AS vec_id,
+       u.rel AS relevance, u.mmr AS mmr_score
+FROM (SELECT query_id, unnest(sel) AS u FROM st WHERE iter = {_MMR_K}) z
+ORDER BY query_id, sel_rank
+""",
+)
+
+
 def _ivf_assign_cte(engine: str, n: str, name: str = "assign") -> str:
     """``assign AS (…)`` — nearest-centroid assignment as an ARGMAX
     AGGREGATE, not a window: max_by/arg_max over the lexicographic

@@ -21,7 +21,14 @@ from tests.conftest import SF_DIR
 # explode-discipline _ckpt_view (winnow pairs), iterative distributed
 # artifact reuse (dedup clusters via LSH pair graph), staged fixed-point
 # (PCA power iteration over the materialized covariance table)
-FAMILIES = ["doc_winnow_pairs", "doc_dedup_clusters", "emb_pca_power"]
+FAMILIES = [
+    "doc_winnow_pairs",
+    "doc_dedup_clusters",
+    "emb_pca_power",
+    # k−1 materialize rounds over the growing selected-set state: the
+    # most barrier-dense gate in the inventory
+    "emb_mmr_diversify",
+]
 
 
 @pytest.fixture()
