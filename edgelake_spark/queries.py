@@ -2127,6 +2127,73 @@ _q(
 )
 
 
+# --- weighted sampling without replacement (Efraimidis–Spirakis) ------
+#
+# ES keys: every row gets key = ln(u)/w (the log form of u^(1/w), same
+# ordering); the top-k keys per stratum ARE a weighted sample without
+# replacement — quality-weighted subset selection, the curation
+# primitive between uniform stratified sampling (doc_stratified_sample)
+# and deterministic top-k by score (which oversamples one mode). u is
+# the repo's salted md5-hex60 uniform, +1 in the numerator so u ∈
+# (0,1] and ln never sees 0; w is the doc quality score (strictly
+# positive on this corpus, min 0.395).
+#
+# Scale shape: key computation is map-side (one md5 + one ln per row);
+# selection is one per-stratum top-k window — rank data = |strata| · k
+# rows survive. At 100 TB with few strata, swap the global window for
+# the max_by-aggregate argmax ladder or a per-partition top-k
+# pre-reduce (Spark's TakeOrderedAndProject does this automatically
+# for global k); the per-stratum window here already prunes at the
+# exchange.
+#
+# ln() is libm on both engines and NOT correctly-rounded by IEEE — a
+# measured 1-ULP JVM/DuckDB divergence on one of 40 keys at sf0.001 —
+# so the key is used for ORDERING ONLY and never emitted: a selection
+# flip would need two keys within ~1e-16 of each other, while the
+# thinnest measured adjacent-key gap in any stratum's top-11 across
+# all three SFs is 2.7e-5 (sf0.1; boundary margins proper are ≥1.6e-4)
+# — 11 orders of magnitude of headroom. The emitted columns (rank,
+# doc_id, weight) are exact-rational per the doc_quality conventions.
+
+_WS_U_SPARK = (
+    "(" + dd.spark_hex60("md5(concat('wsamp:', CAST(doc_id AS STRING)))")
+    + " + CAST(1 AS BIGINT)) / CAST(1152921504606846976 AS DOUBLE)"
+)
+_WS_U_DUCK = (
+    "(" + dd.duck_hex60("md5('wsamp:' || CAST(doc_id AS VARCHAR))")
+    + " + CAST(1 AS BIGINT)) / CAST(1152921504606846976 AS DOUBLE)"
+)
+
+
+def _weighted_sample_sql(engine: str) -> str:
+    u = _WS_U_SPARK if engine == "spark" else _WS_U_DUCK
+    w = (
+        tx.spark_quality_score("text")
+        if engine == "spark"
+        else tx.duck_quality_score("text")
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, {w} AS weight, ln({u}) / ({w}) AS es_key
+  FROM documents
+)
+SELECT lang, samp_rank, doc_id, weight FROM (
+  SELECT lang, doc_id, weight,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id)
+              AS BIGINT) AS samp_rank
+  FROM keyed
+) r WHERE samp_rank <= 10
+ORDER BY lang, samp_rank
+"""
+
+
+_q(
+    "doc_weighted_sample",
+    _sql(_weighted_sample_sql("spark")),
+    _weighted_sample_sql("duck"),
+)
+
+
 # ------------------------------------------- embedding dedup keep-list
 
 
