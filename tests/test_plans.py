@@ -667,3 +667,53 @@ def test_vocab_churn_post_rank_is_tiny(spark):
     # joins 1-row aggregates (scalar BNLJ cross of two 1-row sides ok)
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_single_window_map_side_keys(spark):
+    plan = plan_of(spark, "doc_weighted_sample")
+    # ES keys (md5 + ln) are map-side projections; selection is ONE
+    # per-stratum rank window — no joins anywhere, and the only
+    # exchange is the stratum hash partitioning feeding the window.
+    # Spark 4 additionally plants WindowGroupLimit partial/final around
+    # it: the rn <= 10 cap prunes per-partition BEFORE the exchange —
+    # the exact top-k pre-reduce the 100 TB story wants, for free
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+    assert plan.count("WindowGroupLimit") == 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_pool_broadcast_queries_one_window(spark):
+    # the only corpus-sized stage of emb_mmr_diversify is pool
+    # construction: the <=3 query vectors broadcast onto the candidate
+    # scan (non-equi join -> BNLJ with the tiny side as build), then
+    # ONE per-query rank window caps the pool at 20
+    from edgelake_spark.catalog import register_sf_tables
+    from edgelake_spark.functions import similarity as sim
+    from edgelake_spark.queries import _MMR_POOL_BODY, _emb_norm_view, _rep_view
+
+    register_sf_tables(spark, SF_DIR_MED)
+    _rep_view(spark, "embeddings")
+    n = _emb_norm_view(spark)
+    df = spark.sql(
+        _MMR_POOL_BODY.format(
+            hint="/*+ BROADCAST(q) */ ",
+            cos=sim.spark_cosine_staged("q", "c"),
+            n=n,
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # one rank window (+ Spark 4's WindowGroupLimit partial/final pair
+    # pruning to rn <= 20 per partition before the exchange)
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+
+
+def test_mmr_greedy_rounds_are_state_bounded(spark):
+    # the returned plan is the explode of the final one-row-per-query
+    # state over a materialization barrier: no joins, no corpus scan —
+    # all greedy rounds ran against the 20-row-per-query pool barrier
+    plan = plan_of(spark, "emb_mmr_diversify")
+    assert "Join" not in plan
+    assert "parquet" not in plan.lower() or "Scan parquet" not in plan
