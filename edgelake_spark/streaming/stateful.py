@@ -595,3 +595,101 @@ def kll_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------- weighted reservoir sampler (ES top-k)
+
+WSAMP_OUTPUT = (
+    "key string, n_seen bigint, samp_rank bigint, doc_id bigint, weight double"
+)
+#: per-key state: the k largest ES keys seen so far with their ids and
+#: weights (+ the rows-seen counter) — k rows per stratum FOREVER,
+#: however long the stream runs
+WSAMP_STATE = "ks array<double>, ids array<long>, ws array<double>, n bigint"
+
+
+def make_weighted_sample_fn(k: int = 10, id_col: str = "doc_id",
+                            weight_col: str = "weight"):
+    """applyInPandasWithState function for a per-stratum streaming
+    weighted sample without replacement. Keys are Efraimidis–Spirakis
+    ln(u)/w with the batch gate's salted md5-hex60 uniform (u ∈ (0,1],
+    bit-identical construction to doc_weighted_sample's SQL) — keeping
+    the k LARGEST keys ever seen IS a weighted sample without
+    replacement of the entire stream, so the reservoir never needs to
+    revisit evicted rows. Top-k-of-union is associative and
+    commutative: per-shard reservoirs merge losslessly for cross-node
+    rollup, the same lifecycle as the HLL/CMS/KLL monitors above.
+
+    ln() here is libm (Python) vs the JVM's in the batch gate — a
+    potential 1-ULP key difference; selection parity holds because the
+    measured adjacent-key gaps are ≥2.7e-5 (see the batch gate's
+    docstring), eleven orders above ULP noise, and keys are never
+    emitted."""
+    import hashlib
+    import math
+
+    def wsamp(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, ids, ws, n = state.get
+            entries, n = list(zip(ks, ids, ws)), int(n)
+        else:
+            entries, n = [], 0
+        entries = list(entries)
+        for pdf in batches:
+            n += len(pdf)
+            for d, w in zip(pdf[id_col], pdf[weight_col]):
+                d, w = int(d), float(w)
+                h = hashlib.md5(f"wsamp:{d}".encode()).hexdigest()
+                u = (int(h[:15], 16) + 1) / 1152921504606846976.0
+                entries.append((math.log(u) / w, d, w))
+        entries.sort(key=lambda e: (-e[0], e[1]))
+        del entries[k:]
+        state.update((
+            [e[0] for e in entries],
+            [e[1] for e in entries],
+            [e[2] for e in entries],
+            n,
+        ))
+        yield pd.DataFrame(
+            [
+                {"key": key[0], "n_seen": n, "samp_rank": i + 1,
+                 "doc_id": d, "weight": w}
+                for i, (_, d, w) in enumerate(entries)
+            ]
+        )
+
+    return wsamp
+
+
+def weighted_sample_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    k: int = 10,
+) -> DataFrame:
+    """Per-stratum streaming weighted sample: one row per reservoir
+    slot per key per micro-batch (update mode) — the streaming twin of
+    the batch doc_weighted_sample gate. Weight arrives as a COLUMN
+    (computed upstream at ingest by the same SQL expression the batch
+    gate uses), so the sampler is generic over any positive weight.
+
+    Scale shape: the only shuffle is the stratum grouping; state and
+    output are k rows per stratum regardless of stream length; shard
+    reservoirs merge by top-k-of-union (associative), so a two-level
+    rollup (per-executor reservoir → global) needs no re-scan."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withColumn("key", F.col(key_col).cast("string"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            make_weighted_sample_fn(k=k, id_col=id_col, weight_col=weight_col),
+            outputStructType=WSAMP_OUTPUT,
+            stateStructType=WSAMP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,99 @@
+"""Streaming weighted sample (ES reservoir) — replay parity with the
+batch doc_weighted_sample gate.
+
+The reservoir invariant under test: after streaming the WHOLE corpus in
+micro-batches (weight arriving as a column computed by the same SQL
+expression the batch gate uses), each stratum's reservoir equals the
+batch gate's top-10 — incremental top-k-of-union over ES keys is a
+weighted sample without replacement of everything seen, with k-bounded
+state."""
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from edgelake_spark.session import get_spark
+
+    return get_spark(app_name="wsamp-tests", cpus=4, shuffle_partitions=4)
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_reservoir_matches_batch_gate(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from edgelake_spark.catalog import register_sf_tables
+    from edgelake_spark.functions import text as tx
+    from edgelake_spark.queries import SPARK_QUERIES
+    from edgelake_spark.streaming.stateful import weighted_sample_stream
+
+    expected = [
+        (r.lang, r.samp_rank, r.doc_id, r.weight)
+        for r in SPARK_QUERIES["doc_weighted_sample"](spark, SF_DIR).collect()
+    ]
+    assert len(expected) == 50  # 5 langs x 10 slots
+
+    # weight computed upstream by the SAME SQL expression as the gate
+    register_sf_tables(spark, SF_DIR)
+    feed = spark.sql(
+        f"SELECT doc_id, lang, {tx.spark_quality_score('text')} AS weight "
+        "FROM documents"
+    ).collect()
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    for tag, batch in (
+        ("a", [r for r in feed if r.doc_id % 2 == 0]),
+        ("b", [r for r in feed if r.doc_id % 2 == 1]),
+    ):
+        (src / f"{tag}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": r.doc_id, "lang": r.lang, "weight": r.weight}
+                )
+                for r in batch
+            )
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("weight", T.DoubleType()),
+        ]
+    )
+    out = weighted_sample_stream(
+        spark.readStream.format("json").schema(schema).load(str(src)),
+        key_col="lang",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wsamp_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.sql(
+        """
+        SELECT key, samp_rank, doc_id, weight FROM wsamp_out w
+        WHERE n_seen = (SELECT max(n_seen) FROM wsamp_out x WHERE x.key = w.key)
+        ORDER BY key, samp_rank
+        """
+    ).collect()
+    got = [(r.key, r.samp_rank, r.doc_id, r.weight) for r in final]
+    assert got == expected
+
+    # state/output boundedness: exactly k rows per stratum in the final
+    # reservoir however many docs streamed past
+    per_key = {}
+    for k_, *_ in got:
+        per_key[k_] = per_key.get(k_, 0) + 1
+    assert set(per_key.values()) == {10}
