@@ -3865,6 +3865,38 @@ ORDER BY doc_id
 )
 
 
+def _run_stream_wsamp(spark, sf_dir):
+    """Streaming ES weighted reservoir
+    (streaming/stateful.weighted_sample_stream) replayed over the
+    documents corpus: the weight column is computed upstream by the
+    SAME quality-score SQL as the batch gate (weight-at-ingest is the
+    production layout), then the per-lang reservoir keeps the 10
+    largest ln(u)/w keys — the without-replacement invariant means the
+    one-batch replay's final reservoir IS the batch gate's top-10.
+    ln() is Python libm here vs the JVM's in the batch gate; selection
+    parity holds by the ≥2.7e-5 margin argument documented on
+    _weighted_sample_sql (keys are never emitted). The oracle is the
+    batch ES SQL itself. tests/test_weighted_stream.py additionally
+    pins the multi-batch incremental path against the same gate."""
+    from edgelake_spark.streaming.stateful import weighted_sample_stream
+
+    stream = _replay(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{tx.spark_quality_score('text')} AS weight"
+    )
+    _drain(weighted_sample_stream(stream, key_col="lang"), "__stream_wsamp")
+    return spark.sql(
+        "SELECT key AS lang, samp_rank, doc_id, weight "
+        "FROM __stream_wsamp ORDER BY lang, samp_rank"
+    )
+
+
+_q(
+    "stream_weighted_sample",
+    _run_stream_wsamp,
+    _weighted_sample_sql("duck"),
+)
+
+
 def _run_stream_sessionize(spark, sf_dir):
     """Stateful gap sessionizer (streaming/stateful.session_stream)
     replayed over events: a session is EMITTED when a later event
