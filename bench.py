@@ -311,11 +311,18 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     # optional subset for iteration: SPARK_GRAFT_QUERIES=a,b,c;
-    # SPARK_GRAFT_TIER=core restricts to the TIER1_CORE plan families
+    # SPARK_GRAFT_TIER=core restricts to the TIER1_CORE plan families;
+    # SPARK_GRAFT_TIER=sf1 times ONLY the SF1_FAMILIES at sf0.1 then
+    # runs the sf1 tail — the full 136-query list takes ~590 s, past
+    # the 500 s tail budget, so the 10× scaling evidence needs its own
+    # entry point (the full run keeps the guarded best-effort tail)
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     bench_queries = [q for q in BENCH_QUERIES if not only or q in only]
-    if os.environ.get("SPARK_GRAFT_TIER", "full") == "core" and not only:
+    tier = os.environ.get("SPARK_GRAFT_TIER", "full")
+    if tier == "core" and not only:
         bench_queries = [q for q in bench_queries if q in TIER1_CORE]
+    elif tier == "sf1" and not only:
+        bench_queries = list(SF1_FAMILIES)
 
     # restart the SparkContext every N queries: cleanup() alone does not
     # bound accumulated JVM state (shuffle files, block-manager and

@@ -201,10 +201,14 @@ class MqttBroker:
                     conn.sendall(suback_packet(pid, granted))
                 elif ptype == PUBLISH:
                     topic, qos, pid, payload = parse_publish(flags, body)
-                    if qos and pid is not None:
-                        conn.sendall(puback_packet(pid))
+                    # count and route BEFORE acking: a QoS-1 publisher
+                    # unblocks on PUBACK, so state it can then observe
+                    # (published counter, routed deliveries) must be
+                    # updated first or the ack lies about processing
                     self.published += 1
                     self._route(topic, payload)
+                    if qos and pid is not None:
+                        conn.sendall(puback_packet(pid))
                 elif ptype == PINGREQ:
                     conn.sendall(pingresp_packet())
                 elif ptype in (PUBACK, UNSUBACK):
@@ -310,9 +314,13 @@ class MqttSubscriber:
                 return
             if ptype == PUBLISH:
                 _, qos, pid, payload = parse_publish(flags, body)
+                # spool before acking (same discipline as the broker's
+                # publish path): PUBACK must mean "durably processed",
+                # or a broker that redelivers-on-no-ack loses its
+                # at-least-once guarantee the moment we crash mid-spool
+                self._spool(payload)
                 if qos and pid is not None:
                     self._sock.sendall(puback_packet(pid))
-                self._spool(payload)
             elif ptype == PINGRESP:
                 pass
 
