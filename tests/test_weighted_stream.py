@@ -10,16 +10,6 @@ state."""
 
 import json
 
-import pytest
-
-
-@pytest.fixture(scope="module")
-def spark():
-    from edgelake_spark.session import get_spark
-
-    return get_spark(app_name="wsamp-tests", cpus=4, shuffle_partitions=4)
-
-
 SF_DIR = "/root/testdata/sf0.001"
 
 
