@@ -461,6 +461,9 @@ SF1_FAMILIES = [
     # additive CMS partition rollup (the mergeable-sketch lifecycle)
     "doc_bpe_apply",
     "events_cms_rollup",
+    # round-9 family: ES weighted sampling — per-stratum rank window
+    # wrapped in WindowGroupLimit (measured FLAT at 10x: 1.0 -> 0.9 s)
+    "doc_weighted_sample",
 ]
 
 
