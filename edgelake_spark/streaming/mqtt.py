@@ -201,14 +201,19 @@ class MqttBroker:
                     conn.sendall(suback_packet(pid, granted))
                 elif ptype == PUBLISH:
                     topic, qos, pid, payload = parse_publish(flags, body)
-                    # count and route BEFORE acking: a QoS-1 publisher
-                    # unblocks on PUBACK, so state it can then observe
-                    # (published counter, routed deliveries) must be
-                    # updated first or the ack lies about processing
+                    # count BEFORE acking: a QoS-1 publisher unblocks on
+                    # PUBACK, so the published counter it can then
+                    # observe must already be updated. Route AFTER the
+                    # ack: _route sendall()s to every subscriber
+                    # synchronously, and a subscriber that stops
+                    # draining its socket must delay delivery, not
+                    # wedge the publisher's ack (also keeps PUBACK
+                    # first-in-line for a client that publishes and
+                    # subscribes on one connection)
                     self.published += 1
-                    self._route(topic, payload)
                     if qos and pid is not None:
                         conn.sendall(puback_packet(pid))
+                    self._route(topic, payload)
                 elif ptype == PINGREQ:
                     conn.sendall(pingresp_packet())
                 elif ptype in (PUBACK, UNSUBACK):

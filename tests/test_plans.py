@@ -716,4 +716,4 @@ def test_mmr_greedy_rounds_are_state_bounded(spark):
     # all greedy rounds ran against the 20-row-per-query pool barrier
     plan = plan_of(spark, "emb_mmr_diversify")
     assert "Join" not in plan
-    assert "parquet" not in plan.lower() or "Scan parquet" not in plan
+    assert "parquet" not in plan.lower()

@@ -10,7 +10,7 @@ state."""
 
 import json
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR
 
 
 def test_stream_reservoir_matches_batch_gate(spark, tmp_path):
@@ -34,12 +34,15 @@ def test_stream_reservoir_matches_batch_gate(spark, tmp_path):
         "FROM documents"
     ).collect()
 
+    # two REAL micro-batches: the second file lands only after the
+    # first trigger completes, so the state-restore branch
+    # (state.exists → array round-trip + merge + re-sort against prior
+    # entries) executes — a single pre-populated directory would fold
+    # both files into one trigger and never restore state
     src = tmp_path / "wsrc"
     src.mkdir()
-    for tag, batch in (
-        ("a", [r for r in feed if r.doc_id % 2 == 0]),
-        ("b", [r for r in feed if r.doc_id % 2 == 1]),
-    ):
+
+    def write(tag, batch):
         (src / f"{tag}.json").write_text(
             "\n".join(
                 json.dumps(
@@ -48,6 +51,8 @@ def test_stream_reservoir_matches_batch_gate(spark, tmp_path):
                 for r in batch
             )
         )
+
+    write("a", [r for r in feed if r.doc_id % 2 == 0])
 
     schema = T.StructType(
         [
@@ -67,6 +72,8 @@ def test_stream_reservoir_matches_batch_gate(spark, tmp_path):
         .start()
     )
     try:
+        q.processAllAvailable()
+        write("b", [r for r in feed if r.doc_id % 2 == 1])
         q.processAllAvailable()
     finally:
         q.stop()
