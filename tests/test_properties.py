@@ -146,3 +146,68 @@ def test_mqtt_remaining_length_varint_roundtrip(n):
         val += (b & 0x7F) * mult
         mult *= 128
     assert val == n
+
+
+# ---- ES weighted sampling (the doc_weighted_sample / reservoir math) --
+
+
+def _es_key(doc_id: int, w: float, salt: str = "wsamp") -> float:
+    """The exact key construction shared by the batch SQL and the
+    streaming reservoir: salted md5-hex60 uniform in (0,1], ln(u)/w."""
+    import hashlib
+    import math
+
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+    u = (int(h[:15], 16) + 1) / 1152921504606846976.0
+    return math.log(u) / w
+
+
+def _es_top_k(items, k, salt="wsamp"):
+    keyed = sorted(
+        ((_es_key(d, w, salt), d, w) for d, w in items),
+        key=lambda e: (-e[0], e[1]),
+    )
+    return keyed[:k]
+
+
+def test_es_inclusion_tracks_weight():
+    """Efraimidis–Spirakis: P(selected) increases with weight. Across
+    2000 independent salts (each salt = an independent uniform draw per
+    item), an item with 10x the weight of its 99 peers must be selected
+    into the top-10 far more often than a baseline peer — the
+    statistical content of 'weighted' that the parity gates (which pin
+    one salt) cannot see."""
+    heavy_hits = light_hits = 0
+    items = [(i, 10.0 if i == 0 else 1.0) for i in range(100)]
+    for s in range(2000):
+        sel = {d for _, d, _ in _es_top_k(items, 10, salt=f"s{s}")}
+        heavy_hits += 0 in sel
+        light_hits += 1 in sel
+    # exact P for the heavy item ~0.66 at w=10, n=100, k=10; a flat
+    # sampler would give 0.10 for both. Wide bands: 2000 trials
+    assert heavy_hits / 2000 > 0.45
+    assert 0.05 < light_hits / 2000 < 0.18
+    assert heavy_hits > 3 * light_hits
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.floats(0.05, 50.0)),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 12),
+)
+@settings(max_examples=200, deadline=None)
+def test_es_reservoir_merge_is_lossless(items, k):
+    """Top-k-of-union == top-k of the concatenated stream, for any
+    split: the property that makes per-shard reservoirs roll up without
+    re-scan (streaming/stateful.weighted_sample_stream docstring) and
+    makes the incremental multi-batch path equal the one-batch path."""
+    mid = len(items) // 2
+    a, b = items[:mid], items[mid:]
+    merged = sorted(
+        _es_top_k(a, k) + _es_top_k(b, k), key=lambda e: (-e[0], e[1])
+    )[:k]
+    assert merged == _es_top_k(items, k)
