@@ -721,17 +721,13 @@ ORDER BY query_id, sel_rank
 _MMR_K = 8
 
 
-def _run_emb_mmr(spark, sf_dir):
-    register_sf_tables(spark, sf_dir)
-    _rep_view(spark, "embeddings")
-    n = _emb_norm_view(spark)
-    pool = _materialize(
-        spark.sql(
-            _MMR_POOL_BODY.format(
-                hint="/*+ BROADCAST(q) */ ", cos=sim.spark_cosine_staged("q", "c"), n=n
-            )
-        )
-    )
+def _mmr_select(spark, pool):
+    """Greedy MMR over any (query_id, vec_id, rel, demb, norm)
+    candidate pool — the pool source is pluggable by design: the gate
+    feeds it the brute-force top-20, tests/test_plans.py feeds it the
+    IVF probe-bucket candidates (the actual 100 TB composition:
+    ANN-prune, then rerank)."""
+    pool = _materialize(pool)
     pool.createOrReplaceTempView("__mmr_pool")
     state = _materialize(spark.sql(_MMR_INIT))
     for t in range(2, _MMR_K + 1):
@@ -739,6 +735,20 @@ def _run_emb_mmr(spark, sf_dir):
         state = _materialize(spark.sql(_MMR_STEP.format(t=t)))
     state.createOrReplaceTempView("__mmr_final")
     return spark.sql(_MMR_OUT)
+
+
+def _run_emb_mmr(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "embeddings")
+    n = _emb_norm_view(spark)
+    return _mmr_select(
+        spark,
+        spark.sql(
+            _MMR_POOL_BODY.format(
+                hint="/*+ BROADCAST(q) */ ", cos=sim.spark_cosine_staged("q", "c"), n=n
+            )
+        ),
+    )
 
 
 _q(

@@ -717,3 +717,56 @@ def test_mmr_greedy_rounds_are_state_bounded(spark):
     plan = plan_of(spark, "emb_mmr_diversify")
     assert "Join" not in plan
     assert "parquet" not in plan.lower()
+
+
+def test_mmr_composes_with_ivf_pool(spark):
+    """The production composition: candidates from the IVF probe
+    buckets (persisted inverted lists), reranked by the SAME greedy
+    MMR loop the gate runs on the brute pool. Pins that _mmr_select is
+    pool-source-agnostic: full ranks per query, selections drawn from
+    the pool, mmr monotone non-increasing."""
+    from edgelake_spark.functions import similarity as sim
+    from edgelake_spark.queries import (
+        _MMR_K,
+        _emb_norm_view_for,
+        _ivf_index_views,
+        _mmr_select,
+    )
+
+    n = _emb_norm_view_for(spark, SF_DIR_MED)
+    _ivf_index_views(spark, SF_DIR_MED, n)
+    cos = sim.spark_cosine_staged("q", "e")
+    pool = spark.sql(f"""
+    WITH probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sim.spark_cosine_staged('q', 'c')} DESC, c.cid) AS rn
+        FROM {n} q JOIN __ivf_centroids c ON true WHERE q.vec_id < 3
+      ) WHERE rn <= {sim.NPROBE}
+    )
+    SELECT query_id, vec_id, rel, demb, norm FROM (
+      SELECT p.query_id, e.vec_id, {cos} AS rel, e.demb, e.norm,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {cos} DESC, e.vec_id) AS rn
+      FROM probes p
+      JOIN __ivf_assign a ON a.cid = p.cid
+      JOIN {n} e ON e.vec_id = a.vec_id AND e.vec_id != p.query_id
+      JOIN {n} q ON q.vec_id = p.query_id
+    ) z WHERE rn <= 20
+    """)
+    out = _mmr_select(spark, pool).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.query_id, []).append(r)
+    assert set(per) == {0, 1, 2}
+    pool_ids = {
+        (r.query_id, r.vec_id) for r in spark.table("__mmr_pool").collect()
+    }
+    for qid, rows in per.items():
+        rows.sort(key=lambda r: r.sel_rank)
+        assert [r.sel_rank for r in rows] == list(range(1, _MMR_K + 1))
+        assert len({r.vec_id for r in rows}) == _MMR_K
+        assert all((qid, r.vec_id) in pool_ids for r in rows)
+        mmrs = [r.mmr_score for r in rows]
+        assert all(a >= b for a, b in zip(mmrs, mmrs[1:]))
