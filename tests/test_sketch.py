@@ -214,3 +214,37 @@ def test_fixed_point_staging_cross_engine(spark):
         ).fetchall()
     )
     assert s_rows == d_rows
+
+
+def test_kmv_null_keys_rank_identically_cross_engine(spark):
+    """Round-9 advice regression: NULL keys hash to NULL and Spark
+    sorts NULLs FIRST in the rank window while DuckDB sorts them LAST —
+    without the hv-CTE NULL filter, a group holding >= k distinct keys
+    plus NULLs takes the estimator path on one engine and a shifted
+    k-th hash on the other. With the filter, both engines rank the
+    same row set and every emitted column matches exactly."""
+    import duckdb
+
+    n_distinct = sk.KMV_K + 40  # past k -> estimator path engaged
+    rows = [("g", i) for i in range(n_distinct)] + [("g", None)] * 7
+    rows += [("tiny", 1), ("tiny", None)]  # under-k group -> exact path
+    spark.createDataFrame(rows, "grp string, k bigint").createOrReplaceTempView(
+        "__kmv_null_t"
+    )
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            sk.kmv_distinct_sql("spark", "__kmv_null_t", "grp", "k")
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE __kmv_null_t (grp VARCHAR, k BIGINT)")
+    con.executemany("INSERT INTO __kmv_null_t VALUES (?, ?)", rows)
+    want = con.execute(
+        sk.kmv_distinct_sql("duck", "__kmv_null_t", "grp", "k")
+    ).fetchall()
+    assert got == want
+    by_grp = {r[0]: r for r in got}
+    assert by_grp["tiny"][1] == 1 and by_grp["tiny"][2] == 1.0  # exact path
+    assert by_grp["g"][1] == n_distinct and by_grp["g"][3] < 0.25  # estimator
