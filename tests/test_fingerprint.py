@@ -111,3 +111,38 @@ def test_module_attr_helper_changes_fingerprint():
     mod.helper.__module__ = "edgelake_spark._fp_probe"
     b = fp.gate_fingerprint("g", gate, "SELECT 1")
     assert a != b
+
+
+def test_set_fingerprint_stable_across_processes(tmp_path):
+    """Round-9 advice regression: set elements whose repr embeds a
+    memory address (tuples holding functions/objects) must fingerprint
+    identically in different processes — _update_set hashes each
+    element via _update_value into a sub-digest and folds SORTED
+    digests, never sorted reprs. Two fresh interpreters (fresh hash
+    randomization, fresh addresses) must agree."""
+    import subprocess
+    import sys
+
+    snippet = (
+        "import hashlib, sys\n"
+        f"sys.path.insert(0, {repr('/root/repo')})\n"
+        "from edgelake_spark.fingerprint import _update_set\n"
+        "def helper(x):\n"
+        "    return x + 1\n"
+        "class Obj:\n"
+        "    pass\n"
+        "s = {(helper, 'a'), (Obj, 'b'), ('plain', 3)}\n"
+        "h = hashlib.sha256()\n"
+        "_update_set(h, s, set(), 3)\n"
+        "print(h.hexdigest())\n"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", snippet],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        for _ in range(3)
+    }
+    assert len(outs) == 1, outs
