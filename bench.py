@@ -196,8 +196,15 @@ BENCH_QUERIES = [
     "events_cms_rollup",
     # round 8: pure-SQL BPE encoding under the pinned merge artifact
     "doc_bpe_apply",
-    # round 9: ES weighted sampling (WindowGroupLimit per-stratum top-k)
+    # round 9: ES weighted sampling (WindowGroupLimit per-stratum
+    # top-k), directional containment + cross-source matrix over the
+    # LSH pair artifact, delta-only incremental dedup, greedy MMR
+    # rerank (k-1 materialized state rounds over the broadcast pool)
     "doc_weighted_sample",
+    "doc_containment_pairs",
+    "doc_dup_source_matrix",
+    "doc_dedup_incremental",
+    "emb_mmr_diversify",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical
@@ -315,7 +322,7 @@ def main() -> None:
     # optional subset for iteration: SPARK_GRAFT_QUERIES=a,b,c;
     # SPARK_GRAFT_TIER=core restricts to the TIER1_CORE plan families;
     # SPARK_GRAFT_TIER=sf1 times ONLY the SF1_FAMILIES at sf0.1 then
-    # runs the sf1 tail — the full 139-query list takes ~590 s, past
+    # runs the sf1 tail — the full 143-query list takes ~600 s, past
     # the 500 s tail budget, so the 10× scaling evidence needs its own
     # entry point (the full run keeps the guarded best-effort tail)
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
