@@ -375,7 +375,12 @@ def main() -> None:
     # SPARK_GRAFT_QUERIES subset iteration would clobber the round
     # artifact with one query's plan.
     full_run = not only and os.environ.get("SPARK_GRAFT_TIER", "full") == "full"
-    slowest = sorted(timings, key=timings.get, reverse=True)[:5] if full_run else []
+    # rank by true medians where available: a budget-degraded query's
+    # single sample is often a cold-cache outlier, and the explain
+    # artifact should profile the genuinely expensive plans
+    undegraded = [n for n in timings if len(all_runs[n]) >= runs]
+    pool = undegraded if len(undegraded) >= 5 else list(timings)
+    slowest = sorted(pool, key=timings.get, reverse=True)[:5] if full_run else []
     if slowest:
         try:
             with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_EXPLAIN.txt"), "w") as fh:
