@@ -258,7 +258,11 @@ def main() -> None:
     # only while elapsed < budget, so a harness timeout can never
     # swallow the result line — the 112-query suite measured right at
     # a 600 s cap and lost its JSON twice before this guard
-    budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "500"))
+    # 420 s: the 143-query list at median pace crosses this ~75% in, so
+    # the tail degrades to single runs and the WHOLE run lands ~470 s —
+    # 600 s harness cap minus a 1.3× host-load band. At 500 s the
+    # measured full wall was 545 s: a loaded host would lose the JSON.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "420"))
 
     from edgelake_spark import get_spark
     from edgelake_spark.queries import SPARK_QUERIES
