@@ -253,15 +253,18 @@ def main() -> None:
     # dominated by janino codegen compiles + GC storms (measured ±3×
     # run-to-run in round 1); the median of 3 measures the plan
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
-    # wall-clock budget for the OPTIONAL tail sections (the sf1 spot
-    # checks): once the timed sf0.1 section is done, tail work runs
-    # only while elapsed < budget, so a harness timeout can never
-    # swallow the result line — the 112-query suite measured right at
-    # a 600 s cap and lost its JSON twice before this guard
-    # 420 s: the 143-query list at median pace crosses this ~75% in, so
-    # the tail degrades to single runs and the WHOLE run lands ~470 s —
-    # 600 s harness cap minus a 1.3× host-load band. At 500 s the
-    # measured full wall was 545 s: a loaded host would lose the JSON.
+    # wall-clock budget with TWO effects: (a) past it, the MAIN timed
+    # loop degrades remaining queries to single-run timing (flagged in
+    # degraded_to_single_run) so the whole list stays in the artifact;
+    # (b) the optional sf1 tail only starts while elapsed < budget.
+    # Both exist so a harness timeout can never swallow the result
+    # line — the 112-query suite measured right at a 600 s cap and
+    # lost its JSON twice before the guards. 420 s: the 143-query list
+    # at median pace crosses this ~75% in, so the tail degrades and
+    # the WHOLE run lands ~470 s — the 600 s cap minus a 1.3×
+    # host-load band. At 500 s the measured full wall was 545 s: a
+    # loaded host would lose the JSON. Raising SPARK_GRAFT_BUDGET_S
+    # buys more 3-run medians AND a longer wall; mind the cap.
     budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "420"))
 
     from edgelake_spark import get_spark
@@ -326,9 +329,9 @@ def main() -> None:
     # optional subset for iteration: SPARK_GRAFT_QUERIES=a,b,c;
     # SPARK_GRAFT_TIER=core restricts to the TIER1_CORE plan families;
     # SPARK_GRAFT_TIER=sf1 times ONLY the SF1_FAMILIES at sf0.1 then
-    # runs the sf1 tail — the full 143-query list takes ~600 s, past
-    # the 500 s tail budget, so the 10× scaling evidence needs its own
-    # entry point (the full run keeps the guarded best-effort tail)
+    # runs the sf1 tail — a full-list run spends its whole wall budget
+    # before the tail, so the 10× scaling evidence needs its own entry
+    # point (the full run keeps the guarded best-effort tail)
     only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
     bench_queries = [q for q in BENCH_QUERIES if not only or q in only]
     tier = os.environ.get("SPARK_GRAFT_TIER", "full")
@@ -379,17 +382,31 @@ def main() -> None:
     # SPARK_GRAFT_QUERIES subset iteration would clobber the round
     # artifact with one query's plan.
     full_run = not only and os.environ.get("SPARK_GRAFT_TIER", "full") == "full"
-    # rank by true medians where available: a budget-degraded query's
-    # single sample is often a cold-cache outlier, and the explain
-    # artifact should profile the genuinely expensive plans
+    # two tiers of capture: top-5 by TRUE median (single degraded
+    # samples are often cold-cache outliers and shouldn't displace
+    # them), PLUS the heaviest budget-degraded queries whose single
+    # sample beats the 5th median — queries appended late in the list
+    # (the newest operators) are exactly the ones the budget degrades
+    # every round, and their plans must not be permanently absent from
+    # the artifact. Labeled so a reader weighs the sample accordingly.
     undegraded = [n for n in timings if len(all_runs[n]) >= runs]
     pool = undegraded if len(undegraded) >= 5 else list(timings)
     slowest = sorted(pool, key=timings.get, reverse=True)[:5] if full_run else []
+    extra = []
+    if slowest:
+        floor = timings[slowest[-1]]
+        degraded_heavy = sorted(
+            (n for n in timings if n not in pool and timings[n] > floor),
+            key=timings.get,
+            reverse=True,
+        )
+        extra = degraded_heavy[:3]
     if slowest:
         try:
             with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_EXPLAIN.txt"), "w") as fh:
-                for name in slowest:
-                    fh.write(f"{'=' * 20} {name} ({timings[name]}s) {'=' * 20}\n")
+                for name in slowest + extra:
+                    tag = " [single-sample]" if name in extra else ""
+                    fh.write(f"{'=' * 20} {name} ({timings[name]}s{tag}) {'=' * 20}\n")
                     df = SPARK_QUERIES[name](spark, sf_dir)
                     fh.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
                     fh.write("\n")

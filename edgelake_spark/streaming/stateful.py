@@ -608,6 +608,19 @@ WSAMP_OUTPUT = (
 WSAMP_STATE = "ks array<double>, ids array<long>, ws array<double>, n bigint"
 
 
+def es_key(doc_id: int, weight: float) -> float:
+    """The ONE ES key construction — shared by this reservoir, pinned
+    by the property tests (tests/test_properties.py), and mirrored
+    expression-for-expression by the batch SQL (_weighted_sample_sql
+    in queries.py): salted md5-hex60 uniform in (0,1], then ln(u)/w."""
+    import hashlib
+    import math
+
+    h = hashlib.md5(f"wsamp:{doc_id}".encode()).hexdigest()
+    u = (int(h[:15], 16) + 1) / 1152921504606846976.0
+    return math.log(u) / weight
+
+
 def make_weighted_sample_fn(k: int = 10, id_col: str = "doc_id",
                             weight_col: str = "weight"):
     """applyInPandasWithState function for a per-stratum streaming
@@ -625,8 +638,6 @@ def make_weighted_sample_fn(k: int = 10, id_col: str = "doc_id",
     measured adjacent-key gaps are ≥2.7e-5 (see the batch gate's
     docstring), eleven orders above ULP noise, and keys are never
     emitted."""
-    import hashlib
-    import math
 
     def wsamp(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -641,9 +652,7 @@ def make_weighted_sample_fn(k: int = 10, id_col: str = "doc_id",
             n += len(pdf)
             for d, w in zip(pdf[id_col], pdf[weight_col]):
                 d, w = int(d), float(w)
-                h = hashlib.md5(f"wsamp:{d}".encode()).hexdigest()
-                u = (int(h[:15], 16) + 1) / 1152921504606846976.0
-                entries.append((math.log(u) / w, d, w))
+                entries.append((es_key(d, w), d, w))
         entries.sort(key=lambda e: (-e[0], e[1]))
         del entries[k:]
         state.update((

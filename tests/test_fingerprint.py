@@ -113,19 +113,21 @@ def test_module_attr_helper_changes_fingerprint():
     assert a != b
 
 
-def test_set_fingerprint_stable_across_processes(tmp_path):
+def test_set_fingerprint_stable_across_processes():
     """Round-9 advice regression: set elements whose repr embeds a
     memory address (tuples holding functions/objects) must fingerprint
     identically in different processes — _update_set hashes each
     element via _update_value into a sub-digest and folds SORTED
     digests, never sorted reprs. Two fresh interpreters (fresh hash
     randomization, fresh addresses) must agree."""
+    import os
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     snippet = (
         "import hashlib, sys\n"
-        f"sys.path.insert(0, {repr('/root/repo')})\n"
+        f"sys.path.insert(0, {repr(repo)})\n"
         "from edgelake_spark.fingerprint import _update_set\n"
         "def helper(x):\n"
         "    return x + 1\n"

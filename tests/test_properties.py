@@ -152,8 +152,10 @@ def test_mqtt_remaining_length_varint_roundtrip(n):
 
 
 def _es_key(doc_id: int, w: float, salt: str = "wsamp") -> float:
-    """The exact key construction shared by the batch SQL and the
-    streaming reservoir: salted md5-hex60 uniform in (0,1], ln(u)/w."""
+    """Salt-generalized twin of the PRODUCTION key
+    (edgelake_spark.streaming.stateful.es_key) — the statistical test
+    below needs many independent salts; test_es_key_matches_production
+    pins this copy to the real one so they cannot drift."""
     import hashlib
     import math
 
@@ -168,6 +170,14 @@ def _es_top_k(items, k, salt="wsamp"):
         key=lambda e: (-e[0], e[1]),
     )
     return keyed[:k]
+
+
+@given(st.integers(0, 10_000_000), st.floats(0.01, 100.0))
+@settings(max_examples=300, deadline=None)
+def test_es_key_matches_production(doc_id, w):
+    from edgelake_spark.streaming.stateful import es_key
+
+    assert _es_key(doc_id, w) == es_key(doc_id, w)
 
 
 def test_es_inclusion_tracks_weight():

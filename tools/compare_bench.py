@@ -54,11 +54,28 @@ def load_queries(path: str) -> tuple[dict[str, float], set[str]]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     top = 8
-    for a in sys.argv[1:]:
-        if a.startswith("--top"):
-            top = int(a.split("=", 1)[1]) if "=" in a else top
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--top":
+            if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+                print("--top needs an integer", file=sys.stderr)
+                sys.exit(2)
+            top = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--top="):
+            val = a.split("=", 1)[1]
+            if not val.isdigit():
+                print("--top needs an integer", file=sys.stderr)
+                sys.exit(2)
+            top = int(val)
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     if len(args) != 2:
         print(__doc__)
         sys.exit(2)
