@@ -221,3 +221,58 @@ def test_es_reservoir_merge_is_lossless(items, k):
         _es_top_k(a, k) + _es_top_k(b, k), key=lambda e: (-e[0], e[1])
     )[:k]
     assert merged == _es_top_k(items, k)
+def test_mmr_oracle_matches_pure_python_reference(duck_views):
+    """Third-engine triangulation: Spark == DuckDB is pinned by the
+    parity gate; this pins that what both compute IS textbook greedy
+    MMR — an independent pure-Python implementation (explicit loops,
+    no SQL) reproduces the oracle's selections, ranks, and scores
+    bit-for-bit from the raw parquet vectors."""
+    import math
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    vecs = {
+        int(vid): [float(x) for x in emb]
+        for vid, emb in con.sql(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+    norms = {v: math.sqrt(sum(x * x for x in e)) for v, e in vecs.items()}
+
+    def cos(a, b):
+        dot = 0.0
+        ea, eb = vecs[a], vecs[b]
+        for i in range(len(ea)):
+            dot += ea[i] * eb[i]
+        return dot / (norms[a] * norms[b])
+
+    expected = []
+    for q in (0, 1, 2):
+        pool = sorted(
+            ((cos(q, c), c) for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        rels = {c: r for r, c in pool}
+        first = max(pool, key=lambda t: (t[0], -t[1]))
+        sel = [(1, first[1], first[0], first[0])]
+        chosen = {first[1]}
+        for rank in range(2, 9):
+            best = None
+            for rel, c in pool:
+                if c in chosen:
+                    continue
+                maxsim = max(cos(c, s) for _, s, _, _ in sel)
+                mmr = 0.7 * rel - 0.3 * maxsim
+                key = (mmr, -c)
+                if best is None or key > best[0]:
+                    best = (key, c, rel, mmr)
+            sel.append((rank, best[1], best[2], best[3]))
+            chosen.add(best[1])
+        expected += [(q, r, c, rel, mmr) for r, c, rel, mmr in sel]
+
+    from edgelake_spark.queries import ORACLE_SQL
+
+    got = duck_views.execute(ORACLE_SQL["emb_mmr_diversify"]).fetchall()
+    assert [tuple(r) for r in got] == expected
