@@ -155,3 +155,69 @@ def test_kll_stream_replay_matches_reference(spark, tmp_path):
     for q_, est in ((0.5, got.q50), (0.9, got.q90), (0.99, got.q99)):
         r = bisect.bisect_left(sv, est)
         assert abs(r - q_ * len(sv)) / len(sv) <= 0.025
+
+
+def test_kll_stream_state_survives_query_restart(spark, tmp_path):
+    """Cross-restart twin of the replay test: stop the query after
+    batch 1, start a NEW query instance from the same
+    checkpointLocation, stream batch 2 — the restored sketch must end
+    bit-identical to the never-restarted reference (KLL_STATE's
+    (vals, wts, n, flips) round-trip through the state store, not just
+    across triggers). Memory sink refuses recovery; foreachBatch is
+    the recovery-capable sink."""
+    from edgelake_spark.streaming.stateful import kll_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rnd = random.Random(4242)
+    batch1 = [round(rnd.gauss(50, 9), 6) for _ in range(3_000)]
+    batch2 = [round(rnd.expovariate(0.05), 6) for _ in range(3_000)]
+    src = tmp_path / "krsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "krckpt")
+    rows: list = []
+
+    def start():
+        out = kll_stream(
+            spark.readStream.format("json").schema(schema).load(str(src)),
+            "event_type",
+        )
+        return (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"event_type": "t", "value": v}) for v in batch1)
+    )
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    (src / "b.json").write_text(
+        "\n".join(json.dumps({"event_type": "t", "value": v}) for v in batch2)
+    )
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = max(rows, key=lambda r: r.n_rows)
+    ref = KllSketch()
+    ref.extend(sorted(batch1))
+    ref.extend(sorted(batch2))
+    assert got.n_rows == 6_000
+    assert got.sketch_size == ref.size()
+    assert (got.q50, got.q90, got.q99) == (
+        ref.quantile(0.50),
+        ref.quantile(0.90),
+        ref.quantile(0.99),
+    )
