@@ -414,3 +414,77 @@ def test_cms_stream_adds_cells_across_batches(spark, tmp_path):
                 col = int(h[:15], 16) % CMS_WIDTH
                 ref[(j, col)] = ref.get((j, col), 0) + 1
     assert got == ref
+
+
+def test_lsh_dedup_claims_survive_query_restart(spark, tmp_path):
+    """The sharp consequence of losing band-claim state: a restarted
+    crawl would silently KEEP near-duplicates of pre-restart documents.
+    Stop the query after batch 1, start a NEW query instance from the
+    same checkpointLocation, then stream a near-dup of a batch-1 doc —
+    the restored claims must flag it. (Memory sink refuses recovery;
+    foreachBatch is the recovery-capable sink.)"""
+    from edgelake_spark.streaming.stateful import lsh_dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    src = tmp_path / "lrsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "lrckpt")
+    rows: list = []
+
+    def start():
+        flagged = lsh_dedup_stream(
+            spark.readStream.format("json").schema(schema).load(str(src))
+        )
+        return (
+            flagged.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": "novel content about broadcast joins"},
+            ]
+        )
+    )
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    near = base.replace("tonight", "tomorrow")
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 10, "text": near},
+                {"doc_id": 11, "text": "fresh text on watermark semantics"},
+            ]
+        )
+    )
+    q2 = start()  # NEW query instance; claims restored from ckpt
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    verdicts = {}
+    for r in rows:
+        verdicts[r.doc_id] = verdicts.get(r.doc_id, False) or bool(r.dup)
+    assert verdicts[1] is False  # first arrival, pre-restart
+    assert verdicts[10] is True  # near-dup caught ACROSS the restart
+    assert verdicts[11] is False
