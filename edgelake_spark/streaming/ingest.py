@@ -36,7 +36,21 @@ DEFAULT_MAX_VOLUME_BYTES = 10_000  # reference streaming_data.py:29
 @dataclass
 class StreamIngest:
     """One table's ingest pipeline: source stream → conditions → monitor
-    → partitioned append."""
+    → partitioned append.
+
+    Delivery semantics: the plain-parquet sink (``tx_target`` unset) is
+    AT-LEAST-ONCE — foreachBatch replays the last uncommitted epoch
+    after a failure, and a blind append duplicates it. Setting
+    ``tx_target`` (a TxTable path) upgrades to EXACTLY-ONCE: each
+    batch's append publishes atomically WITH an (ingest_query, epoch)
+    idempotence token in the commit manifest, so a replayed epoch is
+    recognized and skipped — data and token commit in the same
+    hard-link CAS, leaving no window where one lands without the
+    other. Staged files of an attempt that crashed before publish are
+    unreferenced orphans; vacuum() reclaims them. This is the
+    Spark-first upgrade of the reference's flush path
+    (edge_lake/generic/streaming_data.py:124-194), whose file-append
+    buffers re-land rows after a crash mid-flush."""
 
     spark: SparkSession
     source_dir: str
@@ -48,10 +62,39 @@ class StreamIngest:
     conditions: list[StreamingCondition] = field(default_factory=list)
     monitor: DataMonitor | None = None
     write_immediate: bool = False  # reference: bypass buffering
+    #: TxTable path for exactly-once ingest; None = plain parquet append
+    tx_target: str | None = None
+    #: streaming checkpoint dir (source progress + epoch numbering);
+    #: REQUIRED for exactly-once to mean anything across restarts
+    checkpoint_dir: str | None = None
 
     #: rows written by flushes so far (reference counter_rows_flushed_,
     #: streaming_data.py:713 show_info)
     rows_flushed: int = 0
+    #: epochs skipped as already-committed replays (observable evidence
+    #: that idempotence actually engaged)
+    epochs_skipped: int = 0
+
+    _query_name: str = "edgelake_ingest"
+    _committed_epoch: int | None = None  # lazy cache of the ledger scan
+
+    def _tx_table(self):
+        from edgelake_spark.txlog import TxTable
+
+        return TxTable(self.tx_target)
+
+    def _last_committed_epoch(self, table) -> int:
+        """Highest epoch this query ever published, from the commit
+        manifests — scanned ONCE per (re)started query instance, then
+        maintained in memory; the scan is O(versions) of local JSON."""
+        if self._committed_epoch is None:
+            top = -1
+            for m in table.history():
+                meta = m.get("meta") or {}
+                if meta.get("ingest_query") == self._query_name:
+                    top = max(top, int(meta.get("epoch", -1)))
+            self._committed_epoch = top
+        return self._committed_epoch
 
     def _handle_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         kept = apply_conditions(batch_df, self.conditions)
@@ -59,10 +102,24 @@ class StreamIngest:
             self.monitor.process_batch(kept)
         out = kept.withColumn("insert_timestamp", F.current_timestamp())
         out = out.transform(_materialize)  # count + write from one materialization
+        if self.tx_target is not None:
+            table = self._tx_table()
+            if epoch_id <= self._last_committed_epoch(table):
+                self.epochs_skipped += 1  # replayed epoch: already durable
+                return
+            n = out.count()
+            table.append(
+                out, meta={"ingest_query": self._query_name, "epoch": epoch_id}
+            )
+            self._committed_epoch = epoch_id
+            self.rows_flushed += n
+            return
         self.rows_flushed += out.count()
         out.write.mode("append").parquet(self.target_dir)
 
     def start(self, query_name: str = "edgelake_ingest"):
+        self._query_name = query_name
+        self._committed_epoch = None  # new query instance: re-scan ledger
         reader = (
             self.spark.readStream.format(self.fmt)
             .schema(self.schema)
@@ -71,6 +128,8 @@ class StreamIngest:
         )
         trigger_sec = 0 if self.write_immediate else self.max_time_sec
         writer = reader.writeStream.queryName(query_name).foreachBatch(self._handle_batch)
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
         if trigger_sec:
             writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
         return writer.start()

@@ -488,3 +488,87 @@ def test_lsh_dedup_claims_survive_query_restart(spark, tmp_path):
     assert verdicts[1] is False  # first arrival, pre-restart
     assert verdicts[10] is True  # near-dup caught ACROSS the restart
     assert verdicts[11] is False
+
+
+def test_tx_ingest_is_exactly_once_across_replay_and_restart(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash between the data
+    write and the batch commit, Spark REPLAYS the epoch. The tx_target
+    mode publishes each batch atomically with an (ingest_query, epoch)
+    token in the TxTable manifest, so: (a) a replayed epoch on a live
+    query is skipped via the in-memory cache; (b) a replayed epoch on a
+    RESTARTED query (cold cache) is skipped via the ledger scan; and
+    (c) across a real stop/start cycle every source row lands exactly
+    once."""
+    import json as _json
+
+    from edgelake_spark.streaming.ingest import StreamIngest
+    from edgelake_spark.txlog import TxTable
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "txsrc"
+    src.mkdir()
+    tx_path = str(tmp_path / "txtable")
+    ckpt = str(tmp_path / "txckpt")
+
+    def ingest():
+        return StreamIngest(
+            spark=spark,
+            source_dir=str(src),
+            target_dir=str(tmp_path / "unused_plain"),
+            schema=schema,
+            write_immediate=True,
+            tx_target=tx_path,
+            checkpoint_dir=ckpt,
+        )
+
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"event_id": i, "value": i / 2}) for i in range(40))
+    )
+    ing1 = ingest()
+    q1 = ing1.start("tx_ingest_q")
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    table = TxTable(tx_path)
+    v1 = table.latest_version()
+    assert table.read(spark).count() == 40
+    assert ing1.epochs_skipped == 0
+
+    # (a) simulate Spark replaying the committed epoch on the live query
+    batch = spark.createDataFrame(
+        [(999, 0.5)], "event_id long, value double"
+    )
+    top_epoch = max(
+        int((m.get("meta") or {}).get("epoch", -1)) for m in table.history()
+    )
+    ing1._handle_batch(batch, top_epoch)
+    assert ing1.epochs_skipped == 1
+    assert table.latest_version() == v1  # no new commit, no new rows
+    assert table.read(spark).count() == 40
+
+    # (b) replay against a FRESH instance (cold cache -> ledger scan)
+    ing2 = ingest()
+    ing2._query_name = "tx_ingest_q"
+    ing2._handle_batch(batch, top_epoch)
+    assert ing2.epochs_skipped == 1
+    assert table.read(spark).count() == 40
+
+    # (c) full restart: new query instance from the same checkpoint
+    (src / "b.json").write_text(
+        "\n".join(_json.dumps({"event_id": 100 + i, "value": float(i)}) for i in range(25))
+    )
+    ing3 = ingest()
+    q2 = ing3.start("tx_ingest_q")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = table.read(spark)
+    assert got.count() == 65  # 40 + 25, nothing doubled
+    assert got.select("event_id").distinct().count() == 65
