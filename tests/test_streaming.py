@@ -572,3 +572,69 @@ def test_tx_ingest_is_exactly_once_across_replay_and_restart(spark, tmp_path):
     got = table.read(spark)
     assert got.count() == 65  # 40 + 25, nothing doubled
     assert got.select("event_id").distinct().count() == 65
+
+
+def test_hll_stream_registers_survive_query_restart(spark, tmp_path):
+    """Cross-restart twin of the merge test: stop after batch 1, start
+    a NEW query instance from the same checkpoint, stream overlapping
+    batch 2 — the restored registers must end identical to a batch
+    build over the union (a lost register can only LOWER sum_inv's
+    complement, silently inflating distinct estimates)."""
+    import hashlib
+
+    from edgelake_spark.functions.sketch import HLL_M, _HLL_MAXRHO, _HLL_WBITS
+    from edgelake_spark.streaming.stateful import hll_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "hrsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "hrckpt")
+    ids1, ids2 = list(range(100)), list(range(50, 220))
+    rows: list = []
+
+    def start():
+        out = hll_stream(
+            spark.readStream.format("json").schema(schema).load(str(src)),
+            "event_type",
+            value_col="event_id",
+        )
+        return (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"event_id": i, "event_type": "t"}) for i in ids1)
+    )
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    (src / "b.json").write_text(
+        "\n".join(json.dumps({"event_id": i, "event_type": "t"}) for i in ids2)
+    )
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = max(rows, key=lambda r: r.n_rows)
+    regs = [0] * HLL_M
+    wmask = (1 << _HLL_WBITS) - 1
+    for i in set(ids1) | set(ids2):
+        h60 = int(hashlib.md5(f"hll:{i}".encode()).hexdigest()[:15], 16)
+        idx, w = h60 >> _HLL_WBITS, h60 & wmask
+        rho = _HLL_MAXRHO - w.bit_length() if w else _HLL_MAXRHO
+        regs[idx] = max(regs[idx], rho)
+    assert got.n_rows == len(ids1) + len(ids2)
+    assert got.registers_hit == sum(1 for r in regs if r)
+    assert got.sum_inv == sum(1 << (_HLL_MAXRHO - r) for r in regs if r)
