@@ -638,3 +638,61 @@ def test_hll_stream_registers_survive_query_restart(spark, tmp_path):
     assert got.n_rows == len(ids1) + len(ids2)
     assert got.registers_hit == sum(1 for r in regs if r)
     assert got.sum_inv == sum(1 << (_HLL_MAXRHO - r) for r in regs if r)
+
+
+def test_cms_stream_cells_survive_query_restart(spark, tmp_path):
+    """Cross-restart twin for the CMS monitor (completing the recovery
+    matrix: reservoir, KLL, LSH claims, HLL registers, CMS cells): a
+    restarted query restored from checkpoint must end with the same
+    cells as a direct count over the union — a lost cell UNDERcounts,
+    which for CMS breaks its one guarantee (never underestimate)."""
+    import hashlib
+
+    from edgelake_spark.functions.sketch import CMS_DEPTH, CMS_WIDTH
+    from edgelake_spark.streaming.stateful import cms_cells_stream
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    src = tmp_path / "crsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "crckpt")
+    b1 = ["spark spark shuffle", "broadcast join join"]
+    b2 = ["spark shuffle shuffle shuffle", "join"]
+    rows: list = []
+
+    def start():
+        out = cms_cells_stream(
+            spark.readStream.format("json").schema(schema).load(str(src)),
+            "text",
+            min_cell=1,
+        )
+        return (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    (src / "a.json").write_text("\n".join(json.dumps({"text": t}) for t in b1))
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    (src / "b.json").write_text("\n".join(json.dumps({"text": t}) for t in b2))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {}
+    for r in rows:  # update mode re-emits: last emission per cell wins
+        got[(r.j, r.col)] = max(got.get((r.j, r.col), 0), r.cell)
+    ref = {}
+    for t in b1 + b2:
+        for w in t.split():
+            for j in range(CMS_DEPTH):
+                h = hashlib.md5(f"cms{j}:{w}".encode()).hexdigest()
+                col = int(h[:15], 16) % CMS_WIDTH
+                ref[(j, col)] = ref.get((j, col), 0) + 1
+    assert got == ref
