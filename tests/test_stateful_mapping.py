@@ -321,3 +321,62 @@ def test_anomaly_stream_flags_after_min_n(spark, tmp_path):
         assert rows[-1].last_flagged_value == 500.0
     finally:
         q.stop()
+
+
+def test_open_session_survives_query_restart(spark, tmp_path):
+    """A session OPEN at shutdown lives only in the state store; if the
+    restore loses it, the restarted stream either drops the session or
+    splits it in two. Stop after batch 1 (session open), start a NEW
+    query instance from the same checkpoint, stream batch 2 whose gap
+    closes it — ONE session spanning the restart must emit, counting
+    events from both sides."""
+    from edgelake_spark.streaming.stateful import session_stream
+
+    src = tmp_path / "rs_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "rs_ckpt")
+    schema = T.StructType(
+        [T.StructField("user_id", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    b1 = [
+        {"user_id": "u1", "ts": "2024-01-01 10:00:00"},
+        {"user_id": "u1", "ts": "2024-01-01 10:10:00"},
+    ]
+    b2 = [
+        {"user_id": "u1", "ts": "2024-01-01 10:20:00"},  # continues across restart
+        {"user_id": "u1", "ts": "2024-01-01 11:30:00"},  # 70m gap -> closes it
+    ]
+    rows: list = []
+
+    def start():
+        out = session_stream(
+            spark.readStream.format("json").schema(schema).load(str(src)),
+            gap_minutes=30,
+        )
+        return (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert rows == []  # nothing closed; the open session is state only
+
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    assert len(rows) == 1
+    got = rows[0]
+    assert (got.user_id, got.session_id, got.n_events) == ("u1", 1, 3)
+    assert got.session_start.isoformat() == "2024-01-01T10:00:00"
+    assert got.session_end.isoformat() == "2024-01-01T10:20:00"
