@@ -696,3 +696,89 @@ def test_cms_stream_cells_survive_query_restart(spark, tmp_path):
                 col = int(h[:15], 16) % CMS_WIDTH
                 ref[(j, col)] = ref.get((j, col), 0) + 1
     assert got == ref
+
+
+def test_ewma_and_anomaly_state_survive_query_restart(spark, tmp_path):
+    """Last two cells of the recovery matrix (every
+    applyInPandasWithState operator now pinned): EWMA's running
+    (current, n) and the anomaly monitor's Welford (n, mean, m2) must
+    restore bit-identically in a NEW query instance — the restarted
+    stream's final emission equals a single-process fold over all
+    values in order."""
+    import math
+
+    from edgelake_spark.streaming.stateful import anomaly_stream, ewma_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    vals1 = [float(v) for v in range(1, 41)]           # warm-up, no flags
+    vals2 = [20.5, 1000.0, 19.5]                       # 1000 is the outlier
+
+    for name, build in (
+        ("ewma", lambda s: ewma_stream(s, "event_type", alpha=0.3)),
+        ("anom", lambda s: anomaly_stream(s, "event_type", z_threshold=3.0)),
+    ):
+        src = tmp_path / f"{name}_src"
+        src.mkdir()
+        ckpt = str(tmp_path / f"{name}_ckpt")
+        rows: list = []
+
+        def start():
+            out = build(
+                spark.readStream.format("json").schema(schema).load(str(src))
+            )
+            return (
+                out.writeStream.outputMode("update")
+                .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps({"event_type": "t", "value": v}) for v in vals1
+            )
+        )
+        q1 = start()
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop()
+        (src / "b.json").write_text(
+            "\n".join(
+                json.dumps({"event_type": "t", "value": v}) for v in vals2
+            )
+        )
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+        if name == "ewma":
+            got = max(rows, key=lambda r: r.n_rows)
+            ref = None
+            for v in vals1 + vals2:
+                ref = v if ref is None else 0.3 * v + 0.7 * ref
+            assert got.n_rows == 43 and got.ewma == ref
+        else:
+            got = max(rows, key=lambda r: r.n_total)
+            n, mean, m2 = 0, 0.0, 0.0
+            flagged = 0
+            for v in vals1 + vals2:
+                if n >= 30:
+                    var = m2 / n
+                    if var > 0 and abs(v - mean) / math.sqrt(var) > 3.0:
+                        flagged += 1
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+            assert got.n_total == 43
+            assert got.mean == mean and got.std == math.sqrt(m2 / n)
+            assert got.n_flagged >= 1 and got.last_flagged_value == 1000.0
+            assert flagged >= 1
