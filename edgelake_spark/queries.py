@@ -6498,6 +6498,36 @@ FROM {table}""")
 _q("events_profile", _sql(_profile_sql("spark", "events")), _profile_sql("duck", "events"))
 
 
+# per-user behavioral diversity: Gini–Simpson (1 − Σp²) over event
+# types + top-type share. Rényi-2 diversity instead of Shannon BY
+# DESIGN: entropy's ln() is libm (the doc_weighted_sample 1-ULP
+# finding) while 1 − Σn²/N² is integer sums and ONE divide — exact on
+# both engines, safe to EMIT (not just order by). Scale shape: two
+# partial/final aggregations ((user, type) then user); shuffles carry
+# distinct keys only, no windows, no joins.
+_EVENTS_DIVERSITY = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+u AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(n * n) AS BIGINT) AS sum_sq,
+         CAST(max(n) AS BIGINT) AS top_n,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT user_id, total, n_types,
+       CAST(1 AS DOUBLE) - CAST(sum_sq AS DOUBLE)
+         / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS gini_simpson,
+       CAST(top_n AS DOUBLE) / CAST(total AS DOUBLE) AS top_share
+FROM u
+ORDER BY user_id
+"""
+
+_q("events_user_diversity", _sql(_EVENTS_DIVERSITY), _EVENTS_DIVERSITY)
+
+
 # ------------------------------------------------- A/B test statistic
 
 
