@@ -610,9 +610,12 @@ class EdgeLakeEngine:
                 if sel == "all":
                     entries = list(self.query_log)
                 elif sel.isdigit():
+                    # an unknown job id yields an EMPTY result — falling
+                    # back to the latest entry would silently report a
+                    # different job's destinations
                     entries = [
                         e for e in self.query_log if e["job_id"] == int(sel)
-                    ] or [self.query_log[-1]]
+                    ]
                 else:
                     entries = [self.query_log[-1]]
             else:

@@ -97,16 +97,21 @@ class StreamIngest:
         return self._committed_epoch
 
     def _handle_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.tx_target is not None:
+            # Replay check FIRST: a replayed epoch must not update monitor
+            # counters or pay a materialization — its rows were already
+            # processed by the committed run, so any side effect here would
+            # drift monitor stats from rows_flushed under exactly-once.
+            table = self._tx_table()
+            if epoch_id <= self._last_committed_epoch(table):
+                self.epochs_skipped += 1  # replayed epoch: already durable
+                return
         kept = apply_conditions(batch_df, self.conditions)
         if self.monitor is not None:
             self.monitor.process_batch(kept)
         out = kept.withColumn("insert_timestamp", F.current_timestamp())
         out = out.transform(_materialize)  # count + write from one materialization
         if self.tx_target is not None:
-            table = self._tx_table()
-            if epoch_id <= self._last_committed_epoch(table):
-                self.epochs_skipped += 1  # replayed epoch: already durable
-                return
             n = out.count()
             table.append(
                 out, meta={"ingest_query": self._query_name, "epoch": epoch_id}
@@ -118,6 +123,16 @@ class StreamIngest:
         out.write.mode("append").parquet(self.target_dir)
 
     def start(self, query_name: str = "edgelake_ingest"):
+        if self.tx_target is not None and not self.checkpoint_dir:
+            # Without a streaming checkpoint, a restarted query renumbers
+            # epochs from 0, so `epoch <= last_committed` misreads genuinely
+            # NEW batches as replays and silently drops them — data loss,
+            # not dedup. Exactly-once requires durable epoch numbering.
+            raise ValueError(
+                "StreamIngest: tx_target (exactly-once) requires checkpoint_dir; "
+                "without it a restart resets epoch ids and new batches would be "
+                "dropped as replays"
+            )
         self._query_name = query_name
         self._committed_epoch = None  # new query instance: re-scan ledger
         reader = (

@@ -209,7 +209,13 @@ class MqttBroker:
                     # draining its socket must delay delivery, not
                     # wedge the publisher's ack (also keeps PUBACK
                     # first-in-line for a client that publishes and
-                    # subscribes on one connection)
+                    # subscribes on one connection).
+                    # CONTRACT: broker-side QoS-1 is therefore
+                    # ACK-THEN-DELIVER — if this session dies between
+                    # the PUBACK and _route(), the message is acked but
+                    # undelivered. Acceptable for an in-process test
+                    # double; a production broker would persist before
+                    # acking.
                     self.published += 1
                     if qos and pid is not None:
                         conn.sendall(puback_packet(pid))

@@ -100,9 +100,11 @@ def test_query_destination(spark):
     assert {r.table_name for r in rows} == {"events", "lineitem"}
     ev = next(r for r in rows if r.table_name == "events")
     assert "PushedFilters" in ev.scan_filters and "value" in ev.scan_filters
-    # numeric selector picks that job; unknown id falls back to latest
+    # numeric selector picks that job
     first = eng.run(f"query destination {rows[0].job_id}").collect()
     assert all(r.job_id == rows[0].job_id for r in first)
+    # an UNKNOWN job id yields an empty result, never another job's rows
+    assert eng.run("query destination 999999").collect() == []
     # command surface is discoverable
     assert any(
         "query destination" in r.command for r in eng.run("help query").collect()

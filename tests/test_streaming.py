@@ -574,6 +574,85 @@ def test_tx_ingest_is_exactly_once_across_replay_and_restart(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 65
 
 
+def test_tx_ingest_requires_checkpoint_dir(spark, tmp_path):
+    """tx_target without checkpoint_dir must be REJECTED at start():
+    a restarted query would renumber epochs from 0 and the
+    `epoch <= last_committed` guard would drop genuinely new batches
+    as replays — silent data loss, not dedup."""
+    import pytest as _pytest
+
+    from edgelake_spark.streaming.ingest import StreamIngest
+
+    schema = T.StructType([T.StructField("event_id", T.LongType())])
+    src = tmp_path / "nockpt_src"
+    src.mkdir()
+    ing = StreamIngest(
+        spark=spark,
+        source_dir=str(src),
+        target_dir=str(tmp_path / "out"),
+        schema=schema,
+        tx_target=str(tmp_path / "txtable"),
+        checkpoint_dir=None,
+    )
+    with _pytest.raises(ValueError, match="checkpoint_dir"):
+        ing.start("no_ckpt_q")
+
+
+def test_tx_ingest_replayed_epoch_skips_monitor(spark, tmp_path):
+    """A replayed epoch must be skipped BEFORE monitor processing:
+    its rows were counted by the committed run, so re-counting them
+    drifts DataMonitor stats from rows_flushed under exactly-once."""
+    import json as _json
+
+    from edgelake_spark.streaming.ingest import StreamIngest
+    from edgelake_spark.streaming.monitor import DataMonitor
+    from edgelake_spark.txlog import TxTable
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "monsrc"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"event_id": i, "value": 1.0}) for i in range(10))
+    )
+    mon = DataMonitor(value_column="value")
+    ing = StreamIngest(
+        spark=spark,
+        source_dir=str(src),
+        target_dir=str(tmp_path / "unused"),
+        schema=schema,
+        write_immediate=True,
+        tx_target=str(tmp_path / "txtable"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        monitor=mon,
+    )
+    q = ing.start("mon_q")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table = TxTable(str(tmp_path / "txtable"))
+    assert table.read(spark).count() == 10
+
+    def ring_count() -> int:
+        return sum(i.count for i in mon.ring)
+
+    rows_after_commit = ring_count()
+    assert rows_after_commit == 10
+    # replay the committed epoch: monitor must NOT advance
+    top_epoch = max(
+        int((m.get("meta") or {}).get("epoch", -1)) for m in table.history()
+    )
+    batch = spark.createDataFrame([(999, 0.5)], "event_id long, value double")
+    ing._handle_batch(batch, top_epoch)
+    assert ing.epochs_skipped == 1
+    assert ring_count() == rows_after_commit  # untouched by the replay
+
+
 def test_hll_stream_registers_survive_query_restart(spark, tmp_path):
     """Cross-restart twin of the merge test: stop after batch 1, start
     a NEW query instance from the same checkpoint, stream overlapping
