@@ -253,10 +253,12 @@ def main() -> None:
     # dominated by janino codegen compiles + GC storms (measured ±3×
     # run-to-run in round 1); the median of 3 measures the plan
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
-    # wall-clock budget with TWO effects: (a) past it, the MAIN timed
-    # loop degrades remaining queries to single-run timing (flagged in
-    # degraded_to_single_run) so the whole list stays in the artifact;
-    # (b) the optional sf1 tail only starts while elapsed < budget.
+    # wall-clock budget with TWO effects: (a) the MAIN timed loop runs
+    # pass-interleaved — pass 1 (one sample per query) always
+    # completes, passes 2..N stop between queries once past the
+    # budget, so every query stays in the artifact with as many
+    # samples as fit; (b) the optional sf1 tail only starts while
+    # elapsed < budget.
     # Both exist so a harness timeout can never swallow the result
     # line — the 112-query suite measured right at a 600 s cap and
     # lost its JSON twice before the guards. 420 s: the 143-query list
@@ -340,39 +342,136 @@ def main() -> None:
     elif tier == "sf1" and not only:
         bench_queries = list(SF1_FAMILIES)
 
-    # restart the SparkContext every N queries: cleanup() alone does not
-    # bound accumulated JVM state (shuffle files, block-manager and
-    # old-gen growth across a 69-query × 3-run suite), and that state —
-    # not the plans — was the measured cause of mid-suite 2-4× walls
-    # (doc_winnow_fp: [7.6, 2.0, 8.4] s at suite position ~30 vs
-    # [2.5, 1.6, 1.3, 1.4, 1.2] s in isolation, same code/plan/data)
-    restart_every = int(os.environ.get("SPARK_GRAFT_RESTART_EVERY", "18"))
+    # restart the SparkContext every N timed SAMPLES: cleanup() alone
+    # does not bound accumulated JVM state (shuffle files, block-manager
+    # and old-gen growth across a 143-query × 3-pass suite), and that
+    # state — not the plans — was the measured cause of mid-suite 2-4×
+    # walls (doc_winnow_fp: [7.6, 2.0, 8.4] s at suite position ~30 vs
+    # [2.5, 1.6, 1.3, 1.4, 1.2] s in isolation, same code/plan/data).
+    # 54 = the r9 cadence (18 queries × 3 back-to-back runs) expressed
+    # in samples, matching the pass-interleaved loop's counter.
+    restart_every = int(os.environ.get("SPARK_GRAFT_RESTART_EVERY", "54"))
 
-    timings: dict[str, float] = {}
-    all_runs: dict[str, list[float]] = {}
-    for qi, name in enumerate(bench_queries):
-        if restart_every and qi and qi % restart_every == 0:
-            spark.stop()
-            spark = fresh_session()
-        fn = SPARK_QUERIES[name]
-        # degrade, don't die: past the wall budget, time the remaining
-        # queries once instead of runs× — every query stays in the
-        # artifact and the JSON line always lands before any harness
-        # timeout (the full list sits right at the budget; losing the
-        # whole result to a median's third sample is the wrong trade)
-        runs_eff = 1 if time.perf_counter() - t_main > budget_s else runs
-        walls = []
-        for _ in range(runs_eff):
+    # PASS-INTERLEAVED sampling (round 10): run the WHOLE list once per
+    # pass, up to `runs` passes, checking the wall budget between
+    # queries from pass 2 on. The r9 design (median-of-3 back-to-back
+    # per query, degrade the remainder to single runs once over budget)
+    # always degraded the TAIL of the list — which is exactly the
+    # newest operators — to single samples (35/143 in r9), and those
+    # lone cold samples produced a false 1.34x "regression" in
+    # tools/compare_bench.py. Interleaving instead guarantees every
+    # query the same floor: pass 1 always completes (every query needs
+    # >=1 sample), pass 2 completes unless 2x the list doesn't fit the
+    # budget, pass 3 fills whatever budget remains. Per-query samples
+    # are also decorrelated from transient host load (minutes apart
+    # instead of back-to-back).
+    all_runs: dict[str, list[float]] = {name: [] for name in bench_queries}
+    state = {"qi": 0, "spark": spark}
+
+    def run_pass(pass_i: int) -> bool:
+        """One full pass over the list; returns False if the budget
+        stopped it. Pass 1 is unconditional — a query with zero samples
+        is a hole in the artifact; later passes stop at the budget,
+        leaving every remaining query its earlier-pass samples."""
+        for name in bench_queries:
+            if pass_i >= 1 and time.perf_counter() - t_main > budget_s:
+                print(
+                    f"# pass {pass_i + 1} stopped at {name}: wall budget "
+                    f"{budget_s:.0f}s reached (SPARK_GRAFT_BUDGET_S)",
+                    file=sys.stderr,
+                )
+                return False
+            if restart_every and state["qi"] and state["qi"] % restart_every == 0:
+                state["spark"].stop()
+                state["spark"] = fresh_session()
+            state["qi"] += 1
             t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
-            walls.append(time.perf_counter() - t0)
+            rows = SPARK_QUERIES[name](state["spark"], sf_dir).collect()
+            wall = time.perf_counter() - t0
             cleanup()
-        timings[name] = round(statistics.median(walls), 4)
-        all_runs[name] = [round(w, 4) for w in walls]
+            all_runs[name].append(round(wall, 4))
+            print(
+                f"# pass {pass_i + 1} {name}: {wall:.3f}s ({len(rows)} rows)",
+                file=sys.stderr,
+            )
+        return True
+
+    # passes 1-2 first (the 2-sample floor), then the sf1 tail, then
+    # any remaining passes with leftover budget — so a budget-bound
+    # round-close run ships BOTH a zero-degraded main section and the
+    # 10x scaling section, and only pass 3+ samples are sacrificed
+    in_budget = True
+    for pass_i in range(min(runs, 2)):
+        in_budget = run_pass(pass_i)
+
+    # ---- sf1 scaling tail: the headline families at 10× the data, as
+    # local evidence the plans survive an order of magnitude.
+    # Synthesized once from sf0.1 (key-shifted replicas) and cached.
+    # Runs BETWEEN pass 2 and pass 3 so a budget-bound round-close run
+    # ships the scaling section before spending leftovers on samples.
+    sf1_timings: dict[str, float] | None = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and not only:
+        try:
+            sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
+            # a COLD cache means the 10-replica synthesis runs first —
+            # require enough remaining budget to cover its measured
+            # ~2 min cost, or the synthesis itself would blow through
+            # the budget after this check and lose the result line
+            cold = not os.path.exists(os.path.join(sf1_dir, "_SF1_READY"))
+            margin = 150.0 if cold else 0.0
+            if time.perf_counter() - t_main > budget_s - margin:
+                raise TimeoutError(
+                    f"wall budget {budget_s:.0f}s"
+                    f"{' (cold-synthesis margin 150s)' if cold else ''}"
+                    " reached before sf1 section"
+                )
+            _ensure_sfn(state["spark"], sf_dir, sf1_dir)
+            sf1_timings = {}
+            for name in SF1_FAMILIES:
+                if time.perf_counter() - t_main > budget_s:
+                    print(
+                        f"# sf1 section truncated at {name}: wall budget "
+                        f"{budget_s:.0f}s reached (SPARK_GRAFT_BUDGET_S)",
+                        file=sys.stderr,
+                    )
+                    break
+                walls = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    SPARK_QUERIES[name](state["spark"], sf1_dir).collect()
+                    walls.append(time.perf_counter() - t0)
+                    cleanup()
+                sf1_timings[name] = round(min(walls), 4)
+                base = min(all_runs.get(name) or []) if all_runs.get(name) else None
+                ratio = round(sf1_timings[name] / base, 2) if base else None
+                print(
+                    f"# sf1 {name}: {sf1_timings[name]:.3f}s"
+                    f" ({ratio}x the sf0.1 best; data is 10x)",
+                    file=sys.stderr,
+                )
+        except Exception as exc:
+            print(f"# sf1 section failed: {exc}", file=sys.stderr)
+
+    # leftover budget → extra main-list passes (3rd and beyond)
+    for pass_i in range(2, runs):
+        if not in_budget or time.perf_counter() - t_main > budget_s:
+            break
+        in_budget = run_pass(pass_i)
+
+    # per-query stat: median for >=3 samples (the pass-1 sample is the
+    # cold one; the median lands on a warm pass); MIN for 2 samples —
+    # median-of-2 is a mean that averages the cold pass-1 sample IN,
+    # biasing exactly the queries pass 3 didn't reach. min-of-{cold,
+    # warm} is the warm plan cost, comparable with a 3-sample median.
+    timings: dict[str, float] = {}
+    for name, walls in all_runs.items():
+        if len(walls) >= 3:
+            timings[name] = round(statistics.median(walls), 4)
+        elif walls:
+            timings[name] = round(min(walls), 4)
         print(
-            f"# {name}: median {timings[name]:.3f}s of {[f'{w:.2f}' for w in walls]}"
-            f"{' [budget: single run]' if runs_eff == 1 and runs > 1 else ''}"
-            f" ({len(rows)} rows)",
+            f"# {name}: {timings.get(name, float('nan')):.3f}s "
+            f"({len(walls)} samples: {[f'{w:.2f}' for w in walls]})",
             file=sys.stderr,
         )
 
@@ -382,14 +481,14 @@ def main() -> None:
     # SPARK_GRAFT_QUERIES subset iteration would clobber the round
     # artifact with one query's plan.
     full_run = not only and os.environ.get("SPARK_GRAFT_TIER", "full") == "full"
-    # two tiers of capture: top-5 by TRUE median (single degraded
-    # samples are often cold-cache outliers and shouldn't displace
-    # them), PLUS the heaviest budget-degraded queries whose single
-    # sample beats the 5th median — queries appended late in the list
-    # (the newest operators) are exactly the ones the budget degrades
-    # every round, and their plans must not be permanently absent from
-    # the artifact. Labeled so a reader weighs the sample accordingly.
-    undegraded = [n for n in timings if len(all_runs[n]) >= runs]
+    # two tiers of capture: top-5 by multi-sample stat (lone cold
+    # samples are often cache outliers and shouldn't displace them),
+    # PLUS the heaviest single-sample queries whose sample beats the
+    # 5th stat — their plans must not be absent from the artifact.
+    # Labeled so a reader weighs the sample accordingly. (With the
+    # pass-interleaved loop, single-sample queries only exist when
+    # even pass 2 outran the budget.)
+    undegraded = [n for n in timings if len(all_runs[n]) >= 2]
     pool = undegraded if len(undegraded) >= 5 else list(timings)
     slowest = sorted(pool, key=timings.get, reverse=True)[:5] if full_run else []
     extra = []
@@ -407,7 +506,7 @@ def main() -> None:
                 for name in slowest + extra:
                     tag = " [single-sample]" if name in extra else ""
                     fh.write(f"{'=' * 20} {name} ({timings[name]}s{tag}) {'=' * 20}\n")
-                    df = SPARK_QUERIES[name](spark, sf_dir)
+                    df = SPARK_QUERIES[name](state["spark"], sf_dir)
                     fh.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
                     fh.write("\n")
         except Exception as exc:
@@ -420,66 +519,26 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs_per_query": runs,
-        # queries timed once because the wall budget had been reached
-        # (their medians are single samples — compare accordingly)
+        # queries whose budgeted passes left only ONE sample (pass 2
+        # outran the wall budget) — compare their stats accordingly.
+        # The pass-interleaved loop keeps this empty whenever 2x the
+        # list fits the budget.
         "degraded_to_single_run": sorted(
-            n for n, w in all_runs.items() if len(w) < runs
+            n for n, w in all_runs.items() if len(w) < 2
         ),
+        # samples actually taken per query (pass-interleaved; min 1)
+        "samples_per_query": {n: len(w) for n, w in all_runs.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-
-    # ---- sf1 scaling datapoint: the 5 headline families at 10× the
-    # data, as local evidence the plans survive an order of magnitude.
-    # Synthesized once from sf0.1 (key-shifted replicas) and cached.
-    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and not only:
-        try:
-            sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench_sf1")
-            # a COLD cache means the 10-replica synthesis runs first —
-            # require enough remaining budget to cover its measured
-            # ~2 min cost, or the synthesis itself would blow through
-            # the budget after this check and lose the result line
-            cold = not os.path.exists(os.path.join(sf1_dir, "_SF1_READY"))
-            margin = 150.0 if cold else 0.0
-            if time.perf_counter() - t_main > budget_s - margin:
-                raise TimeoutError(
-                    f"wall budget {budget_s:.0f}s"
-                    f"{' (cold-synthesis margin 150s)' if cold else ''}"
-                    " reached before sf1 section"
-                )
-            _ensure_sf1(spark, sf_dir, sf1_dir)
-            sf1_timings: dict[str, float] = {}
-            for name in SF1_FAMILIES:
-                if time.perf_counter() - t_main > budget_s:
-                    print(
-                        f"# sf1 section truncated at {name}: wall budget "
-                        f"{budget_s:.0f}s reached (SPARK_GRAFT_BUDGET_S)",
-                        file=sys.stderr,
-                    )
-                    break
-                walls = []
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    SPARK_QUERIES[name](spark, sf1_dir).collect()
-                    walls.append(time.perf_counter() - t0)
-                    cleanup()
-                sf1_timings[name] = round(min(walls), 4)
-                base = timings.get(name)
-                ratio = round(sf1_timings[name] / base, 2) if base else None
-                print(
-                    f"# sf1 {name}: {sf1_timings[name]:.3f}s"
-                    f" ({ratio}x the sf0.1 median; data is 10x)",
-                    file=sys.stderr,
-                )
-            result["sf1"] = {
-                "queries": sf1_timings,
-                "ratio_vs_sf0.1": {
-                    n: round(sf1_timings[n] / timings[n], 2)
-                    for n in sf1_timings
-                    if timings.get(n)
-                },
-            }
-        except Exception as exc:
-            print(f"# sf1 section failed: {exc}", file=sys.stderr)
+    if sf1_timings is not None:
+        result["sf1"] = {
+            "queries": sf1_timings,
+            "ratio_vs_sf0.1": {
+                n: round(sf1_timings[n] / timings[n], 2)
+                for n in sf1_timings
+                if timings.get(n)
+            },
+        }
 
     print(json.dumps(result))
 
@@ -511,16 +570,24 @@ SF1_FAMILIES = [
     # round-9 family: ES weighted sampling — per-stratum rank window
     # wrapped in WindowGroupLimit (measured FLAT at 10x: 1.0 -> 0.9 s)
     "doc_weighted_sample",
+    # round-9 corpus-scale families (added r10 per the r9 verdict):
+    # delta-vs-stored-index incremental dedup, directional containment
+    # over the LSH pair artifact, and the cross-source dup matrix
+    "doc_dedup_incremental",
+    "doc_containment_pairs",
+    "doc_dup_source_matrix",
 ]
 
 
-def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
-    """Synthesize an sf1-scale dataset from sf0.1: `replicas`
+def _ensure_sfn(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
+    """Synthesize an sfN-scale dataset from sf0.1: `replicas`
     key-shifted copies, keys shifted consistently across tables so join
     fan-out and group sizes scale linearly (not quadratically).
-    Documents get a per-replica token appended so cross-replica rows are
-    NOT near-duplicates — keeping LSH pair counts linear in the data.
-    Cached on disk; delete the directory to regenerate."""
+    Document text gets a per-replica alphabet permutation so
+    cross-replica rows are NOT near-duplicates — keeping LSH pair
+    counts linear in the data. Cached on disk; delete the directory to
+    regenerate. replicas=10 → sf1; replicas=100 → sf10 (~60 M lineitem
+    rows, the 100× datapoint)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -529,7 +596,7 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
     # ts-shift in r3 that keeps temporal density constant) must
     # invalidate a previously synthesized directory, or stale data
     # silently benchmarks the old premise
-    gen = f"gen=v3-rot-alphabet replicas={replicas}\n"
+    gen = f"gen=v4-perm-alphabet replicas={replicas}\n"
     marker = os.path.join(dst_dir, "_SF1_READY")
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -567,48 +634,44 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
             else:
                 out = out.withColumn(c, F.col(c) + F.col("__r") * F.lit(stride))
         if text_tag:
-            # Per-replica ALPHABET ROTATION (translate, a bijection on
-            # characters). v2 suffixed every token with a short replica
-            # marker — enough to de-duplicate word shingles (minhash
-            # stayed linear) but NOT char-level similarity: tokens ≥
-            # WINNOW_K+WINNOW_W-1 chars still produced shared winnow
-            # fingerprints and most char 3-grams matched, so replicas of
-            # one base doc formed 45-pair cliques — doc_winnow_pairs
-            # output exploded 397 → 7.4 M rows (measured, round 6) and
-            # doc_ngram_jaccard grew 110×. A rotated alphabet shares
-            # essentially no letter n-grams and no word tokens across
-            # replicas (not exactly zero: Caesar rotations can collide
-            # when the base corpus contains both a gram g and its shift
-            # rot_d(g) — e.g. digit runs '123'/'234' — so replicas r and
-            # r+d share that gram; round-6 measurements show such
-            # collisions are negligible, making pair counts near-linear
-            # rather than exactly linear in replica count), while WITHIN
-            # a replica every similarity statistic (char jaccard,
-            # shingle sets, winnow fingerprints) is EXACTLY the base
-            # corpus's — translate is an isomorphism on the gram space. Text length, token boundaries,
-            # and token counts are all preserved (digits/punctuation
-            # pass through), so per-doc compute cost is unchanged.
+            # Per-replica ALPHABET PERMUTATION (translate, a bijection
+            # on characters). v2 suffixed every token with a short
+            # replica marker — enough to de-duplicate word shingles
+            # (minhash stayed linear) but NOT char-level similarity:
+            # shared winnow fingerprints made replicas of one base doc
+            # form 45-pair cliques — doc_winnow_pairs output exploded
+            # 397 → 7.4 M rows (measured, round 6). v3 used Caesar
+            # rotations, which REPEAT every 26 replicas — at 100
+            # replicas (sf10) r and r+26 would be exact char-level
+            # near-dups and pair counts quadratic by construction. v4
+            # uses a seeded random permutation of [a-zA-Z0-9] per
+            # replica: no repetition at any replica count, essentially
+            # zero shared letter n-grams / word tokens across replicas,
+            # while WITHIN a replica every similarity statistic (char
+            # jaccard, shingle sets, winnow fingerprints) is EXACTLY
+            # the base corpus's — translate is an isomorphism on the
+            # gram space. Text length, token boundaries, and token
+            # counts are all preserved (punctuation/whitespace pass
+            # through), so per-doc compute cost is unchanged. Digits
+            # permute too: winnow fingerprints hash RAW k-grams, and
+            # un-permuted digit runs ≥ K+W-1 chars gave every replica
+            # set a shared fingerprint clique — measured 5 → 621 k
+            # pairs at 10× before digits were included.
+            import random
             import string
 
-            lo = string.ascii_lowercase
-            up = string.ascii_uppercase
-            dg = string.digits
-            expr = F.col(text_tag)
+            alphabet = string.ascii_lowercase + string.ascii_uppercase + string.digits
+            # flat CaseWhen (one node, replicas-1 branches), not a
+            # nested chain — keeps analysis/codegen shallow at 100
+            expr = None
             for r in range(1, replicas):
-                # digits rotate too (mod 10): winnow fingerprints hash
-                # RAW k-grams, and un-rotated digit runs ≥ K+W-1 chars
-                # gave every replica set a shared fingerprint clique —
-                # measured 5 → 621 k pairs at 10× before this line
-                rot = (
-                    lo[r % 26:] + lo[: r % 26]
-                    + up[r % 26:] + up[: r % 26]
-                    + dg[r % 10:] + dg[: r % 10]
-                )
-                expr = F.when(
-                    F.col("__r") == r,
-                    F.translate(F.col(text_tag), lo + up + dg, rot),
-                ).otherwise(expr)
-            out = out.withColumn(text_tag, expr)
+                chars = list(alphabet)
+                random.Random(0xE1 * r).shuffle(chars)
+                perm = "".join(chars)
+                branch = (F.col("__r") == r, F.translate(F.col(text_tag), alphabet, perm))
+                expr = F.when(*branch) if expr is None else expr.when(*branch)
+            if expr is not None:
+                out = out.withColumn(text_tag, expr.otherwise(F.col(text_tag)))
         return out.drop("__r")
 
     def stride_of(df, col):
@@ -634,8 +697,11 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str, replicas: int = 10) -> None:
             docs, {"doc_id": doc_stride}, text_tag="text"
         ).withColumn("n_chars", F.length("text").cast("long")),
     }
+    # more output files at higher replica counts so each stays a sane
+    # split size (sf10 lineitem is ~60 M rows / ~1.1 GB)
+    n_files = 32 if replicas <= 10 else 128
     for name, df in jobs.items():
-        df.repartition(32).write.mode("overwrite").parquet(
+        df.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{name}.parquet")
         )
     # small dims + embeddings pass through unscaled

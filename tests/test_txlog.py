@@ -208,6 +208,106 @@ def test_concurrent_threads_all_appends_survive(spark, tmp_path):
     assert got == [0] + [100 + i for i in range(n_writers)]
 
 
+def test_concurrent_processes_all_appends_survive(spark, tmp_path):
+    """Cross-PROCESS twin of the thread race: two separate OS processes
+    append to one TxTable simultaneously through the os.link publish.
+    Threads share a Python runtime (GIL serialization can mask races);
+    two processes pin the actual filesystem contract the 100 TB story
+    leans on — os.link is an atomic compare-and-swap ACROSS processes,
+    so every commit lands, the version chain is gapless, and append
+    file lists grow monotonically."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    table_path = str(tmp_path / "xproc")
+    t = TxTable(table_path)
+    n_each = 25
+
+    # a Spark StructType json, written without a Spark session in the
+    # subprocess (the writers are pure-filesystem: pyarrow stage +
+    # TxTable._publish — the commit protocol under test)
+    writer_src = textwrap.dedent(
+        """
+        import json, os, sys, time
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from edgelake_spark.txlog import TxTable
+
+        path, tag, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+        t = TxTable(path)
+        schema_json = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "writer", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "i", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        })
+        # barrier: spin until the parent drops the GO file, so both
+        # writers enter the commit loop together
+        while not os.path.exists(os.path.join(path, "_GO")):
+            time.sleep(0.002)
+        for i in range(n):
+            stage = f"{tag}_{i}"
+            os.makedirs(os.path.join(t.data_dir, stage), exist_ok=True)
+            rel = os.path.join("data", stage, "part-0.parquet")
+            pq.write_table(
+                pa.table({"writer": [tag], "i": [i]}),
+                os.path.join(path, rel),
+            )
+            t._publish(
+                lambda prev, rel=rel: (((prev or {}).get("files")) or []) + [rel],
+                "append",
+                schema_json,
+                {"writer": tag, "i": i},
+            )
+        print("OK", tag)
+        """
+    )
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", writer_src, table_path, tag, str(n_each)],
+            cwd="/root/repo",
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for tag in ("wa", "wb")
+    ]
+    import time as _time
+
+    _time.sleep(1.0)  # let both processes import and reach the barrier
+    (tmp_path / "xproc" / "_GO").write_text("go")
+    outs = [p.communicate(timeout=120) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    # both writers' commits all landed; the chain is linear and gapless
+    assert t.latest_version() == 2 * n_each
+    assert t.versions() == list(range(1, 2 * n_each + 1))
+    seen = set()
+    prev_files: set = set()
+    for v in t.versions():
+        m = t.manifest(v)
+        meta = m["meta"]
+        seen.add((meta["writer"], meta["i"]))
+        files = set(m["files"])
+        # append-only chain: every version strictly grows the file set
+        assert prev_files < files
+        prev_files = files
+    assert seen == {(w, i) for w in ("wa", "wb") for i in range(n_each)}
+    # per-writer commit order is preserved (each writer publishes i in
+    # order, so version order restricted to one writer is sorted)
+    for w in ("wa", "wb"):
+        idx = [t.manifest(v)["meta"]["i"] for v in t.versions()
+               if t.manifest(v)["meta"]["writer"] == w]
+        assert idx == sorted(idx)
+    got = t.read(spark)
+    assert got.count() == 2 * n_each
+    per = {r["writer"]: r["n"] for r in got.groupBy("writer").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert per == {"wa": n_each, "wb": n_each}
+
+
 def test_random_op_sequences_match_model(spark, tmp_path):
     """Model-based check: a random sequence of overwrite/append/remove/
     compact must always read back what a plain in-memory list model
