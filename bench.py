@@ -205,6 +205,9 @@ BENCH_QUERIES = [
     "doc_dup_source_matrix",
     "doc_dedup_incremental",
     "emb_mmr_diversify",
+    # round 10: batch driver of the shared keep-first band-claim policy
+    # (the streaming monitor's twin)
+    "doc_lsh_claims",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -196,6 +196,73 @@ def duck_band_key(sig: str, band: int) -> str:
     return f"md5(array_to_string(({sig})[{lo}:{hi}], '|'))"
 
 
+def band_claim_policy(claimed, doc_ids):
+    """THE greedy keep-first band-claim rule, in one place (r9 verdict
+    stretch: the streaming monitor and the batch sweeps each carried
+    their own copy of this contract and could drift).
+
+    Given a band bucket's current claimant (``None`` if unclaimed) and
+    the bucket's arriving doc ids IN ARRIVAL ORDER, returns
+    ``(new_claimant, [(doc_id, dup), ...])``: the first arrival (or the
+    persisted claimant) keeps the bucket, every other doc sharing it is
+    flagged. Drivers:
+
+    - streaming: ``streaming/stateful._band_claim`` folds each
+      micro-batch through this per band bucket, doc_ids sorted within
+      the batch (arrival order = batch order, ties by id);
+    - batch: ``band_claims_sql`` below — for a static corpus processed
+      in doc_id order the claimant is ``min(doc_id)`` per bucket, so
+      one groupBy computes every bucket's fold result at once. The two
+      drivers are pinned verdict-identical on the same corpus in
+      tests/test_streaming.py (stream vs batch SQL vs this fold).
+    """
+    rows = []
+    for d in doc_ids:
+        dup = claimed is not None and claimed != d
+        if claimed is None:
+            claimed = d
+        rows.append((d, dup))
+    return claimed, rows
+
+
+def band_claims_sql(engine: str, sig_source: str) -> str:
+    """Batch driver of ``band_claim_policy`` over a signature table
+    (id, sig): per-doc keep/dup verdicts for a static corpus processed
+    in doc_id order. Runs on both engines — band extraction is the only
+    per-engine text (spark_band_key/duck_band_key).
+
+    Semantics = the policy fold: a bucket's claimant is its min doc_id;
+    ``is_dup`` = doc shares ANY bucket with a smaller doc_id (the
+    streaming monitor's max-over-bands aggregation); ``kept_by`` = the
+    smallest such claimant (NULL for keeps).
+
+    Scale shape: one bucket groupBy (claims) + one band-key equi-join
+    back + one doc groupBy — all map-side-combinable, no pairwise
+    work, the same band-bucket partitioning the pair sweep shuffles on.
+    """
+    band = spark_band_key if engine == "spark" else duck_band_key
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band_id, {band('sig', k)} AS band_key "
+        f"FROM {sig_source}"
+        for k in range(BANDS)
+    )
+    return f"""
+WITH bands AS ({unions}),
+claims AS (
+  SELECT band_id, band_key, min(doc_id) AS claimed_by
+  FROM bands GROUP BY band_id, band_key
+)
+SELECT b.doc_id,
+       CAST(max(CASE WHEN c.claimed_by < b.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS is_dup,
+       min(CASE WHEN c.claimed_by < b.doc_id THEN c.claimed_by END) AS kept_by
+FROM bands b
+JOIN claims c ON c.band_id = b.band_id AND c.band_key = b.band_key
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 # ------------------------------------------------------------ simhash
 
 

@@ -424,6 +424,37 @@ _q(
 )
 
 
+def _run_lsh_claims(spark, sf_dir):
+    """Per-doc keep/dup verdicts under the greedy keep-first band-claim
+    rule — the BATCH driver of functions/dedup.band_claim_policy, the
+    same contract the streaming monitor (lsh_dedup_stream) applies
+    bucket-by-bucket as docs arrive. For a corpus processed in doc_id
+    order the bucket claimant is min(doc_id), so one bucket groupBy +
+    one band equi-join + one doc groupBy compute every fold at once —
+    no pairwise work, and verdicts are pinned stream-identical in
+    tests/test_streaming.py.
+
+    Scale shape: signature hashing is the map-side LSH cost paid once
+    (materialized artifact); claims and verdicts shuffle on the same
+    band-bucket key the pair sweep uses. Reference parity: the
+    keep-first dedup discipline of a crawl pipeline; EdgeLake has no
+    dedup operators (SURVEY §2 LLM-pipeline extension)."""
+    register_sf_tables(spark, sf_dir)
+    _rep_view(spark, "documents")
+    sig = spark.sql(dd.spark_minhash_sig_sql("documents_rep")).transform(_materialize)
+    sig.createOrReplaceTempView("__lsh_claims_sig")
+    return spark.sql(dd.band_claims_sql("spark", "__lsh_claims_sig"))
+
+
+_q(
+    "doc_lsh_claims",
+    _run_lsh_claims,
+    dd.band_claims_sql(
+        "duck", f"({dd.duck_minhash_sig_sql('documents')})"
+    ),
+)
+
+
 _MH_EST_SPARK = (
     f"CAST(size(filter(sequence(1, {dd.NUM_HASHES}), "
     f"i -> element_at(a.sig, i) = element_at(b.sig, i))) AS DOUBLE) / {dd.NUM_HASHES}.0"

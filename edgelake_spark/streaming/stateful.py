@@ -294,21 +294,22 @@ LSH_BAND_STATE = "claimed_by bigint"
 
 
 def _band_claim(key, batches, state: "GroupState"):
-    """First arrival claims the band bucket; every later doc sharing it
-    is flagged. Docs inside one micro-batch order by doc_id so the
-    verdict is deterministic regardless of partition arrival order."""
+    """Streaming driver of the shared greedy keep-first rule
+    (functions/dedup.band_claim_policy): the persisted claimant (or the
+    first arrival) keeps the band bucket; every later doc sharing it is
+    flagged. Docs inside one micro-batch order by doc_id so the verdict
+    is deterministic regardless of partition arrival order."""
+    from edgelake_spark.functions.dedup import band_claim_policy
+
     claimed = state.get[0] if state.exists else None
-    rows = []
     doc_ids = sorted(
         {int(d) for pdf in batches for d in pdf["doc_id"]}
     )
-    for d in doc_ids:
-        dup = claimed is not None and claimed != d
-        if claimed is None:
-            claimed = d
-        rows.append({"band_key": key[0], "doc_id": d, "dup": dup})
+    claimed, verdicts = band_claim_policy(claimed, doc_ids)
     state.update((claimed,))
-    yield pd.DataFrame(rows)
+    yield pd.DataFrame(
+        [{"band_key": key[0], "doc_id": d, "dup": dup} for d, dup in verdicts]
+    )
 
 
 def lsh_dedup_stream(

@@ -305,6 +305,94 @@ def test_lsh_dedup_stream_flags_near_dups_across_batches(spark, tmp_path):
     assert verdicts[11] is False
 
 
+def test_band_claim_policy_unifies_stream_and_batch(spark, tmp_path):
+    """r9-verdict stretch: the greedy keep-first band-claim contract
+    lives in ONE function (dedup.band_claim_policy); this pins its two
+    drivers verdict-identical on the same corpus — (a) the batch SQL
+    twin (band_claims_sql, the doc_lsh_claims gate body), (b) the
+    streaming monitor folding arrivals in doc_id order, and (c) a
+    direct Python fold of the policy over each band bucket."""
+    import json as _json
+
+    from edgelake_spark.catalog import register_sf_tables
+    from edgelake_spark.functions import dedup as dd
+    from edgelake_spark.streaming.stateful import (
+        lsh_dedup_stream,
+        minhash_band_keys_py,
+    )
+
+    register_sf_tables(spark, "/root/testdata/sf0.001")
+    docs = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 60 ORDER BY doc_id"
+    ).collect()
+    assert docs
+
+    # (a) batch SQL twin
+    spark.sql(
+        dd.spark_minhash_sig_sql("documents", where="doc_id < 60")
+    ).createOrReplaceTempView("__claims_parity_sig")
+    batch = {
+        r["doc_id"]: (bool(r["is_dup"]), r["kept_by"])
+        for r in spark.sql(
+            dd.band_claims_sql("spark", "__claims_parity_sig")
+        ).collect()
+    }
+
+    # (c) direct fold of the shared policy per band bucket
+    buckets: dict = {}
+    for r in docs:
+        for b, key in enumerate(minhash_band_keys_py(r["text"])):
+            buckets.setdefault((b, key), []).append(r["doc_id"])
+    dup_fold: dict = {}
+    kept_fold: dict = {}
+    for ids in buckets.values():
+        claimant, verdicts = dd.band_claim_policy(None, sorted(ids))
+        for d, dup in verdicts:
+            dup_fold[d] = dup_fold.get(d, False) or dup
+            if dup:
+                kept_fold[d] = min(kept_fold.get(d, claimant), claimant)
+    assert set(dup_fold) == set(batch)
+    for d in dup_fold:
+        assert batch[d] == (dup_fold[d], kept_fold.get(d)), d
+
+    # (b) the stream over the same docs in ONE micro-batch (arrival
+    # order = doc_id order inside a batch) produces the same per-doc
+    # dup verdicts
+    src = tmp_path / "claims_src"
+    src.mkdir()
+    (src / "docs.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) for r in docs
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    flagged = lsh_dedup_stream(
+        spark.readStream.format("json").schema(schema).load(str(src))
+    )
+    q = (
+        flagged.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("claims_parity_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream = {
+            r["doc_id"]: bool(r["d"])
+            for r in spark.sql(
+                "select doc_id, max(dup) d from claims_parity_out group by doc_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert stream == {d: v for d, (v, _k) in batch.items()}
+
+
 def test_hll_stream_merges_registers_across_batches(spark, tmp_path):
     """The streaming HLL monitor must converge to the SAME sketch as a
     batch build over the union of all batches — registers merge by max
