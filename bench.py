@@ -206,8 +206,11 @@ BENCH_QUERIES = [
     "doc_dedup_incremental",
     "emb_mmr_diversify",
     # round 10: batch driver of the shared keep-first band-claim policy
-    # (the streaming monitor's twin)
+    # (the streaming monitor's twin), quality-aware cluster keep, and
+    # the per-language tokenizer-fertility audit
     "doc_lsh_claims",
+    "doc_dedup_keep_quality",
+    "doc_token_fertility",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

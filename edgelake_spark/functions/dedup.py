@@ -386,20 +386,7 @@ def duck_jaccard(a: str, b: str) -> str:
 DRIVER_CC_THRESHOLD = 2_500_000
 
 
-def _persistent_rdd_ids(sc) -> set:
-    """Ids of RDDs currently pinned in the block manager (incl. eager
-    localCheckpoint blocks, which DataFrame.unpersist cannot reach)."""
-    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
-
-def _unpersist_rdd_ids(sc, ids) -> None:
-    jmap = sc._jsc.getPersistentRDDs()
-    for rid in ids:
-        if jmap.containsKey(rid):
-            jmap.get(rid).unpersist(False)
-
-
-def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max_rounds: int = 20,
+def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max_rounds: int = 40,
                          stats: dict | None = None):
     """Undirected connected components over a (id1, id2) pair DataFrame
     → DataFrame (doc_id, component_id) with component_id = min id
@@ -412,7 +399,13 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
     label[label]), halving component diameter per round → O(log n)
     rounds on any graph (the large-graph CC idiom). Raises RuntimeError
     if the fixpoint is not reached within ``max_rounds`` — convergence
-    is verified, never assumed.
+    is verified, never assumed. The cap is headroom, not expected
+    cost: the loop exits at the measured fixpoint (sf0.1 LSH graph:
+    18 rounds; its long near-dup CHAINS are close to the worst case
+    for min-label + one jump), and the r10 sf10 run proved 20 was too
+    tight at 100× data (cross-replica band collisions chain replicas,
+    stretching the diameter) — a converging job must never die within
+    a factor-2 of an observed legitimate round count.
 
     ``stats`` (optional dict) is filled with {n_edges, branch, rounds}
     so callers/benchmarks can record which branch ran and its
@@ -452,22 +445,50 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
         return spark.createDataFrame(rows, "doc_id long, component_id long")
 
     # bidirectional edge set (no distinct — id1<id2 halves cannot overlap)
-    sc = spark.sparkContext
     edges = pairs.union(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).transform(_materialize)
-    before_labels = _persistent_rdd_ids(sc)
-    labels = (
+
+    # ROUND BARRIER = PARQUET ROUND-TRIP, deliberately NOT materialize()/
+    # localCheckpoint. Dataset.checkpoint snapshots the source plan's
+    # Catalyst sizeInBytes into the new LogicalRDD, and the pointer-jump
+    # SELF-join then SQUARES that estimate every round — the stats
+    # BigInt's digit count doubles per round, so by round ~20 the DRIVER
+    # spends the whole round multiplying megabyte-sized BigIntegers
+    # inside stats derivation (measured r10: per-round wall 1 s flat
+    # through round 17, then 2→4→8→20→52→137 s with executors IDLE and
+    # a jstack pinning 56 s of CPU in BigInteger.multiply under
+    # IterableOnceOps.product), and past ~30 doublings BigInteger
+    # overflows its supported range — the bare ArithmeticException the
+    # sf1 forced-distributed run died with. A parquet scan's stats are
+    # the actual file size, so the compounding resets every round; the
+    # barrier also truncates lineage AND is executor-loss-durable (the
+    # files outlive any executor), and it measured the same per-round
+    # cost as localCheckpoint before the blow-up (~0.3 s at sf1).
+    # Files land under the session checkpoint dir (HDFS/object store on
+    # a cluster) — two alternating slots per run, a bounded footprint;
+    # the final slot backs the returned DataFrame so it must outlive
+    # this call (session-temp lifecycle, like checkpoint blocks).
+    import os as _os
+    import uuid as _uuid
+
+    from edgelake_spark.checkpoint import ensure_checkpoint_dir
+
+    base = _os.path.join(
+        ensure_checkpoint_dir(spark), f"cc-rounds-{_uuid.uuid4().hex[:12]}"
+    )
+
+    def barrier(df, round_no: int):
+        slot = _os.path.join(base, f"labels_{round_no % 2}")
+        df.write.mode("overwrite").parquet(slot)
+        return spark.read.parquet(slot)
+
+    labels = barrier(
         edges.select(F.col("id1").alias("doc_id"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .transform(_materialize)
+        .withColumn("label", F.col("doc_id")),
+        0,
     )
-    # each round supersedes the previous labels checkpoint; without an
-    # explicit unpersist its blocks stay pinned until JVM GC — up to
-    # max_rounds live copies of the label table (the checkpoint-block
-    # pile-up SCALE.md measures as 1→19 s GC-storm variance)
-    labels_ids = _persistent_rdd_ids(sc) - before_labels
     converged = False
     for round_no in range(1, max_rounds + 1):
         nmin = (
@@ -483,20 +504,19 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
         parents = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
-        before_jump = _persistent_rdd_ids(sc)
-        jumped = (
+        jumped = barrier(
             stepped.join(parents, stepped.label == parents.p_id, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias(
                     "label"
                 ),
-            )
-            .transform(_materialize)
+            ),
+            round_no,
         )
-        jumped_ids = _persistent_rdd_ids(sc) - before_jump
         # convergence probe every other round (scheduling overhead
-        # stays bounded), and every round near the cap
+        # stays bounded), and every round near the cap; both sides are
+        # parquet scans, so the probe re-executes nothing
         if round_no % 2 == 0 or round_no >= max_rounds - 2:
             changed = (
                 jumped.alias("n")
@@ -504,16 +524,14 @@ def connected_components(pairs, driver_threshold: int = DRIVER_CC_THRESHOLD, max
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            _unpersist_rdd_ids(sc, labels_ids)
-            labels, labels_ids = jumped, jumped_ids
+            labels = jumped
             if stats is not None:
                 stats["rounds"] = round_no
             if changed == 0:
                 converged = True
                 break
         else:
-            _unpersist_rdd_ids(sc, labels_ids)
-            labels, labels_ids = jumped, jumped_ids
+            labels = jumped
             if stats is not None:
                 stats["rounds"] = round_no
     if not converged:

@@ -1492,6 +1492,110 @@ ORDER BY doc_id
 )
 
 
+def _keep_quality_sql(comp: str, score: str) -> str:
+    """Engine-shared body for quality-aware dedup keep: every doc gets
+    its near-dup component (itself if unclustered), the keeper is the
+    component's argmax-quality doc (ties → min doc_id). The argmax is
+    a max(q) aggregate + equality join + min(doc_id) — all map-side
+    combinable, NO per-component sort window (a 95%-of-corpus skew
+    component would serialize a window's task; an aggregate stays
+    partial). Equality on the DOUBLE score is safe cross-engine
+    because the score itself is hash-verified bit-identical
+    (doc_quality); it is never emitted, only compared."""
+    return f"""
+WITH comp AS ({comp}),
+q AS (SELECT doc_id, {score} AS q FROM documents),
+everyone AS (
+  SELECT q.doc_id, coalesce(c.component_id, q.doc_id) AS component_id, q.q
+  FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id
+),
+best AS (
+  SELECT component_id, max(q) AS qmax FROM everyone GROUP BY component_id
+),
+kept AS (
+  SELECT e.component_id, min(e.doc_id) AS kept_id
+  FROM everyone e JOIN best b
+    ON b.component_id = e.component_id AND e.q = b.qmax
+  GROUP BY e.component_id
+)
+SELECT e.doc_id, e.component_id, k.kept_id,
+       CAST(CASE WHEN e.doc_id = k.kept_id THEN 1 ELSE 0 END AS BIGINT)
+         AS is_kept
+FROM everyone e JOIN kept k ON k.component_id = e.component_id
+ORDER BY e.doc_id
+"""
+
+
+def _run_dedup_keep_quality(spark, sf_dir):
+    """Quality-aware dedup keep — the production refinement of
+    doc_dedup_keep: instead of keeping each near-dup cluster's MIN
+    doc_id, keep its highest-QUALITY document (the standard corpus-
+    curation policy: among near-dups, retain the cleanest copy).
+    Reuses the CC cluster map and the hash-verified quality score;
+    emits the full decision table (doc_id, component_id, kept_id,
+    is_kept) so downstream filters are one broadcast semi-join.
+
+    Scale shape: the cluster map is LSH-pair-bounded (tiny vs corpus);
+    quality is map-side scalar work; keeper selection is two
+    map-side-combinable aggregates on component_id — no window, no
+    sort, skew-safe even when one component holds most of the corpus."""
+    register_sf_tables(spark, sf_dir)
+    _run_dedup_clusters(spark, sf_dir).createOrReplaceTempView("__dkq_comp")
+    return spark.sql(
+        _keep_quality_sql("SELECT * FROM __dkq_comp", tx.spark_quality_score("text"))
+    )
+
+
+_q(
+    "doc_dedup_keep_quality",
+    _run_dedup_keep_quality,
+    _keep_quality_sql(
+        _DEDUP_CLUSTERS_ORACLE.replace("ORDER BY doc_id", ""),
+        tx.duck_quality_score("text"),
+    ),
+)
+
+
+def _fertility_sql(engine: str) -> str:
+    """Tokenizer fertility per language: tokens-per-word and
+    chars-per-token over the whole corpus — the standard tokenizer-
+    efficiency audit before committing a vocab to a multilingual run
+    (high fertility = the tokenizer fragments that language, inflating
+    sequence lengths and training cost).
+
+    Scale shape: per-doc counts are map-side scalar regex work; ONE
+    |langs|-row aggregate with map-side partials. The ratios are
+    BIGINT/BIGINT through DOUBLE — exact operands, engine-identical."""
+    if engine == "spark":
+        words = f"CAST(size({tx.spark_tokens('text')}) AS BIGINT)"
+        bpe = tx.spark_bpe_count("text")
+    else:
+        words = f"CAST(len({tx.duck_tokens('text')}) AS BIGINT)"
+        bpe = tx.duck_bpe_count("text")
+    return f"""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_words) AS BIGINT) AS n_words,
+  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility,
+  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE) AS chars_per_token
+FROM (
+  SELECT lang, {words} AS n_words, {bpe} AS n_bpe, n_chars
+  FROM documents
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_q(
+    "doc_token_fertility",
+    _sql(_fertility_sql("spark").replace("FROM documents", "FROM documents_rep"), rep=("documents",)),
+    _fertility_sql("duck"),
+)
+
+
 def _run_asof(spark, sf_dir):
     """As-of join: each event gets the latest order total of the same
     user at or before the event time. Union-and-carry idiom (see

@@ -92,19 +92,24 @@ def main() -> None:
     table: dict[str, dict] = {}
     for name, fn in runners.items():
         rec: dict = {}
-        for label, d in scales:
-            walls = []
-            rows = 0
-            for _ in range(RUNS):
-                t0 = time.time()
-                rows = len(fn(spark, d).collect())
-                walls.append(time.time() - t0)
-                cleanup()
-            rec[label] = round(min(walls), 3)
-            rec[f"{label}_rows"] = rows
-        rec["ratio_10x"] = round(rec["sf1"] / rec["sf0.1"], 2)
-        rec["ratio_100x"] = round(rec["sf10"] / rec["sf0.1"], 2)
-        rec["ratio_sf1_to_sf10"] = round(rec["sf10"] / rec["sf1"], 2)
+        try:
+            for label, d in scales:
+                walls = []
+                rows = 0
+                for _ in range(RUNS):
+                    t0 = time.time()
+                    rows = len(fn(spark, d).collect())
+                    walls.append(time.time() - t0)
+                    cleanup()
+                rec[label] = round(min(walls), 3)
+                rec[f"{label}_rows"] = rows
+            rec["ratio_10x"] = round(rec["sf1"] / rec["sf0.1"], 2)
+            rec["ratio_100x"] = round(rec["sf10"] / rec["sf0.1"], 2)
+            rec["ratio_sf1_to_sf10"] = round(rec["sf10"] / rec["sf1"], 2)
+        except Exception as exc:
+            # one family's failure must not zero the whole report —
+            # the JSON line is the drill's artifact
+            rec["error"] = repr(exc)[:300]
         table[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
 

@@ -69,6 +69,7 @@ class Killer(threading.Thread):
         self.sc = sc
         self.settle_s = settle_s
         self.killed_pid: int | None = None
+        self.kill_time: float | None = None
         self.error: str | None = None
 
     def run(self) -> None:
@@ -89,6 +90,7 @@ class Killer(threading.Thread):
                 return
             victim = pids[0]
             os.kill(victim, signal.SIGKILL)
+            self.kill_time = time.time()
             self.killed_pid = victim
         except Exception as exc:  # pragma: no cover
             self.error = repr(exc)
@@ -121,9 +123,9 @@ def run_pca(spark):
     return SPARK_QUERIES["emb_pca_power"](spark, SF_DIR).collect(), {}
 
 
-def drill(name: str, fn, spark, with_kill: bool) -> dict:
+def drill(name: str, fn, spark, with_kill: bool, settle_s: float = 1.5) -> dict:
     rec: dict = {"op": name, "kill": with_kill}
-    killer = Killer(spark.sparkContext) if with_kill else None
+    killer = Killer(spark.sparkContext, settle_s=settle_s) if with_kill else None
     t0 = time.time()
     try:
         if killer:
@@ -141,6 +143,15 @@ def drill(name: str, fn, spark, with_kill: bool) -> dict:
         killer.join(timeout=5)
         rec["killed_pid"] = killer.killed_pid
         rec["killer_error"] = killer.error
+        # the kill only counts if it landed BEFORE the job finished —
+        # an after-completion SIGKILL hits an idle executor and proves
+        # nothing; main() requires killed_mid_job for ok=true
+        rec["kill_at_s"] = (
+            round(killer.kill_time - t0, 2) if killer.kill_time else None
+        )
+        rec["killed_mid_job"] = (
+            killer.kill_time is not None and killer.kill_time - t0 < rec["wall_s"]
+        )
     return rec
 
 
@@ -191,7 +202,12 @@ def main() -> None:
 
         for name, fn in (("dedup_clusters_distributed", run_cc), ("emb_pca_power", run_pca)):
             base = drill(name, fn, spark, with_kill=False)
-            loss = drill(name, fn, spark, with_kill=True)
+            # settle a third of the (warm) baseline wall into the job
+            # before killing, so short jobs are hit mid-flight, not at
+            # the tail; the baseline ran first, so the loss run is warm
+            # and its wall is at most the baseline's
+            settle = max(0.3, min(1.5, base["wall_s"] / 3))
+            loss = drill(name, fn, spark, with_kill=True, settle_s=settle)
             loss["hash_matches_unbroken"] = (
                 base.get("hash") is not None and base.get("hash") == loss.get("hash")
             )
@@ -199,7 +215,7 @@ def main() -> None:
         report["ok"] = all(
             d["with_loss"]["status"] == "completed"
             and d["with_loss"]["hash_matches_unbroken"]
-            and d["with_loss"]["killed_pid"] is not None
+            and d["with_loss"]["killed_mid_job"]
             for d in report["drills"]
         )
     finally:
