@@ -316,7 +316,11 @@ def main() -> None:
                 print(f"# warmup {warm}@sf failed: {exc}", file=sys.stderr)
         return spark
 
-    spark = fresh_session()
+    # the CURRENT session lives in this dict: run_pass restarts rebind
+    # it, and cleanup() must follow — a closure over a bare `spark`
+    # variable kept pointing at the STOPPED session after the first
+    # restart and died in listTables (caught by the r10 validation run)
+    state = {"qi": 0, "spark": fresh_session()}
 
     import gc
     import statistics
@@ -327,12 +331,13 @@ def main() -> None:
         plan is unreachable AND the JVM GCs) — accumulated blocks were
         the measured cause of 1→19 s GC-storm variance on the
         checkpoint-heavy queries."""
-        for v in spark.catalog.listTables():
+        s = state["spark"]
+        for v in s.catalog.listTables():
             if v.name.startswith("__"):
-                spark.catalog.dropTempView(v.name)
-        spark.catalog.clearCache()
+                s.catalog.dropTempView(v.name)
+        s.catalog.clearCache()
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        s.sparkContext._jvm.System.gc()
 
     # optional subset for iteration: SPARK_GRAFT_QUERIES=a,b,c;
     # SPARK_GRAFT_TIER=core restricts to the TIER1_CORE plan families;
@@ -372,7 +377,6 @@ def main() -> None:
     # are also decorrelated from transient host load (minutes apart
     # instead of back-to-back).
     all_runs: dict[str, list[float]] = {name: [] for name in bench_queries}
-    state = {"qi": 0, "spark": spark}
 
     def run_pass(pass_i: int) -> bool:
         """One full pass over the list; returns False if the budget

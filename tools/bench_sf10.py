@@ -71,6 +71,20 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    def fresh_session():
+        """Per-FAMILY session restart: sf10 intermediates are GBs, and
+        accumulated JVM state made identical sf10 runs vary 21→102 s
+        within one long session (measured r10) — the same effect
+        bench.py bounds with SPARK_GRAFT_RESTART_EVERY. Each family
+        gets a fresh JVM, then warms each dataset's footers."""
+        nonlocal spark
+        spark.stop()
+        spark = get_spark(app_name="edgelake-bench-sf10")
+        for _, d in scales:
+            SPARK_QUERIES["rows_count"](spark, d).collect()
+        cleanup()
+        return spark
+
     def cc_distributed(spark_, sf_dir):
         pairs = (
             _run_minhash_pairs(spark_, sf_dir)
@@ -92,6 +106,7 @@ def main() -> None:
     table: dict[str, dict] = {}
     for name, fn in runners.items():
         rec: dict = {}
+        fresh_session()
         try:
             for label, d in scales:
                 walls = []
