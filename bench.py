@@ -273,7 +273,11 @@ def main() -> None:
     # host-load band. At 500 s the measured full wall was 545 s: a
     # loaded host would lose the JSON. Raising SPARK_GRAFT_BUDGET_S
     # buys more 3-run medians AND a longer wall; mind the cap.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "420"))
+    # 440: with pass-interleaving and amortized GC, passes 1+2 of the
+    # 146-query list measure ~370 s, the sf1 tail ~60 s — the whole run
+    # lands ~460-500 s, inside the 600 s harness cap with a host-load
+    # band to spare (r10 validation runs)
+    budget_s = float(os.environ.get("SPARK_GRAFT_BUDGET_S", "440"))
 
     from edgelake_spark import get_spark
     from edgelake_spark.queries import SPARK_QUERIES
@@ -325,19 +329,25 @@ def main() -> None:
     import gc
     import statistics
 
-    def cleanup() -> None:
+    def cleanup(force_gc: bool = False) -> None:
         """Free run leftovers: transient `__`-views pin localCheckpoint
         RDD blocks in the block manager (they are only released when the
         plan is unreachable AND the JVM GCs) — accumulated blocks were
         the measured cause of 1→19 s GC-storm variance on the
-        checkpoint-heavy queries."""
+        checkpoint-heavy queries. The explicit System.gc() costs
+        ~0.3-0.5 s; running it after EVERY sample spent ~90 s/pass of
+        the wall budget (measured r10), so it now fires every 4th
+        sample — view-drop + clearCache (the block RELEASE) stay
+        per-sample, the JVM sweep is amortized."""
         s = state["spark"]
         for v in s.catalog.listTables():
             if v.name.startswith("__"):
                 s.catalog.dropTempView(v.name)
         s.catalog.clearCache()
         gc.collect()
-        s.sparkContext._jvm.System.gc()
+        state["gc_tick"] = state.get("gc_tick", 0) + 1
+        if force_gc or state["gc_tick"] % 4 == 0:
+            s.sparkContext._jvm.System.gc()
 
     # optional subset for iteration: SPARK_GRAFT_QUERIES=a,b,c;
     # SPARK_GRAFT_TIER=core restricts to the TIER1_CORE plan families;
