@@ -5697,10 +5697,18 @@ def _run_bucketed_join(spark, sf_dir):
     scale the layout is written by the ingest pipeline, and every
     downstream join/aggregation on the bucket key reuses it for free.
 
-    The bucketed copies live in the session warehouse, keyed by the
-    dataset dir, and are reused across calls like the persisted ANN
-    indexes."""
+    The bucketed copies are EXTERNAL tables in the session warehouse,
+    keyed by the dataset dir, with a completeness marker written after
+    a successful build. A NEW session (whose in-memory catalog is
+    empty) re-ATTACHES the persisted files with a metadata-only
+    CREATE TABLE ... CLUSTERED BY ... LOCATION instead of rewriting
+    them — the production lifecycle: the ingest pipeline writes the
+    layout once, every later session declares it. (Before r10 a
+    restart paid the full rewrite; the pass-interleaved bench exposed
+    it as a phantom 0.4 → 3.5 s regression whenever a session restart
+    landed between a query's two passes.)"""
     import hashlib
+    import os as _os
 
     register_sf_tables(spark, sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -5708,23 +5716,44 @@ def _run_bucketed_join(spark, sf_dir):
     for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"bucketed_{table}_{tag}"
         if not spark.catalog.tableExists(name):
-            # a previous SESSION may have left the files without the
-            # (in-memory) catalog entry — clear the stale location, the
-            # bucket metadata only lives in the catalog
             import shutil
             from urllib.parse import urlparse
 
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-            if wh:
-                shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
-            (
-                spark.table(table)
-                .write.bucketBy(8, key)
-                .sortBy(key)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(name)
-            )
+            loc = _os.path.join(wh, name) if wh else ""
+            marker = _os.path.join(loc, "_BUCKETS_OK") if loc else ""
+            if marker and _os.path.exists(marker):
+                # metadata-only re-attach: the files were written by us
+                # with this exact bucket spec (the marker lands only
+                # after a complete build), so declaring the layout is
+                # safe and costs no data movement
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in spark.table(table).schema
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING parquet "
+                    f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO 8 BUCKETS "
+                    f"LOCATION '{loc}'"
+                )
+            else:
+                # no complete layout on disk (first build, or a crashed
+                # partial write): clear and rebuild
+                if loc:
+                    shutil.rmtree(loc, ignore_errors=True)
+                w = (
+                    spark.table(table)
+                    .write.bucketBy(8, key)
+                    .sortBy(key)
+                    .mode("overwrite")
+                    .format("parquet")
+                )
+                if loc:
+                    w = w.option("path", loc)  # external: files outlive DROP
+                w.saveAsTable(name)
+                if marker:
+                    with open(marker, "w") as fh:
+                        fh.write("ok")
         names[table] = name
     return spark.sql(
         _BUCKETED_JOIN_BODY.format(orders=names["orders"], lineitem=names["lineitem"])

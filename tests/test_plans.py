@@ -306,6 +306,57 @@ def test_bucketed_join_no_exchange(spark):
     assert "SelectedBucketsCount" in plan
 
 
+def test_bucketed_layout_reattaches_across_sessions(spark):
+    """A NEW session must re-ATTACH the persisted bucketed layout
+    (metadata-only CREATE over the external files) instead of paying
+    the full rewrite — simulated here by DROPping the catalog entries
+    (external tables: files survive) and re-running the gate. The
+    layout files must be byte-untouched, the join still exchange-free,
+    and the rows identical."""
+    import glob
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    df1 = SPARK_QUERIES["orders_bucketed_join"](spark, SF_DIR_MED)
+    rows1 = sorted(map(tuple, df1.collect()))
+    tag = hashlib.md5(os.path.abspath(SF_DIR_MED).encode()).hexdigest()[:8]
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    locs = [f"{wh}/bucketed_{t}_{tag}" for t in ("orders", "lineitem")]
+    for loc in locs:
+        assert os.path.exists(os.path.join(loc, "_BUCKETS_OK")), loc
+
+    def file_state(loc):
+        return sorted(
+            (p, os.path.getmtime(p)) for p in glob.glob(f"{loc}/*.parquet")
+        )
+
+    before = [file_state(loc) for loc in locs]
+    assert all(before), "bucketed files must exist on disk"
+    # simulate a fresh session: empty in-memory catalog, files persist
+    for t in ("orders", "lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS bucketed_{t}_{tag}")
+    for loc, st in zip(locs, before):
+        assert file_state(loc) == st, "DROP of an external table must keep files"
+    df2 = SPARK_QUERIES["orders_bucketed_join"](spark, SF_DIR_MED)
+    rows2 = sorted(map(tuple, df2.collect()))
+    assert rows2 == rows1
+    # the re-attach wrote NO data — same files, same mtimes
+    for loc, st in zip(locs, before):
+        assert file_state(loc) == st, "re-attach must not rewrite the layout"
+    # and the declared bucketing still kills the join exchange: no
+    # hash exchange on EITHER join key anywhere in the plan (the only
+    # permitted exchange is the tiny post-join re-aggregation on
+    # o_orderpriority — after collect() the AQE final-plan string
+    # interleaves it past the join node, so key-level is the robust
+    # assertion)
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan
+
+
 def test_funnel_and_pagerank_no_cartesian(spark):
     for name in ("events_funnel", "doc_pagerank3"):
         plan = plan_of(spark, name)
