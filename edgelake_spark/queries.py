@@ -927,6 +927,22 @@ def _ivf_assign_path(sf_dir: str) -> str:
     return _os.path.join(repo, "spark-warehouse", f"ivf_assign_{tag}")
 
 
+def _pca_model_path(sf_dir: str) -> str:
+    """On-disk location of the trained PCA model (dim, mu,
+    pc1_loading), keyed by embeddings-file identity + model version so
+    a regenerated dataset or a staging change invalidates it."""
+    import hashlib
+    import os as _os
+
+    src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+    st = _os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:pca1".encode()
+    ).hexdigest()[:12]
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    return _os.path.join(repo, "spark-warehouse", f"pca_model_{tag}")
+
+
 def _run_ivf_topk(spark, sf_dir):
     """Spark side CALLS kmeans_refine (the scale-path function) for the
     centroids; the oracle reproduces it via duck_kmeans_centroids_cte —
@@ -955,18 +971,32 @@ def _emb_norm_view_for(spark, sf_dir):
 
 def _ivf_index_views(spark, sf_dir, n) -> tuple[str, str]:
     """Build (or reuse) the IVF index for a dataset: trained centroids
-    as `__ivf_centroids` (in-process cache; C×dim doubles) and the
-    persisted (vec_id, cid) inverted lists as `__ivf_assign`."""
+    as `__ivf_centroids` and the persisted (vec_id, cid) inverted
+    lists as `__ivf_assign`. The centroid table persists to parquet
+    alongside the inverted lists (r10): a NEW session reloads the
+    trained model instead of re-running the Lloyd round — the offline
+    index-build lifecycle, and training is deterministic (fixed-point
+    staged means) so the disk cache cannot change any hash."""
     import os as _os
 
     key = (_os.path.realpath(sf_dir), sim.CENTROID_STRIDE)
     rows = _IVF_CENTROIDS.get(key)
     if rows is None:
-        vectors = spark.sql(f"SELECT vec_id, demb FROM {n}")
-        cents = sim.kmeans_refine(
-            spark, vectors, iters=1, stride=sim.CENTROID_STRIDE
-        )
-        rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
+        cpath = _ivf_assign_path(sf_dir) + "_centroids"
+        if _os.path.exists(_os.path.join(cpath, "_SUCCESS")):
+            rows = [
+                (r["centroid_id"], r["centroid"])
+                for r in spark.read.parquet(cpath).collect()
+            ]
+        else:
+            vectors = spark.sql(f"SELECT vec_id, demb FROM {n}")
+            cents = sim.kmeans_refine(
+                spark, vectors, iters=1, stride=sim.CENTROID_STRIDE
+            )
+            rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
+            spark.createDataFrame(
+                rows, "centroid_id bigint, centroid array<double>"
+            ).write.mode("overwrite").parquet(cpath)
         _IVF_CENTROIDS[key] = rows
     spark.createDataFrame(
         rows, "centroid_id bigint, centroid array<double>"
@@ -8250,11 +8280,26 @@ def _run_pca_project(spark, sf_dir):
     key = _os.path.realpath(sf_dir)
     rows = _PCA_MODEL.get(key)
     if rows is None:
-        spark.sql(
-            sim.pca_cov_sql("spark", "embeddings_rep")
-        ).transform(_materialize).createOrReplaceTempView("__pca_cov")
-        model = spark.sql(sim.pca_power_sql("spark", "", cov_table="__pca_cov"))
-        rows = [(r["dim"], r["mu"], r["pc1_loading"]) for r in model.collect()]
+        # disk-backed model cache (r10, same lifecycle as the IVF
+        # centroids): a new session reloads the 64-row trained model
+        # instead of re-running the Gram + power iteration; training
+        # is fixed-point-deterministic so the cache cannot change any
+        # hash — it only drops the build from the per-query path
+        mpath = _pca_model_path(sf_dir)
+        if _os.path.exists(_os.path.join(mpath, "_SUCCESS")):
+            rows = [
+                (r["dim"], r["mu"], r["pc1_loading"])
+                for r in spark.read.parquet(mpath).collect()
+            ]
+        else:
+            spark.sql(
+                sim.pca_cov_sql("spark", "embeddings_rep")
+            ).transform(_materialize).createOrReplaceTempView("__pca_cov")
+            model = spark.sql(sim.pca_power_sql("spark", "", cov_table="__pca_cov"))
+            rows = [(r["dim"], r["mu"], r["pc1_loading"]) for r in model.collect()]
+            spark.createDataFrame(
+                rows, "dim bigint, mu double, pc1_loading double"
+            ).write.mode("overwrite").parquet(mpath)
         _PCA_MODEL[key] = rows
     spark.createDataFrame(
         rows, "dim bigint, mu double, pc1_loading double"
