@@ -1568,9 +1568,18 @@ def _run_dedup_keep_quality(spark, sf_dir):
     Scale shape: the cluster map is LSH-pair-bounded (tiny vs corpus);
     quality is map-side scalar work; keeper selection is two
     map-side-combinable aggregates on component_id — no window, no
-    sort, skew-safe even when one component holds most of the corpus."""
+    sort, skew-safe even when one component holds most of the corpus.
+    The pair graph comes from the PERSISTED __mh_pairs artifact (the
+    offline dedup table PageRank/leakage also consume), so this gate
+    pays CC + selection, not a pipeline re-derivation."""
+    from pyspark.sql import functions as F
+
     register_sf_tables(spark, sf_dir)
-    _run_dedup_clusters(spark, sf_dir).createOrReplaceTempView("__dkq_comp")
+    _pairs_view(spark, sf_dir)
+    comp = dd.connected_components(
+        spark.table("__mh_pairs").select("id1", "id2")
+    )
+    comp.createOrReplaceTempView("__dkq_comp")
     return spark.sql(
         _keep_quality_sql("SELECT * FROM __dkq_comp", tx.spark_quality_score("text"))
     )
