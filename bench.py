@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "doc_lsh_claims",
     "doc_dedup_keep_quality",
     "doc_token_fertility",
+    # round 10: leakage-safe split — whole near-dup clusters co-assign
+    "doc_split_by_cluster",
 ]
 
 #: TIER 1 — the must-run core: one representative per distinct physical

@@ -2285,6 +2285,76 @@ _q(
 )
 
 
+def _split_by_cluster_sql(comp: str, pairs: str, cid_md5: str) -> str:
+    """Leakage-SAFE split assignment: the hash key is the near-dup
+    CLUSTER id (component_id; a doc's own id when unclustered), so
+    whole clusters co-assign and no near-duplicate pair can straddle
+    train/test — the fix for what doc_split_leakage measures. Because
+    singletons have component_id = doc_id and the same 'split:' hash
+    recipe, their assignment is IDENTICAL to doc_split_assign: going
+    cluster-aware only moves documents that actually have near-dups.
+    The straddling_pairs column re-verifies the invariant from the
+    pair table inside the query (must be 0 in every row).
+
+    Scale shape: cluster map and pair table are LSH-bounded artifacts
+    (broadcastable vs the corpus); assignment is one map-side hash;
+    the invariant check is two joins on the tiny pair table; final agg
+    is 3 groups."""
+    u = dd.spark_hex60(cid_md5) if "concat" in cid_md5 else dd.duck_hex60(cid_md5)
+    u = f"{u} / CAST(1152921504606846976 AS DOUBLE)"
+    return f"""
+WITH comp AS ({comp}),
+everyone AS (
+  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS cid
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+assigned AS (
+  SELECT doc_id, cid, {_SPLIT_CASE} AS split
+  FROM (SELECT doc_id, cid, {u} AS u FROM everyone) h
+),
+straddle AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM ({pairs}) p
+  JOIN assigned a1 ON a1.doc_id = p.id1
+  JOIN assigned a2 ON a2.doc_id = p.id2
+  WHERE a1.split != a2.split
+)
+SELECT a.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT a.cid) AS BIGINT) AS n_clusters,
+       CAST(sum(a.doc_id) AS BIGINT) AS id_checksum,
+       s.n AS straddling_pairs
+FROM assigned a CROSS JOIN straddle s
+GROUP BY a.split, s.n
+ORDER BY a.split
+"""
+
+
+def _run_split_by_cluster(spark, sf_dir):
+    register_sf_tables(spark, sf_dir)
+    _pairs_view(spark, sf_dir)
+    dd.connected_components(
+        spark.table("__mh_pairs").select("id1", "id2")
+    ).createOrReplaceTempView("__sbc_comp")
+    return spark.sql(
+        _split_by_cluster_sql(
+            "SELECT * FROM __sbc_comp",
+            "SELECT id1, id2 FROM __mh_pairs",
+            "md5(concat('split:', CAST(cid AS STRING)))",
+        )
+    )
+
+
+_q(
+    "doc_split_by_cluster",
+    _run_split_by_cluster,
+    _split_by_cluster_sql(
+        _DEDUP_CLUSTERS_ORACLE.replace("ORDER BY doc_id", ""),
+        ORACLE_SQL["doc_minhash_pairs"],
+        "md5('split:' || CAST(cid AS VARCHAR))",
+    ),
+)
+
+
 def _strat_sample_sql(u_expr: str) -> str:
     return f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
